@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with the `noop` sink (full
+computation, no driver collect — measures the engine, not result
+marshalling)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from map_reduce_mongodb_spark.queries import QUERIES  # noqa: E402
+from map_reduce_mongodb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query times measure
+    # execution, not first-touch JIT/IO.
+    next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
