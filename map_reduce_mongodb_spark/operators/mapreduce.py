@@ -1,0 +1,78 @@
+"""MapReduce-compat façade — API parity with the reference's engine
+surface (SURVEY.md §2.6): MongoDB ``mapReduce({query, map, reduce,
+out})`` with per-doc ``emit(k, v)`` maps (mapreduce.js:3,40,46 — docs
+as ``this``) and ``reduce(key, values) -> value`` (mapreduce.js:52).
+
+Spark-first redesign, not emulation:
+
+- ``map`` runs as an Arrow-batched ``mapInPandas`` flatMap (0..n emits
+  per doc — the general M1 contract; the reference only ever emits 0/1).
+- ``reduce`` runs ONCE per key via ``applyInPandas`` on the grouped
+  data — there is **no re-reduce**, which designs out the reference's
+  idempotency-violation hazard (SURVEY.md N2: its mergeReduce crashes
+  when MongoDB re-reduces an already-reduced value).
+- ``out='merge'`` (the ``out: {reduce: coll}`` mode, mongodb.js:96,100)
+  is union-then-single-reduce: previous output rows join the value
+  stream as peers, reduced in the same single pass.
+- Values cross the boundary as JSON strings (the schemaless-document
+  compromise); prefer the native column expressions for anything
+  performance-critical — this façade is the documented slow path.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: map_fn(doc) yields (key, value) pairs; values must be JSON-able.
+MapFn = Callable[[dict], Iterable[tuple[str, dict]]]
+#: reduce_fn(key, values) -> value (single pass; associativity NOT
+#: required, unlike MongoDB — the full group is visible at once).
+ReduceFn = Callable[[str, list[dict]], dict]
+
+_KV_SCHEMA = "_id string, value string"
+
+
+def map_only(df: DataFrame, map_fn: MapFn) -> DataFrame:
+    """Run just the map phase: (_id, value-json) rows, 0..n per doc."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys: list[str] = []
+            vals: list[str] = []
+            for doc in pdf.to_dict("records"):
+                for k, v in map_fn(doc):
+                    keys.append(str(k))
+                    vals.append(json.dumps(v, default=str, sort_keys=True))
+            yield pd.DataFrame({"_id": keys, "value": vals})
+
+    return df.mapInPandas(batches, schema=_KV_SCHEMA)
+
+
+def map_reduce(df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
+               out: DataFrame | None = None) -> DataFrame:
+    """Full mapReduce job → DataFrame(_id string, value json-string).
+
+    ``out``: a previous job's output to merge into (MongoDB
+    ``out:{reduce}``) — unioned before the single reduce pass.
+    Like MongoDB, reduce is skipped for single-value keys (the mapped
+    value passes through verbatim — A1's map-only idiom relies on it).
+    """
+    mapped = map_only(df, map_fn)
+    if out is not None:
+        mapped = mapped.unionByName(out.select("_id", "value"))
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["_id"].iloc[0]
+        if len(pdf) == 1:  # MongoDB contract: reduce skipped for 1 value
+            return pdf[["_id", "value"]]
+        values = [json.loads(v) for v in pdf["value"]]
+        reduced = reduce_fn(key, values)
+        return pd.DataFrame({
+            "_id": [key],
+            "value": [json.dumps(reduced, default=str, sort_keys=True)],
+        })
+
+    return mapped.groupBy("_id").applyInPandas(reduce_group, schema=_KV_SCHEMA)

@@ -567,3 +567,375 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "total_value")
     )
+
+
+# =====================================================================
+# Text analysis (north-star: training-data pipeline operators)
+# =====================================================================
+
+@query("doc_text_stats", oracle=r"""
+SELECT doc_id,
+       n_chars,
+       length(text) AS text_len,
+       len(string_split_regex(trim(text), '\s+')) AS n_words,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+FROM documents
+""")
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document size/token accounting (whitespace words + BPE-ish
+    regex tokens + punctuation) — all JVM-side regex, no UDFs."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", "n_chars",
+        F.length("text").alias("text_len"),
+        T.word_count(F.col("text")).alias("n_words"),
+        T.bpe_token_count(F.col("text")).alias("n_tokens"),
+        T.punct_count(F.col("text")).alias("n_punct"),
+    )
+
+
+@query("doc_quality", oracle=r"""
+SELECT doc_id,
+       round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+       round(CAST(length(text) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_word,
+       CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000
+             AND length(text) > 100 THEN 1 ELSE 0 END AS passes_length_gate
+FROM documents
+""")
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: stopword ratio, chars-per-word, and a
+    length gate — the standard cheap pre-filters for LLM corpora."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    n_words = T.word_count(F.col("text"))
+    hits = T.stopword_hits(F.col("text"), T.QUALITY_STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.round(hits.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / n_words, 4)
+        .alias("chars_per_word"),
+        F.when(n_words.between(20, 1000) & (F.length("text") > 100), 1)
+        .otherwise(0).alias("passes_length_gate"),
+    )
+
+
+@query("lang_id", oracle=r"""
+WITH hits AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('der','und','die','das','ist'))) AS h_de,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the','and','of','to','is'))) AS h_en,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('el','la','los','que','es'))) AS h_es,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('le','la','et','les','est'))) AS h_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang, h_de, h_en, h_es, h_fr,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM hits
+""")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-anchor language ID (n-gram-heuristic family): score per
+    candidate language, argmax with alphabetic tie-break."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    scores = T.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"h_{lang}") for lang in sorted(scores)],
+        T.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+@query("top_bigrams", oracle=r"""
+WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+     b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i + 1])) AS bigram
+           FROM w WHERE len(w) >= 2)
+SELECT bigram, count(*) AS n
+FROM b
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""")
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency: explode word bigrams (the M1
+    multi-emit/UDTF analogue, done with explode), count, top-20 with
+    deterministic tie-break."""
+    from map_reduce_mongodb_spark.functions.text import word_shingles
+    docs = table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(
+            word_shingles(F.col("text"), 2, distinct=False)).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Deduplication (north-star: exact + near-dup families)
+# =====================================================================
+
+@query("dedup_exact_groups", oracle=r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+""")
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-md5 fingerprint;
+    survivor = min doc_id. Uniform key → skew-free shuffle."""
+    from map_reduce_mongodb_spark.operators.dedup import exact_dedup_groups
+    return exact_dedup_groups(table(spark, "documents", sf_dir))
+
+
+@query("ngram_jaccard_pairs", oracle=r"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        >= 0.7 * greatest(len(a.s), len(b.s)))
+WHERE jaccard >= 0.7
+""")
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram-shingle Jaccard near-dup pairs within lang
+    blocks — the exact baseline that MinHash-LSH approximates (the
+    testdata plants pairs at J≈0.89-0.99 vs ~0.05 background)."""
+    from map_reduce_mongodb_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(table(spark, "documents", sf_dir),
+                               threshold=0.7, shingle_n=3, block_col="lang")
+
+
+@query("minhash_dedup_pairs")  # no oracle: murmur3 signatures are Spark-specific
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates verified by true Jaccard —
+    the scale path for near-dup dedup (only bucket-cohabitant pairs are
+    verified). Rows-only driver check; recall vs the exact baseline is
+    asserted in tests/test_dedup.py."""
+    from map_reduce_mongodb_spark.operators.dedup import minhash_dedup_pairs
+    return minhash_dedup_pairs(table(spark, "documents", sf_dir),
+                               threshold=0.7)
+
+
+@query("simhash_fingerprints")  # no oracle: murmur3 bit-mix is Spark-specific
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bigram shingles): near-dups land at
+    small Hamming distance. Deterministic; rows-only driver check."""
+    from map_reduce_mongodb_spark.operators.dedup import simhash
+    return simhash(table(spark, "documents", sf_dir))
+
+
+# =====================================================================
+# Similarity search (north-star: embeddings)
+# =====================================================================
+
+def _cosine_topk_oracle(dim: int = 64, k: int = 5, nq: int = 10) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import cosine_unrolled_sql
+    cos = cosine_unrolled_sql("qv", "cv", dim)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id, {cos} AS cosine
+       FROM c, q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@query("cosine_topk", oracle=_cosine_topk_oracle())
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbours for query vectors (vec_id < 10):
+    broadcast queries × corpus scan + ranking window. The dot product
+    is an unrolled left-associated sum → bit-identical to the oracle."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        cosine_topk_bruteforce)
+    emb = table(spark, "embeddings", sf_dir)
+    return cosine_topk_bruteforce(emb, query_ids=list(range(10)), k=5)
+
+
+@query("ann_lsh_topk")  # no oracle: approximate by design
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-LSH (8 hyperplanes × 2 tables, fixed
+    seed): candidates are bucket cohabitants only. Rows-only driver
+    check; recall vs brute force asserted in tests/test_similarity.py."""
+    from map_reduce_mongodb_spark.operators.similarity import ann_lsh_topk
+    emb = table(spark, "embeddings", sf_dir)
+    return ann_lsh_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@query("embedding_norm_stats", oracle=f"""
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt({'+'.join(f'CAST(embedding[{i}] AS DOUBLE)*CAST(embedding[{i}] AS DOUBLE)' for i in range(1, 65))})), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+""")
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding count + mean L2 norm (vector column hygiene
+    check; norm per row is bit-identical, avg rounded)."""
+    from map_reduce_mongodb_spark.functions.vectors import norm_sq_unrolled
+    emb = table(spark, "embeddings", sf_dir)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.sqrt(norm_sq_unrolled("embedding", 64))), 6)
+        .alias("avg_norm"),
+    )
+
+
+# =====================================================================
+# Streaming-shape windows over events (batch-verifiable; the same
+# builders run under readStream — see streaming/windows.py)
+# =====================================================================
+
+@query("events_sliding_window", oracle="""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                ]) AS window_start,
+         event_type, value
+  FROM events)
+SELECT window_start, event_type,
+       round(avg(value), 4) AS avg_value,
+       count(*) AS n
+FROM expanded
+GROUP BY window_start, event_type
+""")
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h window sliding by 30min (each event lands in exactly two
+    windows; the oracle expands them explicitly)."""
+    from map_reduce_mongodb_spark.streaming.windows import sliding_avg
+    return sliding_avg(table(spark, "events", sf_dir),
+                       window="1 hour", slide="30 minutes")
+
+
+@query("events_sessionization", oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, sid
+""")
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap
+    (`session_window`); the oracle is the classic gaps-and-islands SQL.
+    Session end = last event + gap (Spark's session_window contract)."""
+    from map_reduce_mongodb_spark.streaming.windows import session_counts
+    return session_counts(table(spark, "events", sf_dir), gap="30 minutes")
+
+
+# =====================================================================
+# Multimodal columns (north-star; decode is stubbed — see
+# operators/multimodal.py module doc)
+# =====================================================================
+
+@query("multimodal_inventory", oracle="""
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       count(*) AS n,
+       sum(length(text)) AS total_bytes,
+       min(length(text)) AS min_bytes,
+       max(length(text)) AS max_bytes
+FROM documents
+GROUP BY 1
+""")
+def q_multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column accounting over the synthesized media table (the
+    corpus is ASCII so byte length == text length, which the oracle
+    exploits)."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        media_from_documents)
+    media = media_from_documents(table(spark, "documents", sf_dir))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("data")).alias("total_bytes"),
+        F.min(F.length("data")).alias("min_bytes"),
+        F.max(F.length("data")).alias("max_bytes"),
+    )
+
+
+@query("multimodal_decode_stats")  # no oracle: Arrow/mapInPandas stage
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage (stubbed codec, real mapInPandas plumbing) +
+    aggregation over the decoded geometry. Rows-only driver check;
+    determinism asserted in tests/test_multimodal.py."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        decode_media, media_from_documents)
+    media = decode_media(media_from_documents(table(spark, "documents", sf_dir)))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.round(F.avg("height"), 2).alias("avg_height"),
+        F.sum("n_frames").alias("total_frames"),
+    )
+
+
+# =====================================================================
+# MapReduce-compat façade (SURVEY §2.6 engine-API parity)
+# =====================================================================
+
+@query("mapreduce_wordcount", oracle=r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+SELECT w AS _id,
+       '{"count": ' || count(*) || '}' AS value
+FROM words
+GROUP BY w
+""")
+def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic map_reduce façade (mapInPandas + applyInPandas —
+    the documented slow path) running wordcount; output keys/values in
+    the reference's ``{_id, value}`` envelope (SURVEY §2.6). The oracle
+    reconstructs the JSON value string exactly."""
+    from map_reduce_mongodb_spark.operators.mapreduce import map_reduce
+
+    def map_fn(doc):
+        for w in doc["text"].split():
+            yield w, {"count": 1}
+
+    def reduce_fn(key, values):
+        return {"count": sum(v["count"] for v in values)}
+
+    return map_reduce(table(spark, "documents", sf_dir), map_fn, reduce_fn)

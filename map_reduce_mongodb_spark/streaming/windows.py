@@ -1,0 +1,86 @@
+"""Structured Streaming analogues of the engine's windowed aggregations.
+
+The reference ingests as a one-shot batch (its Node streams are an
+implementation detail — SURVEY.md §1.1); the north-star asks for real
+streaming semantics. Design rule: every aggregation here is written
+against a plain DataFrame, so the SAME function runs in batch (unit
+tests, backfills) and under ``readStream`` (production) — Spark's
+unified batch/stream contract.
+
+Watermarks: callers of the streaming path get `with_watermark` applied
+so state for late data is bounded; the batch path ignores it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Driver events table schema as stored (ts is TIMESTAMP(NANOS) parquet,
+#: read as long under nanosAsLong — converted below).
+_EVENTS_DDL = ("event_id long, ts long, user_id long, event_type string, "
+               "value double, props string")
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over an events parquet directory (file source =
+    replayable, exactly-once). Applies the same nanos→timestamp
+    conversion as the batch catalog (io.py)."""
+    raw = spark.readStream.schema(_EVENTS_DDL).parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time window per event_type: count + sum(value)."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "1 hour",
+                slide: str = "30 minutes",
+                watermark: str | None = None) -> DataFrame:
+    """Sliding window average value per event_type."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "avg_value", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str | None = None) -> DataFrame:
+    """Sessionization per user: events within `gap` of each other merge
+    into one session (dynamic-length `session_window`)."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "session_value")
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str,
+                       output_mode: str = "complete") -> None:
+    """Execute a streaming DataFrame to completion over the currently
+    available input (Trigger.AvailableNow) into an in-memory table —
+    the batch-verifiable harness for streaming plans."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()

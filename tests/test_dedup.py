@@ -1,0 +1,72 @@
+"""Dedup operator tests: the approximate paths are checked against the
+exact baselines (the testdata plants near-dup pairs at J≈0.89-0.99)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_mongodb_spark.io import table
+from map_reduce_mongodb_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return table(spark, "documents", SF_DIR)
+
+
+def test_exact_dedup_survivors(spark):
+    docs = _docs(spark)
+    groups = exact_dedup_groups(docs)
+    survivors = exact_dedup(docs)
+    assert survivors.count() == groups.count()
+    assert groups.agg(F.sum("n_dups")).collect()[0][0] == docs.count()
+    # survivors keep the original schema
+    assert survivors.columns == docs.columns
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _docs(spark)
+    # Unblocked exact baseline (minhash has no lang blocking either).
+    exact = {tuple(r) for r in
+             ngram_jaccard_pairs(docs, threshold=0.7, block_col=None).select(
+                 "id_a", "id_b").collect()}
+    approx = {tuple(r) for r in
+              minhash_dedup_pairs(docs, threshold=0.7).select(
+                  "id_a", "id_b").collect()}
+    assert exact, "testdata should contain planted near-dup pairs"
+    # Precision: every minhash pair passed true-Jaccard verification,
+    # so approx ⊆ exact must hold exactly.
+    assert approx <= exact
+    # Recall: banding at 16/4 keeps ≥80% of the J≥0.7 planted pairs.
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"minhash recall too low: {recall}"
+
+
+def test_minhash_deterministic(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, minhash_dedup_pairs(docs).collect()))
+    b = sorted(map(tuple, minhash_dedup_pairs(docs).collect()))
+    assert a == b
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    docs = _docs(spark)
+    fps = simhash(docs)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    a = fps.select(F.col("doc_id").alias("id_a"),
+                   F.col("simhash").alias("h_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"),
+                   F.col("simhash").alias("h_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b").select(
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("ham"))
+    rows = joined.collect()
+    assert rows
+    avg_ham = sum(r.ham for r in rows) / len(rows)
+    # Near-dups should agree on most of the 32 bits; random pairs ~16.
+    assert avg_ham < 8, f"avg hamming {avg_ham} too high for near-dups"

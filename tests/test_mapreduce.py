@@ -1,0 +1,55 @@
+"""MapReduce façade: the §2.6 engine-API contract, including the
+``out:{reduce}`` merge mode and the single-value-key passthrough."""
+
+from __future__ import annotations
+
+import json
+
+from map_reduce_mongodb_spark.operators.mapreduce import map_only, map_reduce
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_multi_emit_flatmap(spark):
+    df = _docs(spark, [(1, "a b a"), (2, "b")])
+    mapped = map_only(df, lambda d: ((w, {"n": 1}) for w in d["text"].split()))
+    assert mapped.count() == 4  # 0..n emits per doc (M1 general form)
+
+
+def test_wordcount_reduce(spark):
+    df = _docs(spark, [(1, "a b a"), (2, "b c")])
+    out = map_reduce(
+        df,
+        lambda d: ((w, {"n": 1}) for w in d["text"].split()),
+        lambda k, vs: {"n": sum(v["n"] for v in vs)},
+    )
+    got = {r._id: json.loads(r.value)["n"] for r in out.collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_single_value_key_skips_reduce(spark):
+    """MongoDB contract: reduce never runs for keys with one value —
+    the reference's map-only job (A1) depends on this."""
+    df = _docs(spark, [(1, "x")])
+
+    def exploding_reduce(k, vs):
+        raise AssertionError("reduce must not run for single-value keys")
+
+    out = map_reduce(df, lambda d: [(d["text"], {"v": d["doc_id"]})],
+                     exploding_reduce)
+    assert json.loads(out.collect()[0].value) == {"v": 1}
+
+
+def test_out_merge_mode(spark):
+    """out:{reduce} analogue: previous output participates as a peer
+    value in ONE reduce pass (no re-reduce hazard — SURVEY N2)."""
+    df1 = _docs(spark, [(1, "a"), (2, "a b")])
+    mr = lambda d: ((w, {"n": 1}) for w in d["text"].split())
+    red = lambda k, vs: {"n": sum(v["n"] for v in vs)}
+    first = map_reduce(df1, mr, red)
+    df2 = _docs(spark, [(3, "a b c")])
+    merged = map_reduce(df2, mr, red, out=first)
+    got = {r._id: json.loads(r.value)["n"] for r in merged.collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}

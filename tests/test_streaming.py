@@ -1,0 +1,47 @@
+"""Structured Streaming: the SAME window builders must produce the SAME
+results under readStream (AvailableNow → memory sink) as in batch."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from map_reduce_mongodb_spark.io import table
+from map_reduce_mongodb_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory_sink,
+    session_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    """File-source streaming reads a DIRECTORY of files."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_stream_batch_equivalence_tumbling(spark, events_stream_dir):
+    batch = tumbling_counts(table(spark, "events", SF_DIR)).collect()
+    stream_df = tumbling_counts(
+        read_events_stream(spark, events_stream_dir), watermark="2 hours")
+    run_to_memory_sink(stream_df, "tumbling_test")
+    streamed = spark.table("tumbling_test").collect()
+    assert _canon(batch) == _canon(streamed)
+
+
+def test_stream_batch_equivalence_sessions(spark, events_stream_dir):
+    batch = session_counts(table(spark, "events", SF_DIR)).collect()
+    stream_df = session_counts(
+        read_events_stream(spark, events_stream_dir), watermark="2 hours")
+    run_to_memory_sink(stream_df, "session_test")
+    streamed = spark.table("session_test").collect()
+    assert _canon(batch) == _canon(streamed)
