@@ -1,0 +1,93 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range join — implemented as compositions of existing DataFrame
+ops (SURVEY.md custom-operator rule (a): composition before UDFs).
+
+As-of join (the time-series "most recent prior reading" join):
+    The naive formulation — an inequality join + max() — explodes into
+    O(|L|·|R|) pairs per key before aggregating. This implementation is
+    the UNION-SORT formulation: tag both sides, one window pass ordered
+    by (ts, side) per key, carry the last-seen right payload forward
+    onto left rows. Cost: one shuffle + one sort per key group — the
+    same shape as a sort-merge join, with no pair explosion, skew
+    bounded by the hottest key.
+
+Range join (count/aggregate right rows within [ts-Δ, ts)):
+    Implemented with time-bucketing: right rows land in buckets of
+    width Δ; each left row probes its own and the previous bucket —
+    an equi-join on (key, bucket) with a residual range filter. Join
+    fan-out is bounded by bucket occupancy, not window count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
+              payload_cols: list[str],
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` sharing the `by` key (direction='backward';
+    'forward' mirrors it). Right payload columns come back prefixed
+    ``asof_`` (NULL when no match). Ties on ts: the right row at the
+    exact left timestamp matches (<=), consistent with DuckDB ASOF."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    l_tag = left.select(
+        F.col(by), F.col(ts),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(by), F.col(ts),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*payload_cols).alias("_r"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # right row at ts T must precede a left row at T: order (ts, side)
+        w = (Window.partitionBy(by).orderBy(F.asc(ts), F.asc("_is_left"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy(by).orderBy(F.desc(ts), F.asc("_is_left"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_left") == 1).select(
+        "_l.*", *[F.col("_match")[c].alias(f"asof_{c}") for c in payload_cols])
+    return out
+
+
+def range_count(left: DataFrame, right: DataFrame, by: str, ts: str,
+                delta_seconds: int,
+                agg_col: str | None = None) -> DataFrame:
+    """Per left row: count (and optionally sum ``agg_col`` of) right
+    rows with ``left.ts - Δ <= right.ts < left.ts`` sharing `by`.
+
+    Bucketed: a right row at time t can only serve left rows in its own
+    or the next Δ-bucket, so each left row probes exactly 2 buckets."""
+    bucket = lambda c: (F.unix_timestamp(c) / delta_seconds).cast("long")  # noqa: E731
+    r = right.select(F.col(by), F.col(ts).alias("_rts"),
+                     *( [F.col(agg_col).alias("_rv")] if agg_col else []),
+                     bucket(F.col(ts)).alias("_rb"))
+    l = left.withColumn("_lb", bucket(F.col(ts))).withColumn(
+        "_probe", F.explode(F.array(F.col("_lb"), F.col("_lb") - 1)))
+    joined = l.join(r, (l[by] == r[by]) & (l["_probe"] == r["_rb"]), "left")
+    in_range = (
+        F.col("_rts").isNotNull()
+        & (F.col("_rts") < F.col(ts))
+        & (F.col("_rts") >= F.col(ts) - F.expr(f"INTERVAL {delta_seconds} SECOND"))
+    )
+    aggs = [F.count(F.when(in_range, 1)).alias("n_in_range")]
+    if agg_col:
+        aggs.append(F.round(F.sum(F.when(in_range, F.col("_rv"))), 2)
+                    .alias("sum_in_range"))
+    return (
+        joined.groupBy(*[l[c] for c in left.columns])
+        .agg(*aggs)
+    )

@@ -156,7 +156,7 @@ def _var_struct() -> F.Column:
     )
 
 
-def merge_sites(features: DataFrame) -> DataFrame:
+def merge_sites(features: DataFrame, order_key: F.Column | None = None) -> DataFrame:
     """Stage 3 — the two filtered mapReduce jobs + their merge-join into
     ``joined`` (mapreduce.js:40-99, mongodb.js:94-115), as one
     filter → hash-agg.
@@ -174,6 +174,8 @@ def merge_sites(features: DataFrame) -> DataFrame:
     high-cardinality ``siteCode``; map-side partial aggregation halves
     shuffle volume automatically.
     """
+    if order_key is None:
+        order_key = F.col("_id")
     code = F.try_element_at(F.col("value.properties.variables"), F.lit(1))["variableCode"]
     # F1 ∪ F2 as a single scan (semantically identical, disjoint codes).
     both = features.filter(code.isin(STREAMFLOW_CODE, GAGEHEIGHT_CODE))
@@ -191,13 +193,14 @@ def merge_sites(features: DataFrame) -> DataFrame:
             # The reference's pivot (mapreduce.js:78-95) is last-writer-
             # wins and nondeterministic across re-reduces; we pin
             # deterministic semantics (SURVEY.md N2/N5): per code, take
-            # the measurement from the LOWEST _id ("first harvested").
-            # min_by ignores rows whose ordering key is NULL.
+            # the measurement with the LOWEST order_key ("first
+            # harvested"; default: _id as string — callers with numeric
+            # ids pass _id cast to long). min_by ignores NULL keys.
             F.min_by(_var_struct(),
-                     F.when(code == STREAMFLOW_CODE, F.col("_id").cast("long")))
+                     F.when(code == STREAMFLOW_CODE, order_key))
             .alias("streamFlow"),                               # mapreduce.js:78-86
             F.min_by(_var_struct(),
-                     F.when(code == GAGEHEIGHT_CODE, F.col("_id").cast("long")))
+                     F.when(code == GAGEHEIGHT_CODE, order_key))
             .alias("gageHeight"),                               # mapreduce.js:87-95
         ).alias("properties"),
     )
@@ -243,7 +246,8 @@ def usgs_flat_join(events: DataFrame) -> DataFrame:
     shape (site, lon/lat, both measurements) — the oracle-comparable
     face of the flagship: nested structs don't hash identically across
     engines, flat columns do."""
-    joined = merge_sites(geojson_features(synthesize_usgs(events)).persist())
+    joined = merge_sites(geojson_features(synthesize_usgs(events)).persist(),
+                         order_key=F.col("_id").cast("long"))
     props = F.col("value.properties")
     return (
         joined.filter(props["streamFlow"].isNotNull()
@@ -280,4 +284,5 @@ def usgs_pipeline(events: DataFrame, materialize: bool = True) -> DataFrame:
     features = geojson_features(synthesize_usgs(events))
     if materialize:
         features = features.persist()
-    return export_features(merge_sites(features))
+    return export_features(
+        merge_sites(features, order_key=F.col("_id").cast("long")))

@@ -939,3 +939,90 @@ def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"count": sum(v["count"] for v in values)}
 
     return map_reduce(table(spark, "documents", sf_dir), map_fn, reduce_fn)
+
+
+# =====================================================================
+# Temporal joins (as-of / range — ABSENT in reference, SURVEY §2.9)
+# =====================================================================
+
+@query("asof_join_purchases", oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS click_event_id,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior (or
+    simultaneous) click. Union-sort formulation — no pair explosion
+    (operators/temporal.py); DuckDB's native ASOF JOIN is the oracle."""
+    from map_reduce_mongodb_spark.operators.temporal import asof_join
+    ev = table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, by="user_id", ts="ts",
+                    payload_cols=["event_id", "ts"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_ts").alias("click_ts"),
+    )
+
+
+@query("range_join_error_context", oracle="""
+SELECT e.event_id, e.user_id,
+       count(c.event_id) FILTER (
+         WHERE c.ts < e.ts AND c.ts >= e.ts - INTERVAL '600 seconds'
+       ) AS n_in_range,
+       round(sum(c.value) FILTER (
+         WHERE c.ts < e.ts AND c.ts >= e.ts - INTERVAL '600 seconds'
+       ), 2) AS sum_in_range
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+GROUP BY e.event_id, e.user_id
+""")
+def q_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: per error event, clicks by the same user in
+    the preceding 10 minutes (bucketed 2-probe join — the scalable
+    form; the oracle states it as a plain inequality join)."""
+    from map_reduce_mongodb_spark.operators.temporal import range_count
+    ev = table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = range_count(errors, clicks, by="user_id", ts="ts",
+                      delta_seconds=600, agg_col="value")
+    return out.select("event_id", "user_id", "n_in_range", "sum_in_range")
+
+
+# =====================================================================
+# Statistical aggregates (ABSENT in reference, SURVEY §2.9)
+# =====================================================================
+
+@query("stats_aggregates", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, engine-deterministic) + second-
+    moment aggregates; rounded because accumulation order differs."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+        .alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+        .alias("p90_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+        .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+        .alias("cov_qty_price"),
+    )

@@ -1,0 +1,111 @@
+"""Property tests (SURVEY.md §5.2 item 4):
+
+1. ``falsy_coalesce`` matches JS ``||`` on a generated string corpus.
+2. The A2/A3 merge aggregation is input-order-insensitive.
+3. union-then-group ≡ full-outer-join-then-coalesce (the two
+   formulations of the reference's merge, SURVEY A3).
+
+Spark round-trips are expensive, so hypothesis drives a single
+in-process reference model plus batched Spark checks over the whole
+generated corpus at once.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from map_reduce_mongodb_spark.functions.scalar import falsy_coalesce
+
+# --- 1. falsy_coalesce ≡ JS `||` for string operands -----------------
+
+strings = st.one_of(
+    st.none(),
+    st.text(alphabet="ab \t'\"0é", max_size=5),
+    st.sampled_from(["", "0", "undefined", "null", "false", " "]),
+)
+
+
+def js_or(value, default="undefined"):
+    """JS `value || default` for string-typed value: falsy = null/''."""
+    return default if (value is None or value == "") else value
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(strings, min_size=1, max_size=30))
+def test_falsy_coalesce_matches_js(spark, corpus):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(corpus)],
+                               "i int, v string")
+    got = {r.i: r.out for r in df.select(
+        "i", falsy_coalesce(F.col("v"), "undefined").alias("out")).collect()}
+    want = {i: js_or(v) for i, v in enumerate(corpus)}
+    assert got == want
+
+
+# --- 2/3. merge-agg properties over generated (site, code, val) rows --
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # site
+        st.sampled_from(["00065", "00060", "00010"]),   # code
+        st.integers(min_value=0, max_value=100),        # measurement id
+    ),
+    min_size=1, max_size=40,
+)
+
+
+def _merge_model(rows):
+    """Reference model of the A2/A3 merge: per site, min measurement id
+    per code; sites with both codes kept."""
+    per = {}
+    for site, code, mid in rows:
+        if code in ("00065", "00060"):
+            key = (site, code)
+            per[key] = min(per.get(key, mid), mid)
+    out = {}
+    for site in {s for s, _, _ in rows}:
+        flow, gage = per.get((site, "00065")), per.get((site, "00060"))
+        if flow is not None and gage is not None:
+            out[site] = (flow, gage)
+    return out
+
+
+def _merge_spark(spark, rows):
+    df = spark.createDataFrame(rows, "site int, code string, mid int")
+    agg = (
+        df.filter(F.col("code").isin("00065", "00060"))
+        .groupBy("site")
+        .agg(F.min_by("mid", F.when(F.col("code") == "00065", F.col("mid")))
+             .alias("flow"),
+             F.min_by("mid", F.when(F.col("code") == "00060", F.col("mid")))
+             .alias("gage"))
+        .filter(F.col("flow").isNotNull() & F.col("gage").isNotNull())
+    )
+    return {r.site: (r.flow, r.gage) for r in agg.collect()}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows_strategy)
+def test_merge_agg_matches_model_and_order_insensitive(spark, rows):
+    want = _merge_model(rows)
+    assert _merge_spark(spark, rows) == want
+    assert _merge_spark(spark, list(reversed(rows))) == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows_strategy)
+def test_union_group_equals_full_outer_join(spark, rows):
+    """The two A3 formulations agree (SURVEY §5.2 property 4)."""
+    df = spark.createDataFrame(rows, "site int, code string, mid int")
+    flow = df.filter(F.col("code") == "00065").groupBy("site") \
+        .agg(F.min("mid").alias("flow"))
+    gage = df.filter(F.col("code") == "00060").groupBy("site") \
+        .agg(F.min("mid").alias("gage"))
+    joined = flow.join(gage, "site", "full_outer") \
+        .filter(F.col("flow").isNotNull() & F.col("gage").isNotNull())
+    got_join = {r.site: (r.flow, r.gage) for r in joined.collect()}
+    assert got_join == _merge_spark(spark, rows)

@@ -1,0 +1,90 @@
+"""Golden-output pipeline test (SURVEY.md §5.2 item 3): a checked-in
+miniature USGS JSON response → the full 5-stage pipeline → compare the
+final FeatureCollection against a golden file. This behaviorally pins
+the semantic decisions N1-N5:
+
+- fixture site A: both codes → exported
+- site B: one code only → dropped (N5 inner semantics)
+- site C: parameter 00010 → dropped by both filters (F1/F2)
+- site D: both codes but one with an EMPTY measurement array → that
+  row's variables=[null] (N4) → site has one effective code → dropped
+- site E: '' measurement value → 'undefined' (falsy-coalesce, P4);
+  missing unit → 'undefined' at the feature stage
+
+Also covers the ingest sources: batch spark.read.json path and the
+Spark 4 Python Data Source (partition-per-state, file:// URLs so the
+executor-side fetch runs offline).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from map_reduce_mongodb_spark.pipeline.usgs import (
+    export_features,
+    feature_collection,
+    geojson_features,
+    merge_sites,
+)
+from map_reduce_mongodb_spark.sources.usgs import (
+    USGSDataSource,
+    build_usgs_url,
+    read_usgs_json,
+)
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _pipeline_fc(usgs_rows):
+    out = export_features(merge_sites(geojson_features(usgs_rows).persist()))
+    return feature_collection(out.orderBy(F.col("properties.siteCode")))
+
+
+def test_explode_and_schema(spark):
+    usgs = read_usgs_json(spark, str(FIXTURES / "usgs_s*.json"))
+    assert usgs.count() == 8  # 4 timeSeries elements per state file
+    assert usgs.columns[0] == "_id"
+    # missing unit in fixture E:00060 → NULL, not error (PERMISSIVE)
+    e = usgs.filter(F.col("_id") == "USGS:E:00060").collect()[0]
+    assert e.variable.unit.unitAbbreviation is None
+
+
+def test_golden_feature_collection(spark):
+    usgs = read_usgs_json(spark, str(FIXTURES / "usgs_s*.json"))
+    got = json.loads(_pipeline_fc(usgs).toJSON().collect()[0])
+    want = json.loads(
+        (FIXTURES / "usgs_golden_feature_collection.json").read_text())
+    assert got == want
+    # the semantic pins, asserted explicitly so regressions name them:
+    sites = [f["properties"]["siteCode"] for f in got["data"]]
+    assert sites == ["A0001", "E0005"]          # B, C, D dropped
+    e = got["data"][1]["properties"]
+    assert e["streamFlow"]["value"] == "undefined"  # falsy-coalesce
+
+
+def test_python_datasource_partition_per_state(spark, tmp_path):
+    """The usgs Data Source end-to-end with file:// URLs: one partition
+    per 'state', executor-side fetch, same rows as the batch reader."""
+    assert USGSDataSource is not None
+    template = f"file://{FIXTURES}/usgs_{{state}}.json"
+    assert build_usgs_url("s1", template).endswith("usgs_s1.json")
+    spark.dataSource.register(USGSDataSource)
+    df = (spark.read.format("usgs")
+          .option("states", "s1,s2")
+          .option("url_template", template)
+          .load())
+    assert df.rdd.getNumPartitions() == 2   # one per state
+    rows = df.select("name").collect()
+    assert len(rows) == 8
+    batch = read_usgs_json(spark, str(FIXTURES / "usgs_s*.json"))
+    assert sorted(r.name for r in rows) == \
+        sorted(r.name for r in batch.select("name").collect())
+    # and the pipeline runs identically on datasource rows
+    ds_rows = df.select(F.col("name").alias("_id"), "*")
+    got = json.loads(_pipeline_fc(ds_rows).toJSON().collect()[0])
+    want = json.loads(
+        (FIXTURES / "usgs_golden_feature_collection.json").read_text())
+    assert got == want
