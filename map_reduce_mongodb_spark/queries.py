@@ -1026,3 +1026,59 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
         .alias("cov_qty_price"),
     )
+
+
+# =====================================================================
+# SQL surface + grouping sets (the "no SQL layer" gap, SURVEY §2.9)
+# =====================================================================
+
+@query("sql_surface_cte_exists", oracle="""
+WITH big_orders AS (
+  SELECT o_custkey, o_totalprice, o_orderdate
+  FROM orders WHERE o_totalprice > 200000
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       count(*) AS n_big,
+       round(max(b.o_totalprice), 2) AS biggest
+FROM customer c JOIN big_orders b ON b.o_custkey = c.c_custkey
+WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey
+                AND n.n_regionkey <> 0)
+GROUP BY c.c_custkey, c.c_mktsegment
+""")
+def q_sql_surface_cte_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-parser surface (ABSENT in the reference — MongoDB
+    mapReduce has no query language): register the catalog as temp
+    views and run ANSI SQL with a CTE + correlated EXISTS through
+    spark.sql. Catalyst decorrelates the subquery into a semi join."""
+    from map_reduce_mongodb_spark.io import load_tables
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql("""
+        WITH big_orders AS (
+          SELECT o_custkey, o_totalprice, o_orderdate
+          FROM orders WHERE o_totalprice > 200000
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               count(*) AS n_big,
+               round(max(b.o_totalprice), 2) AS biggest
+        FROM customer c JOIN big_orders b ON b.o_custkey = c.c_custkey
+        WHERE EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey
+                        AND n.n_regionkey <> 0)
+        GROUP BY c.c_custkey, c.c_mktsegment
+    """)
+
+
+@query("cube_agg", oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets lattice via CUBE (rollup's sibling)."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
