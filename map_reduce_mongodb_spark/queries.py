@@ -1082,3 +1082,166 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+# =====================================================================
+# Relational depth — TPC-H-shaped composites
+# =====================================================================
+
+@query("q3_shipping_priority", oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join chain →
+    agg → top-k with full deterministic tie-break."""
+    c = table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query("q16_supplier_variety", oracle="""
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (5, 15, 25, 45)
+GROUP BY p_brand, p_type
+""")
+def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation after a broadcast
+    join (count-distinct expands to a two-phase aggregate)."""
+    part = table(spark, "part", sf_dir).filter(
+        F.col("p_size").isin(5, 15, 25, 45))
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query("q17_small_quantity", oracle="""
+SELECT round(sum(l_extendedprice), 2) AS total_small_qty_price,
+       count(*) AS n
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.pk
+WHERE l.l_quantity < a.half_avg
+""")
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + self-join."""
+    li = table(spark, "lineitem", sf_dir)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice"), 2)
+             .alias("total_small_qty_price"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("q18_large_orders", oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+       round(qty, 2) AS qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150) big
+  ON o_orderkey = big.l_orderkey
+""")
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, joined back to the
+    fact header."""
+    li = table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    orders = table(spark, "orders", sf_dir)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("total"),
+                F.round("qty", 2).alias("qty"))
+    )
+
+
+@query("salted_agg_skew", oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+       round(avg(value), 4) AS mean
+FROM events
+GROUP BY event_type
+""")
+def q_salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over a low-cardinality (5-value →
+    5-task) group key: phase 1 aggregates (key, salt) partials across
+    salts*|keys| tasks, phase 2 merges partials per key. Result is
+    identical to the plain groupBy (the oracle); the shape is the
+    standard cure for hot-key skew when AQE's skew handling isn't
+    enough (e.g. streaming state, or a single pathological key)."""
+    from map_reduce_mongodb_spark.operators.skew import salted_aggregate
+    ev = table(spark, "events", sf_dir)
+    return salted_aggregate(
+        ev, key="event_type", salts=8,
+        partial_aggs=lambda: [
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("value").alias("_sum"),
+        ],
+        final_aggs=lambda: [
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_sum"), 2).alias("total"),
+            F.round(F.sum("_sum") / F.sum("_n"), 4).alias("mean"),
+        ],
+    )
+
+
+@query("stateful_user_profiles", oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""")
+def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful operator, EXECUTED AS
+    A STREAM (AvailableNow over the events parquet → memory sink) and
+    compared against the plain batch aggregation oracle — the driver
+    check itself exercises Structured Streaming state management."""
+    from map_reduce_mongodb_spark.streaming.stateful import (
+        user_profiles_stateful)
+    from map_reduce_mongodb_spark.streaming.windows import (
+        run_to_memory_sink)
+    raw = (spark.readStream
+           .schema("event_id long, ts long, user_id long, event_type string,"
+                   " value double, props string")
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    run_to_memory_sink(user_profiles_stateful(stream),
+                       "stateful_user_profiles_sink", output_mode="update")
+    return spark.table("stateful_user_profiles_sink")

@@ -41,6 +41,9 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Keep the UI off in tests/bench: saves startup time and ports.
     "spark.ui.enabled": "false",
+    # Metastore artifacts (bucketed-table demos) stay out of the repo.
+    "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
+    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState`` —
+the escape hatch for semantics Spark's built-in windowed aggregations
+can't express (task spec: "applyInPandasWithState for custom stateful
+operators").
+
+Example operator: per-user RUNNING PROFILE — total events, total value,
+and the first-seen/last-seen event times, maintained incrementally
+across micro-batches. State is a single row per user (bounded by
+|users|, not |events|); emitted in "update" mode whenever the user's
+profile changes.
+
+The same logic doubles as a batch function (one "micro-batch" of
+everything) — tests assert stream≡batch equivalence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PROFILE_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("first_ts", TimestampType()),
+    StructField("last_ts", TimestampType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("first_ts", TimestampType()),
+    StructField("last_ts", TimestampType()),
+])
+
+
+def _update_profile(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, first_ts, last_ts = state.get
+    else:
+        n, total, first_ts, last_ts = 0, 0.0, None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        first_ts = lo if first_ts is None else min(first_ts, lo)
+        last_ts = hi if last_ts is None else max(last_ts, hi)
+    state.update((n, total, first_ts, last_ts))
+    yield pd.DataFrame({
+        "user_id": [user_id], "n_events": [n],
+        "total_value": [round(total, 2)],
+        "first_ts": [first_ts], "last_ts": [last_ts],
+    })
+
+
+def user_profiles_stateful(events: DataFrame) -> DataFrame:
+    """Apply the running-profile operator. Works on a streaming OR batch
+    DataFrame with columns (user_id, ts, value)."""
+    grouped = events.select("user_id", "ts", "value").groupBy("user_id")
+    if events.isStreaming:
+        return grouped.applyInPandasWithState(
+            _update_profile, PROFILE_SCHEMA, _STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    # Batch twin: same semantics in one pass (reference model for tests)
+    from pyspark.sql import functions as F
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -45,3 +45,18 @@ def test_stream_batch_equivalence_sessions(spark, events_stream_dir):
     run_to_memory_sink(stream_df, "session_test")
     streamed = spark.table("session_test").collect()
     assert _canon(batch) == _canon(streamed)
+
+
+def test_stateful_user_profiles_stream_equals_batch(spark, events_stream_dir):
+    """applyInPandasWithState running profile == batch aggregation.
+    Caveat: streamed totals accumulate in pandas sum order; compare
+    rounded values."""
+    from map_reduce_mongodb_spark.streaming.stateful import (
+        user_profiles_stateful)
+
+    batch = user_profiles_stateful(table(spark, "events", SF_DIR))
+    stream_df = user_profiles_stateful(
+        read_events_stream(spark, events_stream_dir))
+    run_to_memory_sink(stream_df, "profiles_test", output_mode="update")
+    streamed = spark.table("profiles_test")
+    assert _canon(batch.collect()) == _canon(streamed.collect())
