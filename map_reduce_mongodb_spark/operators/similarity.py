@@ -58,6 +58,30 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
     )
 
 
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact): all (id_a < id_b) pairs
+    with cosine ≥ threshold. Norms are computed once per row before the
+    pair expansion. O(n²) by nature — the exact baseline; at corpus
+    scale run the sign-LSH bucketing (``ann_lsh_topk``'s candidate
+    machinery) and verify only cohabitant pairs, exactly as
+    MinHash-LSH verifies against exact Jaccard."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("va"),
+                          norm_sq_unrolled(vec_col, dim).alias("na"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vb"),
+                          norm_sq_unrolled(vec_col, dim).alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot_unrolled("va", "vb", dim) / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (public numpy RNG, fixed seed)."""
     rng = np.random.RandomState(seed)

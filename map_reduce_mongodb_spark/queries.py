@@ -1245,3 +1245,60 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory_sink(user_profiles_stateful(stream),
                        "stateful_user_profiles_sink", output_mode="update")
     return spark.table("stateful_user_profiles_sink")
+
+
+def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import (
+        dot_unrolled_sql, norm_sq_unrolled_sql)
+    dot = dot_unrolled_sql("a.embedding", "b.embedding", dim)
+    na = norm_sq_unrolled_sql("a.embedding", dim)
+    nb = norm_sq_unrolled_sql("b.embedding", dim)
+    return f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(({dot}) / sqrt(({na}) * ({nb})), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cosine >= {threshold}
+"""
+
+
+@query("embedding_dup_pairs", oracle=_embedding_dup_oracle())
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the dedup family's vector
+    member): exact all-pairs at small scale, bit-identical to the
+    oracle; LSH-bucketed at corpus scale (see operators/similarity.py)."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        embedding_dup_pairs)
+    return embedding_dup_pairs(table(spark, "embeddings", sf_dir),
+                               threshold=0.4)
+
+
+@query("string_functions", oracle="""
+SELECT c_custkey,
+       levenshtein(c_name, 'Customer#000000001') AS lev_to_first,
+       reverse(c_name) AS name_rev,
+       translate(c_name, '#0', '_x') AS name_tr,
+       left(c_name, 8) AS name_l8,
+       right(c_name, 6) AS name_r6,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+       split_part(c_name, '#', 2) AS name_num,
+       replace(c_name, 'Customer', 'Cust') AS name_short,
+       instr(c_name, '#') AS hash_pos
+FROM customer
+""")
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function library sweep (edit distance, slicing, padding,
+    translation) — all JVM built-ins with exact DuckDB twins."""
+    c = table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("lev_to_first"),
+        F.reverse("c_name").alias("name_rev"),
+        F.translate("c_name", "#0", "_x").alias("name_tr"),
+        F.substring("c_name", 1, 8).alias("name_l8"),
+        F.expr("right(c_name, 6)").alias("name_r6"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.instr("c_name", "#").alias("hash_pos"),
+    )

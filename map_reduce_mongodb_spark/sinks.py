@@ -38,15 +38,20 @@ def write_stage(df: DataFrame, path: str) -> DataFrame:
 
 def foreach_batch(stream_df: DataFrame,
                   fn: Callable[[DataFrame, int], None],
-                  checkpoint: str, query_name: str = "sink"):
+                  checkpoint: str, query_name: str = "sink",
+                  available_now: bool = False):
     """S3: per-micro-batch callback sink (exactly-once per epoch given
-    an idempotent fn). Returns the StreamingQuery handle."""
-    return (
+    an idempotent fn). Returns the StreamingQuery handle.
+    ``available_now=True`` processes current input then terminates
+    (backfills / tests); default runs continuously."""
+    w = (
         stream_df.writeStream.foreachBatch(fn)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
-        .start()
     )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def export_feature_collection_json(fc_df: DataFrame, path: str) -> None:

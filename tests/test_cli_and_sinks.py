@@ -21,3 +21,28 @@ def test_cli_waterfall(spark, tmp_path):
     assert len(doc["data"]) == 15
     sites = [f["properties"]["siteCode"] for f in doc["data"]]
     assert sites == sorted(sites)
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """S3 stream→sink adapter: per-micro-batch callback writing parquet
+    (the reference's streamMapper → createRecords chain)."""
+    import shutil
+    from map_reduce_mongodb_spark.sinks import foreach_batch
+    from map_reduce_mongodb_spark.streaming.windows import read_events_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "sunk")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = foreach_batch(
+        read_events_stream(spark, str(src)).filter("event_type = 'click'"),
+        write_batch, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination()
+    got = spark.read.parquet(out).count()
+    from map_reduce_mongodb_spark.io import table as t
+    assert got == t(spark, "events", SF_DIR).filter(
+        "event_type = 'click'").count()
