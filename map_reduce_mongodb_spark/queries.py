@@ -248,14 +248,17 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("anti_join", oracle="""
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000)
 """)
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no big-ticket order
+    (the predicate keeps the result non-trivial at every sf)."""
     customer = table(spark, "customer", sf_dir)
-    orders = table(spark, "orders", sf_dir)
+    big = table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 350000)
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -1250,14 +1253,18 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     from map_reduce_mongodb_spark.functions.vectors import (
         dot_unrolled_sql, norm_sq_unrolled_sql)
-    dot = dot_unrolled_sql("a.embedding", "b.embedding", dim)
-    na = norm_sq_unrolled_sql("a.embedding", dim)
-    nb = norm_sq_unrolled_sql("b.embedding", dim)
+    nsq = norm_sq_unrolled_sql("embedding", dim)
+    dot = dot_unrolled_sql("a.vn", "b.vn", dim)
     return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / sqrt({nsq})) AS vn
+  FROM embeddings)
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(({dot}) / sqrt(({na}) * ({nb})), 6) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         round({dot}, 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
 WHERE cosine >= {threshold}
 """
 
@@ -1301,4 +1308,32 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
         F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
         F.instr("c_name", "#").alias("hash_pos"),
+    )
+
+
+@query("array_functions", oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       list_max(embedding) AS max_component,
+       list_min(embedding) AS min_component,
+       round(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 3) AS sq_sum
+FROM embeddings
+""")
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function sweep over the embedding column
+    (filter / transform / aggregate / min / max lambdas)."""
+    emb = table(spark, "embeddings", sf_dir)
+    sq_sum = F.aggregate(
+        F.transform("embedding",
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.array_max("embedding").alias("max_component"),
+        F.array_min("embedding").alias("min_component"),
+        F.round(sq_sum, 3).alias("sq_sum"),
     )
