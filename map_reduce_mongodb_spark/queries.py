@@ -1337,3 +1337,97 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").alias("min_component"),
         F.round(sq_sum, 3).alias("sq_sum"),
     )
+
+
+@query("date_functions", oracle="""
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       datediff('day', DATE '1992-01-01', o_orderdate) AS days_since_epoch,
+       dayofweek(o_orderdate) AS dow0,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+""")
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function sweep. Engine alignment notes: Spark
+    dayofweek is 1-based Sunday, DuckDB 0-based (−1 here); DuckDB
+    date_trunc returns DATE (cast to TIMESTAMP there)."""
+    o = table(spark, "orders", sf_dir)
+    return o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .alias("days_since_epoch"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow0"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+    )
+
+
+@query("pivot_priority_status", oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-class DataFrame pivot API (groupBy().pivot() with
+    explicit values — no extra value-discovery pass) — A2's manual
+    conditional pivot as the engine feature."""
+    o = table(spark, "orders", sf_dir)
+    out = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .agg(F.count(F.lit(1))))
+    # pivot leaves NULL for empty cells; the FILTER oracle yields 0
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("O", "F", "P")])
+
+
+@query("posexplode_components", oracle="""
+SELECT vec_id, i AS pos, embedding[i] AS comp
+FROM embeddings, UNNEST(generate_series(1, 5)) AS t(i)
+""")
+def q_posexplode_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UDTF family): first 5 embedding components
+    with their 1-based position."""
+    emb = table(spark, "embeddings", sf_dir)
+    return (
+        emb.select("vec_id", F.posexplode(F.slice("embedding", 1, 5)))
+        .select("vec_id", (F.col("pos") + 1).alias("pos"),
+                F.col("col").alias("comp"))
+    )
+
+
+@query("null_semantics", oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+       count(*) FILTER (WHERE nullif(o_orderpriority, '1-URGENT')
+                        IS NOT DISTINCT FROM NULL) AS n_urgent_nullsafe,
+       coalesce(max(nullif(o_orderpriority, '5-LOW')), 'ALL-LOW') AS top_prio
+FROM orders
+GROUP BY o_orderstatus
+""")
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics: nullif, null-skipping count, null-safe
+    equality (<=> / IS NOT DISTINCT FROM), coalesce fallback."""
+    o = table(spark, "orders", sf_dir)
+    not_urgent = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(not_urgent).alias("n_not_urgent"),
+        F.count(F.when(not_urgent.eqNullSafe(F.lit(None)), 1))
+        .alias("n_urgent_nullsafe"),
+        F.coalesce(F.max(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))),
+                   F.lit("ALL-LOW")).alias("top_prio"),
+    )
