@@ -1245,8 +1245,17 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
     stream = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    run_to_memory_sink(user_profiles_stateful(stream),
-                       "stateful_user_profiles_sink", output_mode="update")
+    # One state store per shuffle partition: a bare session's default of
+    # 200 partitions means 200 stores for ~150 keys. Pin a sane number
+    # for the bounded run, restore after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory_sink(user_profiles_stateful(stream),
+                           "stateful_user_profiles_sink",
+                           output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stateful_user_profiles_sink")
 
 
