@@ -878,7 +878,7 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        count(*) AS n,
-       sum(length(text)) AS total_bytes,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
        min(length(text)) AS min_bytes,
        max(length(text)) AS max_bytes
 FROM documents

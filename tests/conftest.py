@@ -44,9 +44,14 @@ def _canon_value(v):
         return None  # pandas renders SQL NULL in numeric cols as NaN
     if isinstance(v, bool):
         return bool(v)
-    if isinstance(v, (int, float)):
-        f = float(v)
-        return None if math.isnan(f) else repr(f)
+    if isinstance(v, int):
+        # Keep ints distinct from floats: the driver's value hash is
+        # dtype-sensitive (a DuckDB HUGEINT fetched as float64 must NOT
+        # silently equal a Spark bigint), and repr(float()) loses
+        # precision above 2^53.
+        return repr(v)
+    if isinstance(v, float):
+        return None if math.isnan(v) else repr(v)
     if hasattr(v, "isoformat"):  # datetime / pandas.Timestamp
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
