@@ -21,6 +21,7 @@ folded — see functions/vectors.py for the bit-exactness rationale).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from map_reduce_mongodb_spark.functions.vectors import (
@@ -58,21 +59,17 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
     )
 
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
-                        dim: int = 64, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact): all (id_a < id_b) pairs
-    with cosine ≥ threshold. Norms are computed once per row before the
-    pair expansion. O(n²) by nature — the exact baseline; at corpus
-    scale run the sign-LSH bucketing (``ann_lsh_topk``'s candidate
-    machinery) and verify only cohabitant pairs, exactly as
-    MinHash-LSH verifies against exact Jaccard."""
-    # Per-row prep BEFORE the O(n²) expansion: L2-normalize each vector
-    # once (cosine then = plain dot, a third of the per-pair element
-    # accesses), persist both sides, and repartition BOTH — the nested-
-    # loop join's parallelism is its streamed side's partition count,
-    # and a single-file corpus is one partition (measured 5× from this
-    # alone at sf0.1).
+def embedding_dup_pairs_exact(embeddings: DataFrame, threshold: float,
+                              dim: int = 64, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline:
+    every (id_a < id_b) pair with cosine ≥ threshold. O(n²) pairwise
+    expression evaluation — kept as the recall oracle for tests and
+    small corpora only; the registered query path is
+    :func:`embedding_dup_pairs` (blocked-GEMM candidates + exact
+    verify). Per-row prep (L2-normalize once) happens before the pair
+    expansion; both sides are repartitioned because a nested-loop
+    join's parallelism is its streamed side's partition count."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
 
     def normed(idname, vname):
@@ -82,11 +79,228 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
         return base.select(
             idname,
             F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
-            .alias(vname)).repartition(par).persist()
+            .alias(vname)).repartition(par)
 
     a = normed("id_a", "va")
     b = normed("id_b", "vb")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine",
+                         F.round(dot_unrolled("va", "vb", dim), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_bucket_arrays(dim: int, n_planes: int, n_tables: int,
+                      seed: int = 42):
+    """Vectorized sign-LSH bucketer: an Arrow pandas_udf mapping an
+    ``array<float>`` column to the vector's bucket id in each of
+    ``n_tables`` independent tables (``array<int>``, one entry per
+    table).
+
+    Why a pandas_udf and not unrolled JVM expressions: bucket
+    assignment needs n_tables × n_planes plane-dots; unrolled that is a
+    (n_tables·n_planes·dim)-term projection, which blows up both plan
+    construction (seconds of driver time) and codegen (method-too-large
+    fallback to interpreted eval — the same trap that made the r1
+    all-pairs BNLJ 60s). One numpy matmul per Arrow batch does the same
+    work in microseconds. Sign bits are scale-invariant, so vectors are
+    NOT normalized first. Exactness does not depend on this UDF: it
+    only proposes candidates; the verify step recomputes exact cosine
+    JVM-side."""
+    planes = np.vstack([_hyperplanes(dim, n_planes, seed + t)
+                        for t in range(n_tables)])  # (T·b, dim)
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)      # (batch, dim)
+        bits = (m @ planes.T) > 0                        # (batch, T·b)
+        ids = bits.reshape(len(m), n_tables, n_planes) @ pows
+        return pd.Series(list(ids.astype(np.int32)))
+
+    return buckets
+
+
+def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float,
+                            dim: int = 64, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_planes: int = 8, n_tables: int = 8,
+                            seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH bucket candidates +
+    exact verification — the HIGH-threshold scale path.
+
+    Plan shape (no nested loop anywhere):
+      1. bucket ids per vector per table (Arrow-vectorized matmul) —
+         O(n) narrow rows (id, tbl, bucket) after posexplode;
+      2. candidates = bucket cohabitants via an EQUALITY self-join on
+         (tbl, bucket), deduped on (id_a, id_b) before any vector
+         bytes move;
+      3. verify = re-join the two vectors by id and keep pairs whose
+         exact cosine (same left-associated JVM arithmetic as the
+         all-pairs baseline, bit-identical to the SQL oracle) clears
+         the threshold.
+
+    Recall is governed by (n_planes, n_tables) against the threshold:
+    P[pair with cosine c shares a bucket in ≥1 table] =
+    1 - (1 - (1 - arccos(c)/π)^n_planes)^n_tables. At real dedup
+    thresholds (c ≥ 0.8: collision prob ≥ 0.35/table at b=8 → ≥ 0.97
+    across 8 tables) this prunes hard while keeping near-dups.
+    Measured honesty note: at a LOW threshold (the registered query
+    uses 0.4) on isotropic data, 100% recall forces wide buckets
+    (b=2, T≥16), and the candidate set becomes ~95% of all pairs —
+    LSH buys no asymptotic pruning there. That regime is served by
+    :func:`embedding_dup_pairs` (blocked-GEMM filter) instead; this
+    operator is the right tool once the threshold is high enough for
+    buckets to discriminate. Tested against the exact baseline on
+    planted near-dup fixtures in tests/test_similarity.py."""
+    buckets = lsh_bucket_arrays(dim, n_planes, n_tables, seed)
+    bk = embeddings.select(
+        F.col(id_col).alias("id"), buckets(vec_col).alias("bks"),
+    ).select("id", F.posexplode("bks").alias("tbl", "bucket"))
+    cand = (
+        bk.select(F.col("id").alias("id_a"), "tbl", "bucket")
+        .join(bk.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+              ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vn = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        F.sqrt(norm_sq_unrolled(vec_col, dim)).alias("_n"),
+    ).select(
+        "id",
+        F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
+        .alias("vn"))
+    pairs = (
+        cand
+        .join(vn.select(F.col("id").alias("id_a"), F.col("vn").alias("va")),
+              "id_a")
+        .join(vn.select(F.col("id").alias("id_b"), F.col("vn").alias("vb")),
+              "id_b")
+    )
+    return (
+        pairs.withColumn("cosine",
+                         F.round(dot_unrolled("va", "vb", dim), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        block_size: int = 4096,
+                        margin: float = 1e-4) -> DataFrame:
+    """Embedding-cosine near-dup pairs, registered scale path:
+    distributed blocked-GEMM candidate filter + exact JVM verification.
+
+    Why not LSH here: the registered query's threshold (0.4) sits in
+    the bulk of the isotropic cosine distribution, where sign-LSH
+    buckets wide enough for 100% recall retain ~all pairs (measured:
+    b=2, T=20 keeps 99.7% — all the overhead, none of the pruning).
+    Exact low-threshold all-pairs is fundamentally a dense n×n score
+    computation, so compute it the way hardware wants: as a blocked
+    matrix product (BLAS), not as n² codegen'd 64-term expressions
+    (the r1 all-pairs BNLJ burned 62s at sf0.1; this runs the same
+    scores in milliseconds of matmul).
+
+    Plan shape — the standard 2-D distributed GEMM decomposition:
+      1. pack: hash rows into ⌈n/block_size⌉ blocks, collect each
+         block's (ids, vectors) into ONE row (groupBy + collect_list —
+         a single narrow shuffle of the corpus);
+      2. block pairs: self-join blocks on blk_a <= blk_b — B(B+1)/2
+         tasks, each holding two blocks;
+      3. score: per task, one numpy float64 matmul of the L2-normalized
+         blocks; emit only (id_a, id_b) index pairs whose approximate
+         cosine ≥ threshold - margin (margin ≫ the ~1e-15 summation-
+         order divergence between BLAS and the JVM's left-associated
+         fold, so no true pair is lost);
+      4. verify: join the two vectors back by id and keep pairs whose
+         EXACT cosine (same unrolled JVM arithmetic as the all-pairs
+         baseline, bit-identical to the SQL oracle) clears the real
+         threshold. Candidates ≈ final answer + a margin sliver, so
+         this join is broadcast-tiny.
+
+    Scale accounting at 100 TB: communication is O(n·B) rows (each
+    block shipped to B partner tasks) — the classic GEMM replication
+    cost, vastly below O(n²) pair materialization; flops spread over
+    B(B+1)/2 independent tasks; per-task memory is 2 blocks + a
+    block_size² score tile (float64: 4096² = 128 MiB — tune
+    block_size to the executor). Equality-join LSH
+    (:func:`embedding_dup_pairs_lsh`) remains the better tool when the
+    threshold is high enough for buckets to discriminate."""
+    n = embeddings.count()
+    n_blocks = max(1, -(-n // block_size))
+    src = embeddings.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v"),
+                            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
+                            .alias("blk"))
+    packed = (
+        src.groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        .select("blk",
+                F.expr("transform(rows, r -> r.id)").alias("ids"),
+                F.expr("transform(rows, r -> r.v)").alias("vecs"))
+    )
+    bp = (
+        packed.select(F.col("blk").alias("blk_a"),
+                      F.col("ids").alias("ids_a"),
+                      F.col("vecs").alias("vecs_a"))
+        .join(packed.select(F.col("blk").alias("blk_b"),
+                            F.col("ids").alias("ids_b"),
+                            F.col("vecs").alias("vecs_b")),
+              F.col("blk_a") <= F.col("blk_b"))
+        # one heavy task per block pair, not per input partition
+        .repartition(n_blocks * (n_blocks + 1) // 2, "blk_a", "blk_b")
+    )
+    cut = threshold - margin
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ra, va, rb, vb, same in zip(
+                    pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"],
+                    pdf["vecs_b"], pdf["blk_a"] == pdf["blk_b"]):
+                ids_a = np.asarray(ra, dtype=np.int64)
+                ids_b = np.asarray(rb, dtype=np.int64)
+                ma = np.array([np.asarray(x, dtype=np.float64) for x in va])
+                mb = np.array([np.asarray(x, dtype=np.float64) for x in vb])
+                na = np.linalg.norm(ma, axis=1, keepdims=True)
+                nb = np.linalg.norm(mb, axis=1, keepdims=True)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                s = (ma / na) @ (mb / nb).T
+                ia, ib = np.nonzero(s >= cut)
+                if same:  # each unordered pair once, no diagonal
+                    keep = ia < ib
+                    ia, ib = ia[keep], ib[keep]
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                out_a.append(lo)
+                out_b.append(hi)
+            if out_a:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b)})
+
+    cand = bp.mapInPandas(score, "id_a long, id_b long")
+    vn = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        F.sqrt(norm_sq_unrolled(vec_col, dim)).alias("_n"),
+    ).select(
+        "id",
+        F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
+        .alias("vn"))
+    pairs = (
+        cand
+        .join(vn.select(F.col("id").alias("id_a"), F.col("vn").alias("va")),
+              "id_a")
+        .join(vn.select(F.col("id").alias("id_b"), F.col("vn").alias("vb")),
+              "id_b")
+    )
     return (
         pairs.withColumn("cosine",
                          F.round(dot_unrolled("va", "vb", dim), 6))

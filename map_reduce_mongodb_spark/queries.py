@@ -1281,8 +1281,13 @@ WHERE cosine >= {threshold}
 @query("embedding_dup_pairs", oracle=_embedding_dup_oracle())
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup family's vector
-    member): exact all-pairs at small scale, bit-identical to the
-    oracle; LSH-bucketed at corpus scale (see operators/similarity.py)."""
+    member), scale path: distributed blocked-GEMM candidate filter
+    (one BLAS matmul per block pair, margin-widened threshold) + exact
+    JVM-side cosine verification, bit-identical to the exact all-pairs
+    oracle — the margin (1e-4) dwarfs BLAS-vs-JVM summation-order
+    divergence (~1e-15), so no qualifying pair can be missed. See
+    operators/similarity.py:embedding_dup_pairs for the scale
+    accounting and why sign-LSH is the wrong tool at threshold 0.4."""
     from map_reduce_mongodb_spark.operators.similarity import (
         embedding_dup_pairs)
     return embedding_dup_pairs(table(spark, "embeddings", sf_dir),

@@ -7,10 +7,52 @@ from map_reduce_mongodb_spark.io import table
 from map_reduce_mongodb_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk_bruteforce,
+    embedding_dup_pairs,
+    embedding_dup_pairs_exact,
+    embedding_dup_pairs_lsh,
 )
 from tests.conftest import SF_DIR
 
 QUERY_IDS = list(range(10))
+
+
+def test_gemm_dup_pairs_match_exact_multiblock(spark):
+    """The blocked-GEMM scale path must reproduce the exact all-pairs
+    baseline bit-for-bit. block_size=64 forces ~8 blocks so the
+    same-block triangle, cross-block, and min/max id-ordering paths
+    all execute (at the default 4096 the fixture would be one block)."""
+    emb = table(spark, "embeddings", SF_DIR)
+    exact = sorted(map(tuple,
+                       embedding_dup_pairs_exact(emb, 0.4).collect()))
+    gemm = sorted(map(tuple,
+                      embedding_dup_pairs(emb, 0.4, block_size=64)
+                      .collect()))
+    assert exact == gemm and len(exact) > 0
+
+
+def test_lsh_dup_pairs_find_planted_near_dups(spark):
+    """sign-LSH dup-pairs is the high-threshold path: at θ=0.9 with
+    b=8/T=8 it must recover every planted near-duplicate (cosine ≈
+    0.998) while pruning the isotropic bulk, and every surviving pair
+    must match the exact baseline (the verify step guarantees no false
+    positives; this pins no false negatives on the planted set)."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((100, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        if i < 30:  # plant a near-copy of the first 30
+            near = v + 0.05 * rng.standard_normal(64)
+            rows.append((i + 1000, [float(x) for x in near], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    exact = sorted(map(tuple,
+                       embedding_dup_pairs_exact(emb, 0.9).collect()))
+    lsh = sorted(map(tuple,
+                     embedding_dup_pairs_lsh(emb, 0.9).collect()))
+    assert len(exact) >= 30  # all plants qualify
+    assert lsh == exact
 
 
 def test_bruteforce_shape_and_selfexclusion(spark):
