@@ -245,24 +245,46 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
     = md5 of the band's concatenated signature slice. Everything —
     signatures, banding, candidate generation, Jaccard verification —
     is reproducible in DuckDB, so unlike the murmur3 variant this LSH
-    pipeline is fully oracle-checked end-to-end. ~2-3x the hash cost of
-    murmur3; same plan shape and identical banding math."""
+    pipeline is fully oracle-checked end-to-end. Same plan shape and
+    identical banding math as the murmur3 twin.
+
+    Hash-lane economy: md5 yields 128 bits, and a MinHash lane only
+    needs 32, so each md5 call funds FOUR hash functions —
+    sig[4i+j] = min over shingles of hex digits [8j+1, 8j+8) of
+    md5(shingle + '#' + i). 16 hash functions therefore cost 4 md5
+    calls per shingle, not 16 (measured ~4x on the md5-dominated
+    signature stage). The per-shingle digests are materialized as
+    their own projection before the 4 lane-min folds reference them —
+    same anti-inlining split as minhash_signatures (re-deriving the
+    digest array per lane re-runs md5 per reference)."""
     rows_per_band = num_hashes // bands
+    assert num_hashes % 4 == 0, "md5 lanes come in fours"
     base = (
         df.select(F.col(id_col),
                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .persist()
     )
-    sig_cols = [
-        F.array_min(F.transform(
-            F.col("sh"),
-            lambda g, i=i: F.substring(
-                F.md5(F.concat(g, F.lit(f"#{i}"))), 1, 8)))
-        .alias(f"s{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = base.select(F.col(id_col), *sig_cols).persist()
+    # NB: the transform lambdas MUST be unary. A two-parameter lambda
+    # (e.g. `lambda g, i=i: ...`) is treated by PySpark as the
+    # (element, index) form and the array INDEX silently overrides the
+    # default — the closure factories below bind the loop variable
+    # without adding a parameter.
+    def _digest(i: int):
+        suffix = F.lit(f"#{i}")
+        return F.transform(F.col("sh"),
+                           lambda g: F.md5(F.concat(g, suffix)))
+
+    def _lane(i: int, j: int):
+        pos = 8 * j + 1
+        return F.array_min(F.transform(F.col(f"m{i}"),
+                                       lambda h: F.substring(h, pos, 8)))
+
+    hashed = base.select(F.col(id_col), *[
+        _digest(i).alias(f"m{i}") for i in range(num_hashes // 4)])
+    sigs = hashed.select(F.col(id_col), *[
+        _lane(i, j).alias(f"s{4 * i + j}")
+        for i in range(num_hashes // 4) for j in range(4)]).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -1450,9 +1450,16 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_md5_oracle(threshold: float = 0.7, num_hashes: int = 16,
                         bands: int = 4, shingle_n: int = 3) -> str:
     r = num_hashes // bands
+    # 4 lanes per md5 digest, mirroring the Spark side:
+    # s[4i+j] = min over shingles of md5(g || '#i') hex digits
+    # [8j+1, 8j+8]. DuckDB computes each digest list once in `dig`.
+    dig_exprs = ",\n         ".join(
+        f"list_transform(s, g -> md5(g || '#{i}')) AS m{i}"
+        for i in range(num_hashes // 4))
     sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(s, g -> substr(md5(g || '#{i}'), 1, 8)))"
-        f" AS s{i}" for i in range(num_hashes))
+        f"list_min(list_transform(m{i}, h -> substr(h, {8 * j + 1}, 8)))"
+        f" AS s{4 * i + j}"
+        for i in range(num_hashes // 4) for j in range(4))
     band_selects = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band, "
         f"md5({' || '.join(f's{b * r + j}' for j in range(r))}) AS bucket "
@@ -1467,10 +1474,14 @@ WITH base AS (
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         FROM documents)
   WHERE len(w) >= {shingle_n}),
+dig AS (
+  SELECT doc_id,
+         {dig_exprs}
+  FROM base),
 sig AS (
   SELECT doc_id,
          {sig_exprs}
-  FROM base),
+  FROM dig),
 bands AS (
   {band_selects}),
 cand AS (
