@@ -203,26 +203,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32, shingle_n: int = 2) -> DataFrame:
-    """SimHash fingerprint: bit j of the fingerprint is the sign of
-    sum over shingles of (bit j of murmur3(shingle) ? +1 : -1).
-
-    Shape: explode shingle hashes → ONE vectorized hash-agg with `bits`
-    conditional sums → assemble the fingerprint. (The tempting no-
-    shuffle alternative — `bits` array folds per row — evaluates the
-    lambda interpreter per element per bit: measured ~20× slower. The
-    shuffle here is |docs|·|shingles| small ints with map-side partial
-    aggregation, which is cheap and scales linearly.)"""
-    exploded = (
-        df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n)
-                  .alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(F.col(id_col),
-                F.explode(F.transform(F.col("sh"),
-                                      lambda s: F.hash(s).cast("long")))
-                .alias("h"))
-    )
+def _simhash_from_hashes(exploded: DataFrame, id_col: str,
+                         bits: int) -> DataFrame:
+    """Assemble SimHash fingerprints from exploded (id, h) shingle
+    hashes: ONE vectorized hash-agg with `bits` conditional sums, then
+    sign-bit assembly. (The tempting no-shuffle alternative — `bits`
+    array folds per row — evaluates the lambda interpreter per element
+    per bit: measured ~20× slower. The shuffle here is
+    |docs|·|shingles| small ints with map-side partial aggregation,
+    which is cheap and scales linearly.)"""
     bit_sums = exploded.groupBy(id_col).agg(*[
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
               .otherwise(-1)).alias(f"b{j}")
@@ -233,6 +222,98 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return bit_sums.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32, shingle_n: int = 2) -> DataFrame:
+    """SimHash fingerprint: bit j of the fingerprint is the sign of
+    sum over shingles of (bit j of murmur3(shingle) ? +1 : -1).
+    Cheapest variant (murmur3 is engine-specific, so no SQL oracle);
+    :func:`simhash_md5` is the engine-portable, oracle-checked twin."""
+    exploded = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n)
+                  .alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col),
+                F.explode(F.transform(F.col("sh"),
+                                      lambda s: F.hash(s).cast("long")))
+                .alias("h"))
+    )
+    return _simhash_from_hashes(exploded, id_col, bits)
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", bits: int = 32,
+                shingle_n: int = 2) -> DataFrame:
+    """SimHash with ENGINE-PORTABLE shingle hashes: the per-shingle
+    32-bit hash is the first 8 hex chars of md5(shingle) read as an
+    unsigned int — identical in Spark (``conv(_, 16, 10)``) and DuckDB
+    (``CAST('0x' || _ AS BIGINT)``), so fingerprints are reproducible
+    in SQL and the whole operator is oracle-checked (the murmur3 twin
+    stays rows-only). Same agg shape as :func:`simhash`."""
+    exploded = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n)
+                  .alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col), F.explode("sh").alias("g"))
+        .select(F.col(id_col),
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+                .cast("long").alias("h"))
+    )
+    return _simhash_from_hashes(exploded, id_col, bits)
+
+
+def simhash_pairs(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
+                  id_col: str = "doc_id",
+                  fp_col: str = "simhash") -> DataFrame:
+    """Hamming-distance pair search over SimHash fingerprints — the
+    operator that makes fingerprints actionable at scale (the classic
+    block-split trick from Manku et al.'s near-duplicate paper,
+    expressed as equality joins).
+
+    Pigeonhole: two fingerprints within Hamming distance k must agree
+    EXACTLY on at least one of k+1 disjoint bit blocks. So: split each
+    fingerprint into k+1 blocks, explode to (block_id, block_value)
+    rows, self-join on equality (shuffle keyed by block value — never
+    an all-pairs expansion), then verify candidates with
+    bit_count(xor) ≤ k. Returns (id_a, id_b, hamming).
+
+    Scale: candidates per block are cohabitants of a 32/(k+1)-bit
+    value — on non-adversarial corpora bucket sizes are geometrically
+    small; verification is one codegen'd xor+popcount per candidate."""
+    nb = max_hamming + 1
+    # block j covers bit range [starts[j], starts[j+1])
+    widths = [bits // nb + (1 if j < bits % nb else 0) for j in range(nb)]
+    starts = [sum(widths[:j]) for j in range(nb)]
+    blocks = [
+        F.struct(
+            F.lit(j).alias("blk"),
+            F.shiftrightunsigned(F.col(fp_col), starts[j])
+            .bitwiseAND(F.lit((1 << widths[j]) - 1)).alias("val"),
+        )
+        for j in range(nb)
+    ]
+    banded = fps.select(
+        F.col(id_col), F.explode(F.array(*blocks)).alias("bb"),
+    ).select(id_col, "bb.blk", "bb.val")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(right, ["blk", "val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    a = fps.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"))
+    b = fps.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",

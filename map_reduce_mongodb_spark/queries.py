@@ -743,12 +743,90 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.7)
 
 
-@query("simhash_fingerprints")  # no oracle: murmur3 bit-mix is Spark-specific
+def _simhash_fp_cte(bits: int = 32, shingle_n: int = 2) -> str:
+    """Shared CTE chain producing (doc_id, simhash) in DuckDB with the
+    exact bit math of operators/dedup.py:simhash_md5: per-shingle hash
+    = first 8 md5 hex chars as unsigned int; fingerprint bit j = sign
+    of the per-bit +/-1 sum."""
+    grams = " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_n))
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(w) - {shingle_n - 1}),
+             i -> {grams})) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) >= {shingle_n}),
+tok AS (SELECT doc_id, unnest(s) AS g FROM base),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM tok),
+bs AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id),
+fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bs)"""
+
+
+@query("simhash_fingerprints",
+       oracle=f"WITH {_simhash_fp_cte()}\n"
+              "SELECT doc_id, simhash FROM fp")
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (bigram shingles): near-dups land at
-    small Hamming distance. Deterministic; rows-only driver check."""
-    from map_reduce_mongodb_spark.operators.dedup import simhash
-    return simhash(table(spark, "documents", sf_dir))
+    small Hamming distance. md5-derived shingle hashes make the whole
+    fingerprint reproducible in DuckDB — fully oracle-checked (the
+    cheaper murmur3 twin remains available as operators/dedup.py:
+    simhash)."""
+    from map_reduce_mongodb_spark.operators.dedup import simhash_md5
+    return simhash_md5(table(spark, "documents", sf_dir))
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 32) -> str:
+    nb = max_hamming + 1
+    widths = [bits // nb + (1 if j < bits % nb else 0) for j in range(nb)]
+    starts = [sum(widths[:j]) for j in range(nb)]
+    block_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {j} AS blk, "
+        f"(simhash >> {starts[j]}) & {(1 << widths[j]) - 1} AS val FROM fp"
+        for j in range(nb))
+    return f"""
+WITH {_simhash_fp_cte()},
+blocks AS (
+  {block_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.val = b.val
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+  FROM cand JOIN fp x ON x.doc_id = id_a
+            JOIN fp y ON y.doc_id = id_b)
+WHERE hamming <= {max_hamming}
+"""
+
+
+@query("simhash_pairs", oracle=_simhash_pairs_oracle())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 3 of each other's SimHash
+    — the pair-search operator that makes fingerprints actionable:
+    pigeonhole block split → equality self-join on (block, value) →
+    popcount verify. Fully oracle-checked end-to-end (fingerprints AND
+    pair search) thanks to the md5-derived bit math."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        simhash_md5, simhash_pairs)
+    fps = simhash_md5(table(spark, "documents", sf_dir))
+    return simhash_pairs(fps, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int"))
 
 
 # =====================================================================

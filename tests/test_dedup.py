@@ -12,6 +12,8 @@ from map_reduce_mongodb_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_md5,
+    simhash_pairs,
 )
 from tests.conftest import SF_DIR
 
@@ -70,3 +72,21 @@ def test_simhash_near_dups_have_small_hamming(spark):
     avg_ham = sum(r.ham for r in rows) / len(rows)
     # Near-dups should agree on most of the 32 bits; random pairs ~16.
     assert avg_ham < 8, f"avg hamming {avg_ham} too high for near-dups"
+
+
+def test_simhash_pairs_match_bruteforce_hamming(spark):
+    """The pigeonhole block-split pair search must be EXACT for
+    distance ≤ max_hamming: any pair within k differing bits shares at
+    least one of the k+1 blocks, so no candidate can be missed, and
+    popcount verification removes false positives. Compare against the
+    brute-force all-pairs Hamming scan on the fixture."""
+    fps = simhash_md5(_docs(spark)).persist()
+    rows = fps.collect()
+    brute = sorted(
+        (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id),
+         bin(a.simhash ^ b.simhash).count("1"))
+        for i, a in enumerate(rows) for b in rows[i + 1:]
+        if bin(a.simhash ^ b.simhash).count("1") <= 3)
+    got = sorted(map(tuple, simhash_pairs(fps, max_hamming=3).collect()))
+    fps.unpersist()
+    assert brute and got == brute
