@@ -88,19 +88,26 @@ def test_ann_lsh_recall_on_planted_neighbors(spark):
     res = ann_lsh_topk(emb, qids, k=1, n_planes=6, n_tables=4)
     found = {(r.query_id, r.neighbor_id) for r in res.collect()}
     hits = sum((q, q + 1000) in found for q in qids)
-    assert hits >= 45, f"LSH missed planted near-dups: {hits}/50"
+    assert hits >= 50, f"LSH missed planted near-dups: {hits}/50"
 
 
-def test_ann_lsh_random_corpus_sanity(spark):
-    """On the (near-random) driver corpus recall ≈ candidate fraction;
-    gate only against total collapse / broken bucketing."""
+def test_ann_lsh_random_corpus_multiprobe_recall(spark):
+    """On the (near-random) driver corpus recall ≈ examined-candidate
+    fraction; 1-bit multiprobe must lift it to ≥0.5 (measured ~0.2-0.35
+    single-probe) without touching the corpus side of the join."""
     emb = table(spark, "embeddings", SF_DIR)
     exact = {(r.query_id, r.neighbor_id)
              for r in cosine_topk_bruteforce(emb, QUERY_IDS, k=5).collect()}
-    approx = {(r.query_id, r.neighbor_id)
-              for r in ann_lsh_topk(emb, QUERY_IDS, k=5).collect()}
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.15, f"ANN recall collapsed: {recall}"
+    single = {(r.query_id, r.neighbor_id)
+              for r in ann_lsh_topk(emb, QUERY_IDS, k=5,
+                                    multiprobe=False).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in ann_lsh_topk(emb, QUERY_IDS, k=5).collect()}
+    recall_single = len(exact & single) / len(exact)
+    recall_multi = len(exact & multi) / len(exact)
+    assert recall_single >= 0.15, f"ANN recall collapsed: {recall_single}"
+    assert recall_multi >= 0.5, f"multiprobe recall: {recall_multi}"
+    assert recall_multi >= recall_single
 
 
 def test_ann_deterministic(spark):
