@@ -977,18 +977,49 @@ def q_multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stats")  # no oracle: Arrow/mapInPandas stage
+@query("multimodal_decode_stats", oracle="""
+WITH d AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) AS a,
+         CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) AS b
+  FROM documents),
+g AS (
+  SELECT media_type,
+         CASE media_type WHEN 'image' THEN 64 + a % 192
+                         WHEN 'audio' THEN 0
+                         ELSE 320 + a % 64 END AS width,
+         CASE media_type WHEN 'image' THEN 64 + b % 192
+                         WHEN 'audio' THEN 0
+                         ELSE 240 + b % 64 END AS height,
+         CASE media_type WHEN 'image' THEN 1
+                         WHEN 'audio' THEN 1000 + a * 256 + b
+                         ELSE 8 + a % 24 END AS n_frames
+  FROM d)
+SELECT media_type,
+       count(*) AS n,
+       avg(width) AS avg_width,
+       avg(height) AS avg_height,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM g
+GROUP BY media_type
+""")
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stage (stubbed codec, real mapInPandas plumbing) +
-    aggregation over the decoded geometry. Rows-only driver check;
-    determinism asserted in tests/test_multimodal.py."""
+    aggregation over the decoded geometry. The fake decoder derives
+    geometry from sha256 digest bytes (multimodal.py:_decode_payload),
+    and DuckDB has sha256() — so even the stubbed decode path is fully
+    oracle-checked, pinning the Arrow plumbing end-to-end. avgs are
+    emitted UNROUNDED: sum-of-ints/count divides identically in both
+    engines, while round(x, 2) can disagree on half-way doubles."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         decode_media, media_from_documents)
     media = decode_media(media_from_documents(table(spark, "documents", sf_dir)))
     return media.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("width"), 2).alias("avg_width"),
-        F.round(F.avg("height"), 2).alias("avg_height"),
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
         F.sum("n_frames").alias("total_frames"),
     )
 
