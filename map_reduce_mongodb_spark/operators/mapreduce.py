@@ -22,10 +22,12 @@ Spark-first redesign, not emulation:
 from __future__ import annotations
 
 import json
+import shutil
 from collections.abc import Callable, Iterable, Iterator
+from pathlib import Path
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 #: map_fn(doc) yields (key, value) pairs; values must be JSON-able.
 MapFn = Callable[[dict], Iterable[tuple[str, dict]]]
@@ -76,3 +78,65 @@ def map_reduce(df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
         })
 
     return mapped.groupBy("_id").applyInPandas(reduce_group, schema=_KV_SCHEMA)
+
+
+def read_reduced_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Read the current snapshot of a persisted ``out:{reduce}`` store,
+    or None if the store doesn't exist yet."""
+    ptr = Path(store_path) / "_VERSION"
+    if not ptr.exists():
+        return None
+    version = int(ptr.read_text().strip())
+    return spark.read.parquet(str(Path(store_path) / f"v{version}"))
+
+
+def merge_into(store_path: str, df: DataFrame, map_fn: MapFn,
+               reduce_fn: ReduceFn, keep_versions: int = 2) -> DataFrame:
+    """Persisted ``out: {reduce: collection}`` across RUNS — the
+    MongoDB behavior of merging a job's output into an *existing
+    stored* collection (``/root/reference/mongodb.js:96,100``): each
+    invocation reads the store's current snapshot, unions it with the
+    new mapped stream, re-reduces in ONE pass, and atomically publishes
+    the result as the next snapshot.
+
+    Snapshot-pointer layout (a deliberately minimal version of what
+    Delta/Iceberg transaction logs do — neither is in this
+    environment):
+
+        store/
+          _VERSION   <- text pointer to the live snapshot (atomic
+                        rename on publish; readers never observe a
+                        half-written snapshot because each version is
+                        a FRESH directory, never an in-place overwrite)
+          v0/ v1/ …  <- parquet snapshots; the last `keep_versions`
+                        are retained so in-flight readers of the
+                        previous version don't break mid-scan
+
+    Contract carried over from MongoDB's out:{reduce}: the previous
+    reduced value participates as a PEER value of the new emits, so
+    ``reduce_fn`` must accept already-reduced values (true for any
+    associative merge like counters — and the store round-trip test
+    pins two successive runs == one run over all input). Keys present
+    only in the store pass through verbatim via the single-value-key
+    rule. At real scale the pointer file lives on object storage;
+    swap this layout for Delta/Iceberg when available."""
+    spark = df.sparkSession
+    prev = read_reduced_store(spark, store_path)
+    merged = map_reduce(df, map_fn, reduce_fn, out=prev)
+    root = Path(store_path)
+    root.mkdir(parents=True, exist_ok=True)
+    ptr = root / "_VERSION"
+    current = int(ptr.read_text().strip()) if ptr.exists() else -1
+    nxt = current + 1
+    # New snapshot directory — never overwrites the one being read.
+    merged.write.mode("overwrite").parquet(str(root / f"v{nxt}"))
+    tmp = root / "_VERSION.tmp"
+    tmp.write_text(str(nxt))
+    tmp.replace(ptr)  # atomic publish
+    for p in root.glob("v*"):
+        try:
+            if int(p.name[1:]) <= nxt - keep_versions:
+                shutil.rmtree(p, ignore_errors=True)
+        except ValueError:
+            continue
+    return spark.read.parquet(str(root / f"v{nxt}"))

