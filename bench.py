@@ -20,6 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from map_reduce_mongodb_spark.cache import release_caches  # noqa: E402
 from map_reduce_mongodb_spark.queries import QUERIES  # noqa: E402
 from map_reduce_mongodb_spark.session import get_spark  # noqa: E402
 
@@ -40,6 +41,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+    release_caches()  # query builders release the previous query's
 
     print(json.dumps({
         "metric": "total_query_wall_sec",

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from map_reduce_mongodb_spark.cache import tracked_persist
 from map_reduce_mongodb_spark.functions.text import fingerprint, word_shingles
 
 
@@ -119,8 +120,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     twice, and without the boundary both sides re-derive signatures
     from raw text (and Catalyst inlines the signature expression into
     the join keys — the 25× trap again)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
-                              shingle_n).persist()
+    sigs = tracked_persist(minhash_signatures(df, text_col, id_col,
+                                              num_hashes, shingle_n))
     return _candidates_from_banded(
         _banded(sigs, id_col, num_hashes, bands), id_col)
 
@@ -132,8 +133,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     """LSH candidates verified by TRUE shingle Jaccard ≥ threshold.
     Only candidate pairs are verified (the scale win vs all-pairs).
     One persisted signature pass feeds banding AND verification."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
-                              shingle_n).persist()
+    sigs = tracked_persist(minhash_signatures(df, text_col, id_col,
+                                              num_hashes, shingle_n))
     cands = _candidates_from_banded(
         _banded(sigs, id_col, num_hashes, bands), id_col)
     a = sigs.select(F.col(id_col).alias("id_a"),
@@ -344,8 +345,8 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
         df.select(F.col(id_col),
                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .persist()
     )
+    base = tracked_persist(base)
     # NB: the transform lambdas MUST be unary. A two-parameter lambda
     # (e.g. `lambda g, i=i: ...`) is treated by PySpark as the
     # (element, index) form and the array INDEX silently overrides the
@@ -365,7 +366,8 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
         _digest(i).alias(f"m{i}") for i in range(num_hashes // 4)])
     sigs = hashed.select(F.col(id_col), *[
         _lane(i, j).alias(f"s{4 * i + j}")
-        for i in range(num_hashes // 4) for j in range(4)]).persist()
+        for i in range(num_hashes // 4) for j in range(4)])
+    sigs = tracked_persist(sigs)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from map_reduce_mongodb_spark.cache import tracked_persist
 from map_reduce_mongodb_spark.functions.vectors import (
     cosine_unrolled,
     dot_fold,
@@ -374,7 +375,8 @@ def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     all_buckets = embeddings.select(
         F.col(id_col), F.col(vec_col),
         F.explode(F.array(*table_structs)).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bucket").persist()
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    all_buckets = tracked_persist(all_buckets)
     q = all_buckets.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         "bucket", "tbl")

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from map_reduce_mongodb_spark.cache import tracked_persist
 from map_reduce_mongodb_spark.functions.scalar import falsy_coalesce
 
 #: USGS parameter codes as the reference *codes* them (names are swapped
@@ -246,7 +247,8 @@ def usgs_flat_join(events: DataFrame) -> DataFrame:
     shape (site, lon/lat, both measurements) — the oracle-comparable
     face of the flagship: nested structs don't hash identically across
     engines, flat columns do."""
-    joined = merge_sites(geojson_features(synthesize_usgs(events)).persist(),
+    joined = merge_sites(
+        tracked_persist(geojson_features(synthesize_usgs(events))),
                          order_key=F.col("_id").cast("long"))
     props = F.col("value.properties")
     return (
@@ -283,6 +285,6 @@ def usgs_pipeline(events: DataFrame, materialize: bool = True) -> DataFrame:
     """
     features = geojson_features(synthesize_usgs(events))
     if materialize:
-        features = features.persist()
+        features = tracked_persist(features)
     return export_features(
         merge_sites(features, order_key=F.col("_id").cast("long")))

@@ -22,11 +22,13 @@ inventory; reference citations are ``file:line`` into /root/reference.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from map_reduce_mongodb_spark.cache import release_caches
 from map_reduce_mongodb_spark.io import table
 from map_reduce_mongodb_spark.pipeline.usgs import usgs_flat_join
 
@@ -37,12 +39,23 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    Cache hygiene: building a registered query first releases the
+    caches tracked by the PREVIOUSLY built one (operators persist
+    intermediates via cache.tracked_persist), so a session sweeping
+    all queries holds at most one query's caches at a time instead of
+    accumulating ~58 of them. Releasing is safe even if an earlier
+    returned DataFrame is re-collected later — it just recomputes."""
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches()
+            return fn(spark, sf_dir)
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
-        return fn
+        return wrapped
     return deco
 
 

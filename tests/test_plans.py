@@ -89,3 +89,23 @@ def test_whole_stage_codegen_on_core_queries(spark):
         # shuffle-free plans have no AdaptiveSparkPlan wrapper at all
         assert "isFinalPlan=false" not in p, name
         assert "*(" in p, f"{name} has no codegen span:\n{p}"
+
+
+def test_cache_hygiene_bounded_and_releasable(spark):
+    """Operators persist via cache.tracked_persist and every query
+    builder releases the previous query's caches — so a sweep holds at
+    most one query's caches, and an explicit release_caches() drops to
+    zero persistent RDDs (the long-lived-session contract bench.py and
+    the grading driver rely on)."""
+    from map_reduce_mongodb_spark.cache import release_caches
+
+    spark.catalog.clearCache()
+    release_caches()
+    sc = spark.sparkContext._jsc.sc()
+    for name in ("minhash_dedup_pairs", "minhash_lsh_md5",
+                 "ann_lsh_topk", "usgs_site_join"):
+        QUERIES[name](spark, SF_DIR).write.format("noop") \
+            .mode("overwrite").save()
+        assert sc.getPersistentRDDs().size() <= 2, name
+    release_caches()
+    assert sc.getPersistentRDDs().size() == 0
