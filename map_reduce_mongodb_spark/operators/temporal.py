@@ -70,13 +70,20 @@ def range_count(left: DataFrame, right: DataFrame, by: str, ts: str,
     rows with ``left.ts - Δ <= right.ts < left.ts`` sharing `by`.
 
     Bucketed: a right row at time t can only serve left rows in its own
-    or the next Δ-bucket, so each left row probes exactly 2 buckets."""
+    or the next Δ-bucket, so each left row probes exactly 2 buckets.
+
+    Row multiplicity: output has exactly one row per LEFT ROW (not per
+    distinct left tuple) — an internal unique row id is attached before
+    the 2-probe explode and grouped on, so fully duplicate left rows
+    each keep their own count instead of silently collapsing."""
     bucket = lambda c: (F.unix_timestamp(c) / delta_seconds).cast("long")  # noqa: E731
     r = right.select(F.col(by), F.col(ts).alias("_rts"),
                      *( [F.col(agg_col).alias("_rv")] if agg_col else []),
                      bucket(F.col(ts)).alias("_rb"))
-    l = left.withColumn("_lb", bucket(F.col(ts))).withColumn(
-        "_probe", F.explode(F.array(F.col("_lb"), F.col("_lb") - 1)))
+    l = (left.withColumn("_lid", F.monotonically_increasing_id())
+         .withColumn("_lb", bucket(F.col(ts)))
+         .withColumn("_probe",
+                     F.explode(F.array(F.col("_lb"), F.col("_lb") - 1))))
     joined = l.join(r, (l[by] == r[by]) & (l["_probe"] == r["_rb"]), "left")
     in_range = (
         F.col("_rts").isNotNull()
@@ -88,6 +95,7 @@ def range_count(left: DataFrame, right: DataFrame, by: str, ts: str,
         aggs.append(F.round(F.sum(F.when(in_range, F.col("_rv"))), 2)
                     .alias("sum_in_range"))
     return (
-        joined.groupBy(*[l[c] for c in left.columns])
+        joined.groupBy(F.col("_lid"), *[l[c] for c in left.columns])
         .agg(*aggs)
+        .drop("_lid")
     )

@@ -112,9 +112,11 @@ try:  # pyspark>=4 API; gate so the batch path works everywhere
     )
 
     class _StatePartition(InputPartition):
-        def __init__(self, state: str, url: str):
-            self.state = state
-            self.url = url
+        """One scheduling unit = an ordered list of (state, url) fetches
+        executed sequentially within the partition."""
+
+        def __init__(self, fetches: list[tuple[str, str]]):
+            self.fetches = fetches
 
     class USGSDataSource(DataSource):
         """``spark.read.format("usgs")`` — options:
@@ -122,12 +124,18 @@ try:  # pyspark>=4 API; gate so the batch path works everywhere
         - ``states``: comma-separated state codes (required)
         - ``url_template``: override (e.g. ``file:///fixtures/{state}.json``
           for offline tests); defaults to the live NWIS endpoint.
+        - ``concurrency``: max in-flight fetches (default: one partition
+          per state, full parallelism). ``concurrency=1`` reproduces the
+          reference's strictly sequential, rate-limited harvest
+          (harvest.js:94-102 — SURVEY.md O1 keeps it as an option for
+          API politeness): states are chunked round-robin into that
+          many partitions and fetched one at a time inside each.
 
-        Scale notes: one input partition per state = the reference's 49
-        sequential fetches (harvest.js:94-102) run in parallel across
+        Scale notes: by default one input partition per state = the
+        reference's 49 sequential fetches run in parallel across
         executors; its sequentiality was backpressure politeness, not
-        semantics (SURVEY.md O1). Rows stream out per timeSeries
-        element — no whole-response buffering on the driver.
+        semantics. Rows stream out per timeSeries element — no
+        whole-response buffering on the driver.
         """
 
         @classmethod
@@ -147,19 +155,34 @@ try:  # pyspark>=4 API; gate so the batch path works everywhere
             self._states = [s.strip() for s in states.split(",") if s.strip()]
             if not self._states:
                 raise ValueError("usgs source requires option 'states'")
+            raw = options.get("concurrency")
+            self._concurrency = int(raw) if raw is not None else None
+            if self._concurrency is not None and self._concurrency < 1:
+                raise ValueError("concurrency must be >= 1")
 
         def partitions(self):
-            return [_StatePartition(s, build_usgs_url(s, self._template))
-                    for s in self._states]
+            n = len(self._states)
+            if self._concurrency is not None:
+                n = min(self._concurrency, n)
+            # Round-robin chunking: partition count IS the concurrency
+            # ceiling (a partition's fetches run sequentially).
+            chunks = [self._states[i::n] for i in range(n)]
+            return [
+                _StatePartition([(s, build_usgs_url(s, self._template))
+                                 for s in chunk])
+                for chunk in chunks
+            ]
 
         def read(self, partition):
             import json as _json
             from urllib.request import urlopen
 
-            with urlopen(partition.url) as resp:  # noqa: S310 (file:// in tests)
-                payload = _json.load(resp)
-            for element in (payload.get("value") or {}).get("timeSeries", []):
-                yield _row_from_element(element)
+            for _state, url in partition.fetches:
+                with urlopen(url) as resp:  # noqa: S310 (file:// in tests)
+                    payload = _json.load(resp)
+                for element in (payload.get("value") or {}) \
+                        .get("timeSeries", []):
+                    yield _row_from_element(element)
 
     def _row_from_element(element: dict):
         """dict → tuple in USGS_TIMESERIES_SCHEMA field order, with JS-

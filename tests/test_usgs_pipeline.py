@@ -88,3 +88,30 @@ def test_python_datasource_partition_per_state(spark, tmp_path):
     want = json.loads(
         (FIXTURES / "usgs_golden_feature_collection.json").read_text())
     assert got == want
+
+
+def test_python_datasource_bounded_concurrency(spark):
+    """SURVEY O1's rate-limit promise: concurrency=N caps in-flight
+    fetches by chunking states into N partitions whose fetches run
+    sequentially; concurrency=1 is the reference's --sequential
+    harvest. Row content must be identical to the full-parallel read."""
+    template = f"file://{FIXTURES}/usgs_{{state}}.json"
+    spark.dataSource.register(USGSDataSource)
+
+    def load(**opts):
+        r = (spark.read.format("usgs")
+             .option("states", "s1,s2,s1,s2")
+             .option("url_template", template))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    seq = load(concurrency=1)
+    assert seq.rdd.getNumPartitions() == 1      # strictly sequential
+    two = load(concurrency=2)
+    assert two.rdd.getNumPartitions() == 2      # ≤2 in flight
+    full = load()
+    assert full.rdd.getNumPartitions() == 4     # default: per state
+    names = sorted(r.name for r in full.select("name").collect())
+    assert sorted(r.name for r in seq.select("name").collect()) == names
+    assert sorted(r.name for r in two.select("name").collect()) == names
