@@ -1050,20 +1050,23 @@ FROM words
 GROUP BY w
 """)
 def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The generic map_reduce façade (mapInPandas + applyInPandas —
-    the documented slow path) running wordcount; output keys/values in
-    the reference's ``{_id, value}`` envelope (SURVEY §2.6). The oracle
-    reconstructs the JSON value string exactly."""
-    from map_reduce_mongodb_spark.operators.mapreduce import map_reduce
+    """The mapReduce façade running wordcount via the COUNTER fast
+    path: Python map emits (API parity with the reference's per-doc
+    emit contract), JVM-side field-sum reduce — no per-key Python.
+    Output keys/values in the reference's ``{_id, value}`` envelope
+    (SURVEY §2.6); the oracle reconstructs the JSON value string
+    exactly. The generic applyInPandas reduce (the compat slow path
+    for non-counter reduces) is pinned separately in
+    tests/test_mapreduce.py, including its equivalence to this path."""
+    from map_reduce_mongodb_spark.operators.mapreduce import (
+        map_reduce_counters)
 
     def map_fn(doc):
         for w in doc["text"].split():
             yield w, {"count": 1}
 
-    def reduce_fn(key, values):
-        return {"count": sum(v["count"] for v in values)}
-
-    return map_reduce(table(spark, "documents", sf_dir), map_fn, reduce_fn)
+    return map_reduce_counters(table(spark, "documents", sf_dir), map_fn,
+                               counter_fields=["count"])
 
 
 # =====================================================================
@@ -1361,24 +1364,23 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_profiles_stateful)
     from map_reduce_mongodb_spark.streaming.windows import (
         run_to_memory_sink)
-    raw = (spark.readStream
+    # One state store per shuffle partition: a bare session's default of
+    # 200 partitions means 200 stores for ~150 keys. Pin a sane number
+    # on a CLONED session (own SQLConf, shared SparkContext) instead of
+    # mutating the caller's conf — set-and-restore on the shared session
+    # races if the driver ever interleaves queries.
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    raw = (sess.readStream
            .schema("event_id long, ts long, user_id long, event_type string,"
                    " value double, props string")
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
     stream = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    # One state store per shuffle partition: a bare session's default of
-    # 200 partitions means 200 stores for ~150 keys. Pin a sane number
-    # for the bounded run, restore after.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_to_memory_sink(user_profiles_stateful(stream),
-                           "stateful_user_profiles_sink",
-                           output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stateful_user_profiles_sink")
+    run_to_memory_sink(user_profiles_stateful(stream),
+                       "stateful_user_profiles_sink",
+                       output_mode="update")
+    return sess.table("stateful_user_profiles_sink")
 
 
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:

@@ -42,6 +42,31 @@ def test_single_value_key_skips_reduce(spark):
     assert json.loads(out.collect()[0].value) == {"v": 1}
 
 
+def test_counter_fast_path_equals_generic_reduce(spark):
+    """map_reduce_counters (JVM reduce) must produce byte-identical
+    (_id, value-json) rows to the generic applyInPandas reduce for
+    counter values — including the single-value passthrough rule and
+    the out= merge mode."""
+    from map_reduce_mongodb_spark.operators.mapreduce import (
+        map_reduce_counters)
+
+    df = _docs(spark, [(1, "a b a"), (2, "b c"), (3, "lonely")])
+    mr = lambda d: ((w, {"count": 1}) for w in d["text"].split())
+    red = lambda k, vs: {"count": sum(v["count"] for v in vs)}
+    generic = sorted(map(tuple, map_reduce(df, mr, red).collect()))
+    native = sorted(map(tuple,
+                        map_reduce_counters(df, mr, ["count"]).collect()))
+    assert native == generic
+    # out= merge parity too
+    df2 = _docs(spark, [(4, "a lonely")])
+    prev = map_reduce(df, mr, red)
+    generic2 = sorted(map(tuple, map_reduce(df2, mr, red, out=prev).collect()))
+    native2 = sorted(map(tuple,
+                         map_reduce_counters(df2, mr, ["count"],
+                                             out=prev).collect()))
+    assert native2 == generic2
+
+
 def test_persisted_merge_into_store(spark, tmp_path):
     """Persisted out:{reduce}: two successive jobs merging into one
     parquet-backed store must equal a single job over all input, and
