@@ -264,6 +264,82 @@ def simhash_md5(df: DataFrame, text_col: str = "text",
     return _simhash_from_hashes(exploded, id_col, bits)
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", gram_n: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash selection
+    scheme from Schleimer/Wilkerson/Aiken's MOSS paper): hash every
+    word n-gram, slide a window of `window` consecutive gram hashes,
+    keep each window's minimum, emit the distinct selected hashes as
+    (id, fp) rows.
+
+    Guarantee inherited from the scheme: any shared run of
+    window+gram_n-1 consecutive words between two documents shares at
+    least one selected fingerprint — so fingerprint overlap finds
+    copied PASSAGES (ordered runs), which Jaccard-over-sets cannot
+    distinguish from bag-of-words similarity.
+
+    Engine-portable hashes (md5 hex8 → unsigned int, same as
+    simhash_md5) make the whole operator DuckDB-reproducible.
+
+    Shape notes: grams stay ORDERED (no array_distinct before
+    windowing — position matters). The window min is NOT
+    ``transform(sequence(...), i -> array_min(slice(h, i, w)))``:
+    ``h`` there is single-reference, so CollapseProject inlines its
+    md5-transform definition into the lambda body and the WHOLE hash
+    array re-evaluates per window position — O(len²) md5 per doc,
+    measured 40s at sf0.1. Instead the min is `least()` over
+    ``arrays_zip`` of `window` shifted slices (the word_shingles
+    pattern): h is multi-referenced (CollapseProject backs off) and
+    each element is touched O(window) times. 40s → ~2s."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    m = F.greatest(F.size(w) - F.lit(gram_n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, j + 1, m) for j in range(gram_n)])
+    grams = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(gram_n)]))
+    base = (
+        df.select(F.col(id_col), grams.alias("g"))
+        .filter(F.size("g") >= window)
+    )
+    # hex8 kept as STRING: lexicographic min of fixed-width lowercase
+    # hex == numeric min, and skipping conv() saves a pass (~30% of the
+    # hash stage).
+    hashed = base.select(
+        F.col(id_col),
+        F.transform("g", lambda x: F.substring(F.md5(x), 1, 8)).alias("h"))
+    mw = F.greatest(F.size("h") - F.lit(window - 1), F.lit(0))
+    wz = F.arrays_zip(*[F.slice("h", j + 1, mw) for j in range(window)])
+    mins = hashed.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(
+            wz, lambda s: F.least(*[s[str(j)] for j in range(window)])))
+        .alias("fps"))
+    return mins.select(F.col(id_col), F.explode("fps").alias("fp"))
+
+
+def winnow_dup_pairs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", gram_n: int = 3,
+                     window: int = 4, min_shared: int = 3) -> DataFrame:
+    """Passage-copy candidate pairs: documents sharing ≥ `min_shared`
+    winnowing fingerprints, with the shared count. Inverted-index
+    shape (identical scale story to ngram_jaccard_pairs): explode
+    (fp, id) postings, self-join on the fingerprint itself, count hits
+    per pair — only pairs that actually share a fingerprint are ever
+    materialized, shuffle keyed by fp."""
+    fps = tracked_persist(
+        winnow_fingerprints(df, text_col, id_col, gram_n, window))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_pairs(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
                   id_col: str = "doc_id",
                   fp_col: str = "simhash") -> DataFrame:

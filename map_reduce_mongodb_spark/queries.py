@@ -803,6 +803,61 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_md5(table(spark, "documents", sf_dir))
 
 
+def _winnow_cte(gram_n: int = 3, window: int = 4) -> str:
+    """CTE chain producing (doc_id, fps list) with the exact window-min
+    math of operators/dedup.py:winnow_fingerprints (ordered word
+    grams → md5-hex8 hashes → min per sliding window → distinct)."""
+    grams = " || ' ' || ".join(f"w[i+{j}]" for j in range(gram_n))
+    return f"""
+base AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - {gram_n - 1}),
+                        i -> {grams}) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) - {gram_n - 1} >= {window}),
+hashed AS (
+  SELECT doc_id,
+         list_transform(g, x -> substr(md5(x), 1, 8)) AS h
+  FROM base),
+mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(h) - {window - 1}),
+             i -> list_min(h[i:i+{window - 1}]))) AS fps
+  FROM hashed)"""
+
+
+@query("winnow_fingerprints",
+       oracle=f"WITH {_winnow_cte()}\n"
+              "SELECT doc_id, unnest(fps) AS fp FROM mins")
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash window-min) document fingerprints —
+    MOSS-style passage fingerprinting, fully oracle-checked via the
+    md5-lane hash. One row per (doc, selected fingerprint)."""
+    from map_reduce_mongodb_spark.operators.dedup import winnow_fingerprints
+    return winnow_fingerprints(table(spark, "documents", sf_dir))
+
+
+@query("winnow_dup_pairs", oracle=f"""
+WITH {_winnow_cte()},
+fps AS (SELECT doc_id, unnest(fps) AS fp FROM mins)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+""")
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-copy detection: pairs sharing ≥3 winnowing fingerprints
+    (inverted-index self-join on the fingerprint — same scale shape as
+    the n-gram Jaccard operator), oracle-checked end-to-end."""
+    from map_reduce_mongodb_spark.operators.dedup import winnow_dup_pairs
+    return winnow_dup_pairs(table(spark, "documents", sf_dir),
+                            min_shared=3)
+
+
 def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 32) -> str:
     nb = max_hamming + 1
     widths = [bits // nb + (1 if j < bits % nb else 0) for j in range(nb)]

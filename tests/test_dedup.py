@@ -90,3 +90,26 @@ def test_simhash_pairs_match_bruteforce_hamming(spark):
     got = sorted(map(tuple, simhash_pairs(fps, max_hamming=3).collect()))
     fps.unpersist()
     assert brute and got == brute
+
+
+def test_winnow_guarantees_shared_passage_detection(spark):
+    """Winnowing's core guarantee: two documents sharing a run of
+    window+gram_n-1 consecutive words share at least one selected
+    fingerprint. Plant a copied passage inside otherwise-distinct
+    documents and require the pair to surface; unrelated docs with no
+    shared passage must not."""
+    from map_reduce_mongodb_spark.operators.dedup import winnow_dup_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    filler_a = " ".join(f"alpha{i}" for i in range(30))
+    filler_b = " ".join(f"beta{i}" for i in range(30))
+    filler_c = " ".join(f"gamma{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, f"{filler_a} {passage} more unrelated tail words here"),
+         (2, f"{passage} {filler_b}"),
+         (3, filler_c)],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in winnow_dup_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
