@@ -310,6 +310,65 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
     )
 
 
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    family member next to sign-LSH: partition the corpus into
+    `n_centroids` Voronoi cells, search only the `nprobe` cells nearest
+    each query. Returns (query_id, neighbor_id, cosine, rank).
+
+    Centroids are DETERMINISTIC: the corpus vectors with
+    ``id < n_centroids`` (random-init IVF without the k-means
+    refinement — a real build would Lloyd-iterate; determinism keeps
+    the whole index SQL-reproducible, so unlike most ANN indexes this
+    one is fully oracle-checked).
+
+    Plan shape:
+      1. assignment: corpus × broadcast(centroids) (n·C rows, C small)
+         scored with the UNROLLED cosine — the same left-associated
+         arithmetic as the SQL oracle, so cell assignment is
+         bit-identical across engines (ties broken by centroid id);
+         one ranking window partitioned by vector id;
+      2. probes: the same ranking for query vectors, keeping nprobe
+         cells each;
+      3. candidates: probes ⋈ assignments on the CELL id (equality
+         join — shuffle keyed by cell), ranked by exact cosine.
+
+    Scale notes: assignment is O(n·C) expression evaluations; at
+    C ≳ 10³ switch step 1 to the Arrow matmul pattern
+    (lsh_bucket_arrays) and feed k-means centroids — the index
+    structure and probe join are unchanged. Candidate volume per query
+    ≈ n·nprobe/C of the corpus — the recall/cost dial."""
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    v = embeddings.select(F.col(id_col).alias("vid"),
+                          F.col(vec_col).alias("vv"))
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", cosine_unrolled("vv", "cv", dim))
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.desc("ccos"), F.asc("cid"))
+    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crank") == 1).select(
+        F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv_n"), "cid")
+    probes = ranked.filter(F.col("vid").isin(query_ids)
+                           & (F.col("crank") <= nprobe)).select(
+        F.col("vid").alias("query_id"), F.col("vv").alias("qv"), "cid")
+    cands = (
+        probes.join(assign, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv_n")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("cosine", cosine_unrolled("qv", "cv_n", dim))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (public numpy RNG, fixed seed)."""
     rng = np.random.RandomState(seed)

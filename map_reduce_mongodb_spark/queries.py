@@ -920,6 +920,52 @@ WHERE rank <= {k}
 """
 
 
+def _ivf_topk_oracle(dim: int = 64, k: int = 5, nq: int = 10,
+                     n_centroids: int = 16, nprobe: int = 4) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import (
+        cosine_unrolled_sql)
+    ccos = cosine_unrolled_sql("vv", "cv", dim)
+    qcos = cosine_unrolled_sql("qv", "cv_n", dim)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {n_centroids}),
+v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+ranked AS (
+  SELECT vid, vv, cid,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY {ccos} DESC, cid) AS crank
+  FROM v CROSS JOIN cents),
+assign AS (
+  SELECT vid AS neighbor_id, vv AS cv_n, cid FROM ranked WHERE crank = 1),
+probes AS (
+  SELECT vid AS query_id, vv AS qv, cid FROM ranked
+  WHERE vid < {nq} AND crank <= {nprobe}),
+cands AS (
+  SELECT query_id, neighbor_id, {qcos} AS cosine
+  FROM probes JOIN assign USING (cid)
+  WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cands)
+WHERE rank <= {k}
+"""
+
+
+@query("ivf_topk", oracle=_ivf_topk_oracle())
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest-neighbour top-5 for query vectors
+    (vec_id < 10): deterministic coarse quantizer (16 cells, probe 4)
+    — the unusual part is that the ENTIRE ANN index is oracle-checked:
+    cell assignment uses the same unrolled arithmetic in both engines,
+    so candidate sets and rankings match bit-for-bit."""
+    from map_reduce_mongodb_spark.operators.similarity import ivf_topk
+    return ivf_topk(table(spark, "embeddings", sf_dir),
+                    query_ids=list(range(10)), k=5)
+
+
 @query("cosine_topk", oracle=_cosine_topk_oracle())
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbours for query vectors (vec_id < 10):

@@ -115,3 +115,22 @@ def test_ann_deterministic(spark):
     a = sorted(map(tuple, ann_lsh_topk(emb, QUERY_IDS, k=5).collect()))
     b = sorted(map(tuple, ann_lsh_topk(emb, QUERY_IDS, k=5).collect()))
     assert a == b
+
+
+def test_ivf_recall_and_probe_dial(spark):
+    """IVF with 16 cells / probe 4 examines ~25% of the corpus per
+    query; recall against brute force must beat that candidate
+    fraction meaningfully on real data (near neighbours concentrate in
+    the same cells), and probing ALL cells must recover brute force
+    exactly."""
+    from map_reduce_mongodb_spark.operators.similarity import ivf_topk
+    emb = table(spark, "embeddings", SF_DIR)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(emb, QUERY_IDS, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, QUERY_IDS, k=5).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall} below candidate fraction"
+    allprobe = {(r.query_id, r.neighbor_id)
+                for r in ivf_topk(emb, QUERY_IDS, k=5, nprobe=16).collect()}
+    assert allprobe == exact
