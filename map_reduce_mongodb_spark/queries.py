@@ -745,6 +745,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.7, shingle_n=3, block_col="lang")
 
 
+@query("jaccard_prefix_pairs", oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        >= 0.7 * greatest(len(a.s), len(b.s)))
+WHERE jaccard >= 0.7
+""")
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard pairs (AllPairs/PPJoin family):
+    df-ordered prefixes enter the inverted-index join, high-frequency
+    shingles drop out, full-array verification restores exactness —
+    so the oracle is simply the brute-force answer (the machinery
+    can't change the result, only the join volume; equality to the
+    plain inverted index is also pinned in tests/test_dedup.py)."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix)
+    return ngram_jaccard_pairs_prefix(table(spark, "documents", sf_dir),
+                                      threshold=0.7)
+
+
 @query("minhash_dedup_pairs")  # no oracle: murmur3 signatures are Spark-specific
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates verified by true Jaccard —
@@ -801,6 +832,31 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash)."""
     from map_reduce_mongodb_spark.operators.dedup import simhash_md5
     return simhash_md5(table(spark, "documents", sf_dir))
+
+
+@query("approx_sketches")  # rows-only: HLL/quantile sketches are
+# engine-specific by construction (approx_count_distinct is
+# HyperLogLog++, approx_percentile is KLL/GK) — DuckDB's approx
+# functions produce different estimates for the same data, so the
+# driver records the weaker rows+schema check; accuracy vs EXACT
+# values is gated in tests/test_sketches.py instead.
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the sublinear-memory path for 100 TB scans
+    where exact distinct counts / percentiles would need a full sort
+    or shuffle: one pass, mergeable partial sketches, fixed memory.
+    Exact twins of these aggregates live in stats_aggregates (which
+    documents the opposite trade: exact percentile is sort-based and
+    should switch to these sketches at scale)."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01)
+        .alias("approx_parts_1pct"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+        .alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000)
+        .alias("approx_p95_price"),
+    )
 
 
 def _winnow_cte(gram_n: int = 3, window: int = 4) -> str:

@@ -113,3 +113,19 @@ def test_winnow_guarantees_shared_passage_detection(spark):
              for r in winnow_dup_pairs(docs, min_shared=1).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_prefix_filtered_jaccard_equals_inverted_index(spark):
+    """Prefix filtering is an exact optimization: at several
+    thresholds the result must equal the plain inverted-index
+    formulation (itself the brute-force answer)."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix)
+    docs = _docs(spark)
+    for t in (0.5, 0.7, 0.9):
+        plain = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=t, block_col=None).collect()))
+        pref = sorted(map(tuple, ngram_jaccard_pairs_prefix(
+            docs, threshold=t).collect()))
+        assert pref == plain, f"threshold {t}"
+    assert plain  # the fixture plants qualifying pairs
