@@ -12,7 +12,11 @@ Contract: operators call :func:`tracked_persist` instead of
 PREVIOUS query's caches on entry (see ``queries.query``), so live
 cache is bounded by one query regardless of how many the session runs;
 ``release_caches()`` at the end of a sweep drops the last one.
-Releasing is always safe — an unpersisted plan silently recomputes.
+Releasing a persisted DataFrame is always safe — the plan silently
+recomputes. Released checkpoint RDDs (:func:`track_rdd`) are NOT
+recomputable: a query result built on one must be consumed before the
+next registered query is built (true of every driver/bench/test flow
+here, which collect each query before building the next).
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _LIVE: list[DataFrame] = []
+_LIVE_RDDS: list = []  # py4j handles of localCheckpoint-persisted RDDs
 
 
 def tracked_persist(df: DataFrame,
@@ -33,10 +38,21 @@ def tracked_persist(df: DataFrame,
     return df
 
 
+def track_rdd(handle) -> None:
+    """Register a JVM RDD handle (e.g. a DataFrame.localCheckpoint's
+    backing RDD, which DataFrame.unpersist() does NOT release) for
+    bulk release. After release the checkpointed DataFrame is dead —
+    only register blocks whose consumer finished or whose result the
+    next query rebuild can recompute from source."""
+    _LIVE_RDDS.append(handle)
+
+
 def release_caches() -> int:
-    """Unpersist every tracked DataFrame (non-blocking); returns how
-    many were released."""
-    n = len(_LIVE)
+    """Unpersist every tracked DataFrame and checkpoint RDD
+    (non-blocking); returns how many were released."""
+    n = len(_LIVE) + len(_LIVE_RDDS)
     while _LIVE:
         _LIVE.pop().unpersist()
+    while _LIVE_RDDS:
+        _LIVE_RDDS.pop().unpersist(False)
     return n

@@ -700,6 +700,130 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_repetition", oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words,
+         max(c) AS top_word_n
+  FROM wc GROUP BY 1),
+b AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(wd) - 1),
+                                       i -> wd[i] || ' ' || wd[i+1])) AS bg
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd
+        FROM documents)
+  WHERE len(wd) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams,
+         max(c) AS top_bigram_n
+  FROM bc GROUP BY 1)
+SELECT ws.doc_id, ws.n_words,
+       round(CAST(ws.n_distinct_words AS DOUBLE) / ws.n_words, 6)
+         AS distinct_word_frac,
+       round(CAST(ws.top_word_n AS DOUBLE) / ws.n_words, 6)
+         AS top_word_frac,
+       round(1 - CAST(bs.n_distinct_bigrams AS DOUBLE) / bs.n_bigrams, 6)
+         AS dup_bigram_frac,
+       round(CAST(bs.top_bigram_n AS DOUBLE) / bs.n_bigrams, 6)
+         AS top_bigram_frac
+FROM ws JOIN bs USING (doc_id)
+""")
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText family,
+    adapted to a newline-free corpus): distinct-word fraction, most-
+    frequent-word fraction, duplicate-bigram fraction, most-frequent-
+    bigram fraction. Two explode→count→re-aggregate passes (words,
+    bigrams) joined on doc_id — partial aggregation keeps both
+    map-side-combinable; no per-doc quadratic HOFs."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    wc = (docs.select("doc_id",
+                      F.explode(T.words(F.col("text"))).alias("word"))
+              .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c")))
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_word_n"))
+    bc = (docs.select(
+              "doc_id",
+              F.explode(T.word_shingles(F.col("text"), 2, distinct=False))
+               .alias("bg"))
+              .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c")))
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_n"))
+    return (ws.join(bs, "doc_id")
+              .select(
+                  "doc_id", "n_words",
+                  F.round(F.col("n_distinct_words").cast("double")
+                          / F.col("n_words"), 6)
+                   .alias("distinct_word_frac"),
+                  F.round(F.col("top_word_n").cast("double")
+                          / F.col("n_words"), 6).alias("top_word_frac"),
+                  F.round(F.lit(1)
+                          - F.col("n_distinct_bigrams").cast("double")
+                          / F.col("n_bigrams"), 6).alias("dup_bigram_frac"),
+                  F.round(F.col("top_bigram_n").cast("double")
+                          / F.col("n_bigrams"), 6).alias("top_bigram_frac")))
+
+
+@query("tfidf_top_terms", oracle=r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
+       FROM tf GROUP BY 1),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((CAST(tf.c AS DOUBLE) / ws.n_words)
+               * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+  FROM tf JOIN ws USING (doc_id) JOIN dfc USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored)
+WHERE rn <= 3
+""")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword extractor.
+    tf and df come from one explode→(doc,term) partial-aggregated
+    count; idf's corpus size joins in as a broadcast single-row
+    aggregate (no driver collect); top-k ranks on the ROUNDED score
+    with a term tie-break so the selected set is engine-independent."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    tf = (docs.select("doc_id",
+                      F.explode(T.words(F.col("text"))).alias("term"))
+              .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
+    ws = tf.groupBy("doc_id").agg(F.sum("c").alias("n_words"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(ws, "doc_id").join(dfc, "term")
+                .crossJoin(F.broadcast(n))
+                .select("doc_id", "term",
+                        F.round((F.col("c").cast("double") / F.col("n_words"))
+                                * F.log(F.col("n_docs").cast("double")
+                                        / F.col("df")), 6).alias("tfidf")))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id")
+              .orderBy(F.desc("tfidf"), F.asc("term")))
+    return (scored.withColumn("rn", rn).where(F.col("rn") <= 3)
+                  .drop("rn"))
+
+
 # =====================================================================
 # Deduplication (north-star: exact + near-dup families)
 # =====================================================================
@@ -951,6 +1075,52 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = simhash_md5(table(spark, "documents", sf_dir))
     return simhash_pairs(fps, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int"))
+
+
+@query("dedup_clusters", oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+          >= 0.7 * greatest(len(a.s), len(b.s)))
+  WHERE jac >= 0.7),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM cc c JOIN (SELECT cluster_id, count(*) AS cluster_size
+                FROM cc GROUP BY cluster_id) s USING (cluster_id)
+""")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → connected components → cluster assignment
+    (doc_id, cluster_id = component-min doc, cluster_size) — the step
+    that turns pairwise dedup output into keep-one-per-cluster
+    decisions. Spark side runs alternating large-star/small-star
+    (operators/graph.py); the oracle computes the same components with
+    a recursive transitive-closure CTE (min reachable id == component
+    min on an undirected graph)."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix)
+    from map_reduce_mongodb_spark.operators.graph import dedup_clusters
+    pairs = ngram_jaccard_pairs_prefix(table(spark, "documents", sf_dir),
+                                       threshold=0.7)
+    return dedup_clusters(pairs)
 
 
 # =====================================================================

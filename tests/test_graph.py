@@ -1,0 +1,98 @@
+"""Connected-components operator (operators/graph.py): equivalence to
+a driver-side union-find on random graphs, worst-case chain diameters,
+degenerate inputs, and dedup_clusters contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_mongodb_spark.operators.graph import (
+    connected_components, dedup_clusters)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    return {r["id"]: r["cc"]
+            for r in connected_components(df).collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_union_find_random(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    want = _union_find(n, edges)
+    got = _labels(spark, edges)
+    touched = {v for e in edges for v in e if e[0] != e[1]}
+    assert set(got) == touched
+    for v in touched:
+        assert got[v] == want[v], f"node {v}: {got[v]} != {want[v]}"
+
+
+def test_long_chain_converges(spark):
+    # Path graph 0-1-2-...-59: diameter 59 — the worst case for naive
+    # propagation; large-star/small-star must still converge quickly.
+    edges = [(i, i + 1) for i in range(59)]
+    got = _labels(spark, edges)
+    assert got == {v: 0 for v in range(60)}
+
+
+def test_duplicate_reversed_and_self_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)]
+    got = _labels(spark, edges)
+    # 3's only edge is a self-loop -> isolated, not reported
+    assert got == {1: 1, 2: 1, 4: 4, 5: 4}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src: long, dst: long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_sizes(spark):
+    # {1,2,3} triangle-less chain + {7,8} pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a: long, id_b: long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dedup_clusters(pairs).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_no_leaked_caches(spark):
+    # Intermediate rounds' localCheckpoint blocks are released as they
+    # are superseded; the final round's blocks go to the cache registry
+    # and drop on release_caches(). Nothing accumulates per-iteration.
+    from map_reduce_mongodb_spark.cache import release_caches
+
+    jsc = spark.sparkContext._jsc.sc()
+    release_caches()
+    base = jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(20)]  # several CC iterations
+    _labels(spark, edges)
+    during = jsc.getPersistentRDDs().size()
+    assert during - base <= 2, f"{during - base} new RDDs still live"
+    release_caches()
+    assert jsc.getPersistentRDDs().size() <= base
