@@ -560,6 +560,36 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("variant_json", oracle="""
+SELECT CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10.0)
+            AS BIGINT) AS k_decile,
+       count(*) AS n,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       round(avg(value), 4) AS avg_value
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1
+""")
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON via Spark 4 VariantType: ``parse_json`` once
+    into a variant (binary-encoded, re-parse-free), then typed
+    ``try_variant_get`` extraction — the engine-native path for the
+    reference's schema-on-read documents, faster than per-access
+    ``get_json_object`` string parsing when several fields are read."""
+    ev = table(spark, "events", sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (ev.select(k.alias("k"), "value")
+              .where(F.col("k").isNotNull())
+              .groupBy(F.floor(F.col("k") / F.lit(10.0)).cast("bigint")
+                        .alias("k_decile"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("k").alias("k_min"),
+                   F.max("k").alias("k_max"),
+                   F.round(F.avg("value"), 4).alias("avg_value")))
+
+
 # =====================================================================
 # Time windows over events (streaming analogue, batch-testable)
 # =====================================================================
@@ -1232,6 +1262,63 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_quantize", oracle="""
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, label, xd, scale,
+         list_transform(xd, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(least(127.0, greatest(-127.0,
+                            floor(x / scale + 0.5))) AS INTEGER) END) AS qv
+  FROM s)
+SELECT vec_id, label,
+       round(scale, 9) AS scale_r,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       round(sqrt(list_sum(list_transform(generate_series(1, len(xd)),
+                 i -> (xd[i] - qv[i] * scale) * (xd[i] - qv[i] * scale)))
+             / len(xd)), 6) AS rmse
+FROM q
+""")
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale, the standard layout for shipping vectors to ANN
+    serving) plus reconstruction RMSE. All array HOFs — quantize,
+    clamp, error fold — run JVM-side; ``floor(x/scale + 0.5)`` instead
+    of ``round`` because the two engines disagree on half-way doubles
+    while ``floor`` is exact in both."""
+    emb = table(spark, "embeddings", sf_dir)
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", xd.alias("xd"))
+    base = base.withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("xd"), F.abs)) / F.lit(127.0))
+    qv = F.transform(
+        F.col("xd"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.least(F.lit(127.0), F.greatest(F.lit(-127.0),
+                    F.floor(x / F.col("scale") + F.lit(0.5))
+                     .cast("double"))).cast("int")))
+    quant = base.withColumn("qv", qv)
+    err2 = F.aggregate(
+        F.zip_with(F.col("xd"), F.col("qv"),
+                   lambda x, q: (x - q.cast("double") * F.col("scale"))
+                   * (x - q.cast("double") * F.col("scale"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return quant.select(
+        "vec_id", "label",
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.round(F.sqrt(err2 / F.size("xd")), 6).alias("rmse"))
+
+
 # =====================================================================
 # Streaming-shape windows over events (batch-verifiable; the same
 # builders run under readStream — see streaming/windows.py)
@@ -1647,6 +1734,94 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q4_order_priority", oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""")
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS over the fact table → left-semi join with
+    a non-equi predicate (testdata has no l_commitdate/l_receiptdate,
+    so "late" = shipped >90 days after order date). The semi join keeps
+    the probe side un-duplicated — no distinct needed after it."""
+    o = table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01"))
+    li = table(spark, "lineitem", sf_dir)
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    return (o.join(li, late, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query("q13_customer_distribution", oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+""")
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a filter INSIDE the join
+    condition (not a post-filter — that would turn the outer join
+    inner), then a two-level aggregation giving the orders-per-customer
+    histogram."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT")
+    per_cust = (c.join(o, cond, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query("q20_part_suppliers", oracle="""
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100)
+""")
+def q_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: doubly-nested IN subqueries (suppliers who
+    moved >100 units of 'small%' parts in 1997), decorrelated to
+    semi joins; the part-key filter side is broadcast (dim-sized),
+    nation joins broadcast too (testdata has no partsupp, so lineitem
+    stands in as the supply fact)."""
+    li = table(spark, "lineitem", sf_dir)
+    small_parts = (table(spark, "part", sf_dir)
+                   .where(F.col("p_name").like("small%"))
+                   .select("p_partkey"))
+    heavy = (li.where((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01"))
+               .join(F.broadcast(small_parts),
+                     li.l_partkey == F.col("p_partkey"), "left_semi")
+               .groupBy("l_suppkey")
+               .agg(F.sum("l_quantity").alias("qty"))
+               .where(F.col("qty") > 100)
+               .select("l_suppkey"))
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    return (s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .select("s_suppkey", "s_name", "n_name"))
+
+
 @query("salted_agg_skew", oracle="""
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
        round(avg(value), 4) AS mean
@@ -1708,6 +1883,80 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "stateful_user_profiles_sink",
                        output_mode="update")
     return sess.table("stateful_user_profiles_sink")
+
+
+@query("streaming_dedup", oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT event_id) AS n_ids,
+       round(sum(value), 2) AS total_value
+FROM events
+""")
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion dedup EXECUTED AS A STREAM: the events
+    source is read twice and unioned (simulating at-least-once
+    redelivery), streamed through keyed dropDuplicates state, and the
+    sink must equal the single-copy batch oracle. State is O(|keys|)
+    here (AvailableNow backfill); the operator's watermarked variant
+    (streaming/windows.py:exactly_once_dedup) bounds it for unbounded
+    streams."""
+    from map_reduce_mongodb_spark.streaming.windows import (
+        exactly_once_dedup, run_to_memory_sink)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def read_once() -> DataFrame:
+        raw = (sess.readStream
+               .schema("event_id long, ts long, user_id long,"
+                       " event_type string, value double, props string")
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+    doubled = read_once().unionAll(read_once())
+    run_to_memory_sink(exactly_once_dedup(doubled, keys=("event_id",)),
+                       "streaming_dedup_sink", output_mode="append")
+    return (sess.table("streaming_dedup_sink")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.countDistinct("event_id").alias("n_ids"),
+                     F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@query("corpus_curation", oracle=r"""
+WITH kept AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         len(string_split_regex(trim(text), '\s+')) AS n_words
+  FROM documents
+  WHERE length(text) > 100
+    AND len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000),
+canon AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp)
+SELECT k.lang, k.source,
+       count(*) AS n_docs,
+       round(avg(CAST(k.n_words AS DOUBLE)), 4) AS avg_words
+FROM kept k JOIN canon c ON k.doc_id = c.keep_id
+GROUP BY 1, 2
+""")
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the LLM-corpus pipeline in one
+    plan: length/word-count quality gate → normalized-fingerprint exact
+    dedup (keep min doc_id) → per-(lang, source) survivor accounting.
+    One scan feeds both the gate and the dedup (no re-read); the
+    canonical-survivor join is an aggregate self-join Catalyst executes
+    with one shuffle on fp."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    n_words = T.word_count(F.col("text"))
+    kept = (docs.where((F.length("text") > 100)
+                       & n_words.between(20, 1000))
+                .select("doc_id", "lang", "source",
+                        T.fingerprint(F.col("text")).alias("fp"),
+                        n_words.alias("n_words")))
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (kept.join(canon, kept.doc_id == canon.keep_id)
+                .groupBy("lang", "source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.avg(F.col("n_words").cast("double")), 4)
+                      .alias("avg_words")))
 
 
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:

@@ -74,6 +74,26 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def exactly_once_dedup(events: DataFrame,
+                       keys: tuple[str, ...] = ("event_id",),
+                       watermark: str | None = None) -> DataFrame:
+    """Ingestion-time duplicate elimination by key — the streaming
+    counterpart of batch exact dedup (at-least-once upstream delivery →
+    exactly-once downstream corpus).
+
+    With a watermark (streaming only) uses
+    ``dropDuplicatesWithinWatermark``: keyed state is evicted once the
+    watermark passes, so state stays bounded by the dup-arrival window
+    — the production configuration. Without one, plain
+    ``dropDuplicates`` keeps state for every key ever seen (exact, but
+    O(|keys|) state — fine for bounded backfills/AvailableNow runs,
+    not for unbounded streams)."""
+    if watermark and events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                      .dropDuplicatesWithinWatermark(list(keys)))
+    return events.dropDuplicates(list(keys))
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str,
                        output_mode: str = "complete") -> None:
     """Execute a streaming DataFrame to completion over the currently

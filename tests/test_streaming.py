@@ -47,6 +47,27 @@ def test_stream_batch_equivalence_sessions(spark, events_stream_dir):
     assert _canon(batch) == _canon(streamed)
 
 
+def test_streaming_dedup_drops_redelivered_rows(spark, events_stream_dir):
+    """A doubled stream (union of two reads of the same source) through
+    exactly_once_dedup must equal the single-copy batch distinct —
+    both the unbounded-state and the watermarked variant."""
+    from map_reduce_mongodb_spark.streaming.windows import (
+        exactly_once_dedup)
+
+    batch = table(spark, "events", SF_DIR).select("event_id").distinct()
+    n_expected = batch.count()
+    for wm, sink in [(None, "dedup_plain_test"), ("2 hours",
+                                                  "dedup_wm_test")]:
+        doubled = read_events_stream(spark, events_stream_dir).unionAll(
+            read_events_stream(spark, events_stream_dir))
+        deduped = exactly_once_dedup(doubled, keys=("event_id",),
+                                     watermark=wm)
+        run_to_memory_sink(deduped, sink, output_mode="append")
+        got = spark.table(sink)
+        assert got.count() == n_expected, f"{sink}: row count"
+        assert got.select("event_id").distinct().count() == n_expected
+
+
 def test_stateful_user_profiles_stream_equals_batch(spark, events_stream_dir):
     """applyInPandasWithState running profile == batch aggregation.
     Caveat: streamed totals accumulate in pandas sum order; compare
