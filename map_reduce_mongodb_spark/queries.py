@@ -1959,6 +1959,82 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("avg_words")))
 
 
+@query("train_val_split", oracle=r"""
+WITH h AS (
+  SELECT lang,
+         n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM h
+GROUP BY 1, 2
+""")
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    document id (salt-free md5 bucket) — the reproducible-split
+    primitive every corpus pipeline needs. Hash-based (not
+    ``sample()``): the same doc lands in the same split on every
+    engine, every run, any partitioning; splits stay disjoint under
+    incremental re-runs. Per-(split, lang) accounting as output."""
+    docs = table(spark, "documents", sf_dir)
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10)
+               .cast("long") % 100)
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test"))
+    return (docs.select(split.alias("split"), "lang", "n_chars")
+                .groupBy("split", "lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars")))
+
+
+@query("seq_packing", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_off
+  FROM t)
+SELECT CAST(floor(start_off / 2048.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc
+FROM c
+GROUP BY 1
+""")
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting: lay documents end-to-end in doc_id
+    order and bin them into 2048-token context windows by starting
+    offset (running token sum) — the bookkeeping pass behind packed
+    pre-training batches. The running sum is a frame-bounded window in
+    both engines; at 100 TB the single global ordering would become a
+    per-shard ordering (pack within partition), same plan shape."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select("doc_id",
+                    T.bpe_token_count(F.col("text")).alias("n_tokens"))
+    w = (Window.orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.withColumn("start_off",
+                     F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (c.groupBy(F.floor(F.col("start_off") / F.lit(2048.0))
+                       .cast("bigint").alias("bin_id"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens"),
+                  F.min("doc_id").alias("first_doc")))
+
+
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     from map_reduce_mongodb_spark.functions.vectors import (
         dot_unrolled_sql, norm_sq_unrolled_sql)

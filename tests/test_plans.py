@@ -91,6 +91,35 @@ def test_whole_stage_codegen_on_core_queries(spark):
         assert "*(" in p, f"{name} has no codegen span:\n{p}"
 
 
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime Bloom-filter join pruning: when a selective small side
+    feeds a shuffle join, Spark can inject bloom_filter_might_contain
+    on the big side's scan so most rows drop BEFORE the shuffle — the
+    100 TB lever for selective fact-dim joins that are too big to
+    broadcast. Local thresholds (10 MB creation / 10 GB scan) never
+    trigger on test data, so pin the behavior with thresholds lowered
+    on a cloned session."""
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                  "true")
+    # creationSideThreshold is a MAX (side must be small enough to
+    # build the filter from) — keep the default; only the app-side
+    # scan-size floor blocks injection on KB-sized test data.
+    sess.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", "0")
+    # disable broadcast so the join shuffles (bloom only helps there)
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = table(sess, "lineitem", SF_DIR)
+    o = (table(sess, "orders", SF_DIR)
+         .where(F.col("o_orderpriority") == "1-URGENT"))
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_orderdate")
+    p = plan(joined, mode="extended")
+    assert "might_contain" in p, p
+    assert "bloom_filter_agg" in p, p
+
+
 def test_cache_hygiene_bounded_and_releasable(spark):
     """Operators persist via cache.tracked_persist and every query
     builder releases the previous query's caches — so a sweep holds at
