@@ -2035,6 +2035,53 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.min("doc_id").alias("first_doc")))
 
 
+@query("decontaminate_train", oracle=r"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents),
+sh AS (
+  SELECT doc_id, bucket,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM (SELECT doc_id, bucket,
+               string_split_regex(trim(text), '\s+') AS w
+        FROM b)
+  WHERE len(w) >= 3),
+evs AS (SELECT DISTINCT s FROM sh WHERE bucket >= 80)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh JOIN evs USING (s)
+WHERE bucket < 80
+GROUP BY doc_id
+HAVING count(*) >= 5
+""")
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag TRAIN-split documents sharing
+    ≥5 distinct 3-gram shingles with ANY eval-split (val/test)
+    document — the overlap filter run before pre-training to keep eval
+    sets out of the corpus. Same inverted-index shape as exact Jaccard:
+    explode distinct shingles on both sides, equality-join on the
+    shingle (eval side deduped first — it's the small side and prunes
+    the join), count per train doc. No pairwise anything."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10)
+               .cast("long") % 100)
+    sh = (docs.select("doc_id", bucket.alias("bucket"),
+                      F.explode(T.word_shingles(F.col("text"), 3))
+                       .alias("s")))
+    evs = (sh.where(F.col("bucket") >= 80)
+             .select("s").distinct())
+    return (sh.where(F.col("bucket") < 80)
+              .join(evs, "s")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .where(F.col("n_shared") >= 5))
+
+
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     from map_reduce_mongodb_spark.functions.vectors import (
         dot_unrolled_sql, norm_sq_unrolled_sql)
