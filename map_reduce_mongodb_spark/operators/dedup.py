@@ -475,6 +475,17 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
     their own projection before the 4 lane-min folds reference them —
     same anti-inlining split as minhash_signatures (re-deriving the
     digest array per lane re-runs md5 per reference)."""
+    base, banded = _md5_banded(df, text_col, id_col, num_hashes, bands,
+                               shingle_n)
+    cands = _candidates_from_banded(banded, id_col)
+    return _verify_jaccard(cands, base, id_col, threshold)
+
+
+def _md5_banded(df: DataFrame, text_col: str, id_col: str,
+                num_hashes: int, bands: int,
+                shingle_n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared md5 MinHash pipeline: (persisted (id, shingles) base,
+    (id, band, bucket) banded signatures)."""
     rows_per_band = num_hashes // bands
     assert num_hashes % 4 == 0, "md5 lanes come in fours"
     base = (
@@ -515,7 +526,11 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    cands = _candidates_from_banded(banded, id_col)
+    return base, banded
+
+
+def _verify_jaccard(cands: DataFrame, base: DataFrame, id_col: str,
+                    threshold: float) -> DataFrame:
     a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -526,3 +541,32 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_dedup_pairs_md5_incremental(
+        df: DataFrame, is_new, text_col: str = "text",
+        id_col: str = "doc_id", threshold: float = 0.7,
+        num_hashes: int = 16, bands: int = 4,
+        shingle_n: int = 3) -> DataFrame:
+    """Corpus-delta dedup: near-dup pairs BETWEEN an arriving batch
+    (rows where ``is_new(id)`` holds) and the standing corpus (the
+    rest) — the shape every incremental ingestion pipeline runs, where
+    re-pairing the whole corpus against itself per batch would be
+    quadratic over time. Signatures/banding are shared with the
+    self-join variant; only the candidate join changes: banded(new) ×
+    banded(corpus) on (band, bucket), so join volume scales with the
+    BATCH, not the corpus. In production the corpus side's banded
+    signatures are a persisted table appended per batch — here both
+    sides derive from one scan.
+
+    ``is_new``: Column predicate over `id_col` (e.g.
+    ``F.col("doc_id") % 10 == 0``)."""
+    base, banded = _md5_banded(df, text_col, id_col, num_hashes, bands,
+                               shingle_n)
+    nb = banded.where(is_new).select(
+        F.col(id_col).alias("id_a"), "band", "bucket")
+    cb = banded.where(~is_new).select(
+        F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (nb.join(cb, ["band", "bucket"])
+               .select("id_a", "id_b").distinct())
+    return _verify_jaccard(cands, base, id_col, threshold)

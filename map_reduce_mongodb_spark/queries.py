@@ -2082,6 +2082,35 @@ def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("n_shared") >= 5))
 
 
+@query("embedding_centroids", oracle="""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings)
+SELECT label, pos,
+       count(*) AS n,
+       round(avg(x), 6) AS centroid_val
+FROM e
+GROUP BY 1, 2
+""")
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the k-means/IVF seeding and
+    class-prototype primitive) computed as posexplode → (label, pos)
+    aggregation: one shuffle keyed by (label, dim-position), partial
+    averages map-side — the scale-correct distributed vector mean (no
+    per-group array folding, no collect)."""
+    emb = table(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "label",
+        F.posexplode(F.transform(F.col("embedding"),
+                                 lambda x: x.cast("double")))
+         .alias("pos0", "x"))
+    return (e.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("x"), 6).alias("centroid_val")))
+
+
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     from map_reduce_mongodb_spark.functions.vectors import (
         dot_unrolled_sql, norm_sq_unrolled_sql)
@@ -2271,7 +2300,8 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_md5_oracle(threshold: float = 0.7, num_hashes: int = 16,
-                        bands: int = 4, shingle_n: int = 3) -> str:
+                        bands: int = 4, shingle_n: int = 3,
+                        pair_pred: str = "a.doc_id < b.doc_id") -> str:
     r = num_hashes // bands
     # 4 lanes per md5 digest, mirroring the Spark side:
     # s[4i+j] = min over shingles of md5(g || '#i') hex digits
@@ -2310,7 +2340,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id)
+  WHERE {pair_pred})
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
          round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -2320,6 +2350,21 @@ SELECT id_a, id_b, jaccard FROM (
             JOIN base y ON y.doc_id = id_b)
 WHERE jaccard >= {threshold}
 """
+
+
+@query("incremental_dedup_pairs", oracle=_minhash_md5_oracle(
+    pair_pred="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0"))
+def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-delta dedup: an arriving batch (doc_id % 10 = 0 stands in
+    for "today's crawl") near-dup-matched AGAINST the standing corpus
+    via the md5 MinHash-LSH cross join — candidate volume scales with
+    the batch, not the corpus². Fully oracle-checked like the
+    self-join variant."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        minhash_dedup_pairs_md5_incremental)
+    return minhash_dedup_pairs_md5_incremental(
+        table(spark, "documents", sf_dir),
+        is_new=F.col("doc_id") % 10 == 0, threshold=0.7)
 
 
 @query("minhash_lsh_md5", oracle=_minhash_md5_oracle())
