@@ -833,11 +833,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; idf's corpus size joins in as a broadcast single-row
     aggregate (no driver collect); top-k ranks on the ROUNDED score
     with a term tie-break so the selected set is engine-independent."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
     from map_reduce_mongodb_spark.functions import text as T
     docs = table(spark, "documents", sf_dir)
-    tf = (docs.select("doc_id",
-                      F.explode(T.words(F.col("text"))).alias("term"))
-              .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
+    # tf feeds three consumers (scores, per-doc totals, df counts) —
+    # persist or the explode+agg runs three times.
+    tf = tracked_persist(
+        docs.select("doc_id",
+                    F.explode(T.words(F.col("text"))).alias("term"))
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
     ws = tf.groupBy("doc_id").agg(F.sum("c").alias("n_words"))
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2109,6 +2113,43 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("label", (F.col("pos0") + 1).alias("pos"))
              .agg(F.count(F.lit(1)).alias("n"),
                   F.round(F.avg("x"), 6).alias("centroid_val")))
+
+
+@query("mixture_sampling", oracle=r"""
+WITH h AS (
+  SELECT source, lang, n_chars,
+         CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bucket,
+         CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 100 ELSE 80 END
+           AS keep_pct
+  FROM documents)
+SELECT lang,
+       count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM h
+WHERE bucket < keep_pct
+GROUP BY lang
+""")
+def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-language keep rates (en 50%,
+    zh 100%, rest 80% — downsample the over-represented language,
+    keep low-resource ones whole), decided by a salted md5 bucket of
+    the doc id. Hash-based like train_val_split — same doc kept on
+    every run/engine/partitioning, and the 'mix' salt makes the draw
+    independent of the split assignment hash. Output: per-language
+    kept-document accounting."""
+    docs = table(spark, "documents", sf_dir)
+    bucket = (F.conv(F.substring(
+                  F.md5(F.concat(F.lit("mix"),
+                                 F.col("doc_id").cast("string"))), 1, 8),
+                  16, 10).cast("long") % 100)
+    keep_pct = (F.when(F.col("lang") == "en", 50)
+                 .when(F.col("lang") == "zh", 100)
+                 .otherwise(80))
+    return (docs.where(bucket < keep_pct)
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum("n_chars").alias("kept_chars")))
 
 
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:

@@ -108,3 +108,28 @@ def test_out_merge_mode(spark):
     merged = map_reduce(df2, mr, red, out=first)
     got = {r._id: json.loads(r.value)["n"] for r in merged.collect()}
     assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_native_udtf_lateral_emit(spark):
+    """§2.7 UDTF surface, Spark-4-native form: a registered Python UDTF
+    applied with LATERAL — one 0..n emit per input row, same contract
+    as the reference's mapper emits (mapreduce.js:10-17). The
+    explode-based path stays the production fast path (JVM-side); this
+    pins the compat surface for user-defined table functions that
+    genuinely need imperative Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class EmitWordCounts:
+        def eval(self, text: str):
+            words = text.split()
+            for w in sorted(set(words)):
+                yield w, words.count(w)
+
+    spark.udtf.register("emit_word_counts", EmitWordCounts)
+    df = _docs(spark, [(1, "a b a"), (2, "b c")])
+    df.createOrReplaceTempView("udtf_docs")
+    got = {(r["word"], r["n"]) for r in spark.sql(
+        "SELECT e.word, e.n FROM udtf_docs, "
+        "LATERAL emit_word_counts(text) e").collect()}
+    assert got == {("a", 2), ("b", 1), ("c", 1)}

@@ -1,0 +1,81 @@
+"""Physical data layout at scale: hive-partitioned writes must prune
+partitions at read, and AQE must split skewed join partitions — the
+two layout/runtime levers a 100 TB corpus lives or dies by."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_mongodb_spark.io import table
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def lang_partitioned_docs(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("docs_by_lang"))
+    table(spark, "documents", SF_DIR).write.partitionBy("lang") \
+        .mode("overwrite").parquet(d)
+    return d
+
+
+def test_partitioned_write_prunes_at_read(spark, lang_partitioned_docs):
+    """Filtering on the partition column must become a PartitionFilter
+    (directory pruning — zero IO for other languages), not a post-scan
+    filter. This is the layout decision for any corpus queried mostly
+    per-language/per-source."""
+    df = (spark.read.parquet(lang_partitioned_docs)
+               .where(F.col("lang") == "en")
+               .select("doc_id", "n_chars"))
+    p = _plan(df)
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters")[1][:200]
+    assert "lang" in seg, seg
+    # the data filter section must NOT re-check lang (pruned earlier)
+    en_rows = df.count()
+    want = (table(spark, "documents", SF_DIR)
+            .where(F.col("lang") == "en").count())
+    assert en_rows == want
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: one hot key (90% of the fact side) must
+    be detected at runtime and split across tasks instead of sinking
+    one straggler. Thresholds are lowered on a cloned session so the
+    KB-sized fixture triggers the cluster-scale code path."""
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sess.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8KB")
+    sess.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                  "1")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    hot = sess.range(0, 40_000).select(
+        (F.when(F.col("id") % 10 < 9, F.lit(7))
+          .otherwise(F.col("id"))).alias("k"),
+        F.col("id").alias("payload"))
+    dim = sess.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    joined = hot.join(dim, "k")
+    # collect() executes THIS DataFrame's own query execution — count()
+    # or a write would spawn a separate one whose runtime re-plan
+    # explain() can't show
+    assert len(joined.collect()) == 40_000
+    p = _plan(joined, mode="simple")
+    assert "isFinalPlan=true" in p
+    assert "skew=true" in p, p
