@@ -1925,6 +1925,60 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.sum("value"), 2).alias("total_value")))
 
 
+@query("stream_stream_join", oracle="""
+SELECT count(*) AS n_pairs,
+       count(DISTINCT c.user_id) AS n_users,
+       round(sum(p.value), 2) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join EXECUTED AS A STREAM: click events
+    joined to purchase events of the same user within the following 30
+    minutes (the attribution-window shape). Both sides carry
+    watermarks, so at steady state each side's buffered rows are
+    evicted once older than watermark + interval — bounded state; the
+    time-bound in the join condition is what makes that eviction
+    possible (an unbounded equality stream-stream join would buffer
+    forever). Result equals the batch interval join (the oracle)."""
+    from map_reduce_mongodb_spark.streaming.windows import (
+        run_to_memory_sink)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def read_side(alias: str) -> DataFrame:
+        raw = (sess.readStream
+               .schema("event_id long, ts long, user_id long,"
+                       " event_type string, value double, props string")
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+        return (raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+                   .withWatermark("ts", "1 hour").alias(alias))
+
+    clicks = (read_side("c")
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts")))
+    purchases = (read_side("p")
+                 .where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("value").alias("p_value")))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")))
+    run_to_memory_sink(joined, "stream_stream_join_sink",
+                       output_mode="append")
+    return (sess.table("stream_stream_join_sink")
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.countDistinct("c_user").alias("n_users"),
+                     F.round(F.sum("p_value"), 2).alias("purchase_value")))
+
+
 @query("corpus_curation", oracle=r"""
 WITH kept AS (
   SELECT doc_id, lang, source,
