@@ -858,6 +858,70 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .drop("rn"))
 
 
+@query("unigram_logprob", oracle=r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+freq AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+scored AS (
+  SELECT w.doc_id, ln(freq.c / tot.n) AS lp
+  FROM w JOIN freq USING (word) CROSS JOIN tot)
+SELECT doc_id,
+       count(*) AS n_words,
+       round(-avg(lp), 6) AS avg_neg_logprob
+FROM scored
+GROUP BY doc_id
+""")
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean negative log
+    probability under the corpus's own unigram distribution — the
+    cheapest LM-based quality filter (outlier docs score high). One
+    explode feeds both the frequency table and the scoring join; the
+    corpus total attaches as a broadcast single-row aggregate."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    w = tracked_persist(
+        docs.select("doc_id",
+                    F.explode(T.words(F.col("text"))).alias("word")))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (w.join(freq, "word")
+               .crossJoin(F.broadcast(tot))
+               .select("doc_id",
+                       F.log(F.col("c") / F.col("n")).alias("lp")))
+    return (scored.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_words"),
+                       F.round(-F.avg("lp"), 6).alias("avg_neg_logprob")))
+
+
+@query("stratified_sample", oracle=r"""
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents)
+WHERE rn <= 3
+""")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 3 docs per language, chosen
+    by ranking on a salted md5 of the id — an unbiased-but-reproducible
+    draw (same sample every run/engine), the audit-sample primitive
+    for human review queues. Per-stratum top-k = one window, no global
+    sort."""
+    docs = table(spark, "documents", sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("lang")
+              .orderBy(F.md5(F.concat(F.lit("strat"),
+                                      F.col("doc_id").cast("string"))),
+                       F.col("doc_id")))
+    return (docs.select("lang", "doc_id", "n_chars")
+                .withColumn("rn", rn).where(F.col("rn") <= 3)
+                .drop("rn"))
+
+
 # =====================================================================
 # Deduplication (north-star: exact + near-dup families)
 # =====================================================================
