@@ -1890,6 +1890,86 @@ def q_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("s_suppkey", "s_name", "n_name"))
 
 
+@query("data_profile", oracle="""
+SELECT 'l_quantity' AS col,
+       count(*) AS n,
+       count(l_quantity) AS n_nonnull,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(min(l_quantity), 4) AS min_v,
+       round(max(l_quantity), 4) AS max_v,
+       round(avg(l_quantity), 4) AS mean_v
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       count(*), count(l_discount), count(DISTINCT l_discount),
+       round(min(l_discount), 4), round(max(l_discount), 4),
+       round(avg(l_discount), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       count(*), count(l_extendedprice), count(DISTINCT l_extendedprice),
+       round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+       round(avg(l_extendedprice), 4)
+FROM lineitem
+""")
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the pre-ingest data-quality sweep): per-column
+    row/non-null/distinct counts and min/max/mean, computed for all
+    profiled columns in ONE scan — each metric set is a column-tuple of
+    the same aggregate, then unpivoted driver-free with an explode of
+    per-column structs (vs the naive one-scan-per-column UNION the
+    oracle spells out)."""
+    li = table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    one = li.agg(*aggs)
+    structs = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(f"{c}__n").alias("n"),
+                 F.col(f"{c}__nn").alias("n_nonnull"),
+                 F.col(f"{c}__nd").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_v"),
+                 F.col(f"{c}__max").alias("max_v"),
+                 F.col(f"{c}__mean").alias("mean_v"))
+        for c in cols])
+    return (one.select(F.explode(structs).alias("p"))
+               .select("p.col", "p.n", "p.n_nonnull", "p.n_distinct",
+                       "p.min_v", "p.max_v", "p.mean_v"))
+
+
+@query("value_histogram", oracle="""
+SELECT CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 500.0 THEN 21
+            ELSE CAST(floor(value / 25.0) + 1 AS BIGINT) END AS bucket,
+       count(*) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""")
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column via width_bucket — the
+    distribution-sketch pass for range-partition planning and outlier
+    gates; one partial-aggregated groupBy on the bucket id."""
+    ev = table(spark, "events", sf_dir)
+    return (ev.where(F.col("value").isNotNull())
+              .groupBy(F.width_bucket("value", F.lit(0.0), F.lit(500.0),
+                                      F.lit(20)).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.min("value"), 4).alias("lo"),
+                   F.round(F.max("value"), 4).alias("hi")))
+
+
 @query("salted_agg_skew", oracle="""
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
        round(avg(value), 4) AS mean
