@@ -36,12 +36,16 @@ from map_reduce_mongodb_spark.functions.vectors import (
 def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
                            k: int = 5, dim: int = 64,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           queries_df: DataFrame | None = None) -> DataFrame:
     """Exact top-k cosine neighbours for each query id (excluding self).
-    Returns (query_id, neighbor_id, cosine, rank)."""
+    Returns (query_id, neighbor_id, cosine, rank). `queries_df` lets the
+    query vectors come from a different (e.g. unfiltered) table than
+    the ranked corpus — the hybrid/filtered-search case."""
     # Norms are per-row: compute them ONCE as columns before the
     # |Q|×n pair expansion, so each pair evaluates only the dot product.
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+    q = (embeddings if queries_df is None else queries_df) \
+        .filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm_sq_unrolled(vec_col, dim).alias("qn"))
     c = embeddings.select(F.col(id_col).alias("neighbor_id"),

@@ -1244,6 +1244,51 @@ WHERE rank <= {k}
 """
 
 
+def _hybrid_search_oracle(dim: int = 64, k: int = 5, nq: int = 5) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import cosine_unrolled_sql
+    cos = cosine_unrolled_sql("qv", "cv", dim)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+     c AS (
+       SELECT e.vec_id AS neighbor_id, e.embedding AS cv, d.lang
+       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       WHERE d.lang = 'en'
+         AND len(string_split_regex(trim(d.text), '\\s+')) >= 30),
+     scored AS (
+       SELECT query_id, neighbor_id, lang, {cos} AS cosine
+       FROM c, q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, lang, cosine, rank FROM (
+  SELECT query_id, neighbor_id, lang, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@query("hybrid_search", oracle=_hybrid_search_oracle())
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (filtered) vector search: metadata predicates from the
+    documents table (lang = 'en', ≥30 words) gate the corpus BEFORE
+    ranking by cosine — filter-then-rank, the retrieval shape RAG
+    pipelines run. The metadata join prunes the corpus ahead of any
+    vector math; queries broadcast; per-query ranking window."""
+    from map_reduce_mongodb_spark.functions import text as T
+    from map_reduce_mongodb_spark.operators.similarity import (
+        cosine_topk_bruteforce)
+    emb = table(spark, "embeddings", sf_dir)
+    docs = (table(spark, "documents", sf_dir)
+            .where((F.col("lang") == "en")
+                   & (T.word_count(F.col("text")) >= 30))
+            .select("doc_id", "lang"))
+    corpus = emb.join(docs, emb.vec_id == docs.doc_id).drop("doc_id")
+    out = cosine_topk_bruteforce(corpus, query_ids=list(range(5)), k=5,
+                                 queries_df=emb)
+    meta = docs.select(F.col("doc_id").alias("neighbor_id"), "lang")
+    return out.join(F.broadcast(meta), "neighbor_id")
+
+
 def _ivf_topk_oracle(dim: int = 64, k: int = 5, nq: int = 10,
                      n_centroids: int = 16, nprobe: int = 4) -> str:
     from map_reduce_mongodb_spark.functions.vectors import (
