@@ -1175,7 +1175,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hamming", F.col("hamming").cast("int"))
 
 
-@query("dedup_clusters", oracle=r"""
+#: Shared recursive-CTE chain ending in cc(doc_id, cluster_id) — the
+#: transitive closure of the threshold-0.7 exact-Jaccard pair graph
+#: (min reachable id == component min on an undirected graph).
+_CC_CTE = r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -1201,6 +1204,10 @@ reach(id, r) AS (
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
 cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@query("dedup_clusters", oracle=_CC_CTE + """
 SELECT c.doc_id, c.cluster_id, s.cluster_size
 FROM cc c JOIN (SELECT cluster_id, count(*) AS cluster_size
                 FROM cc GROUP BY cluster_id) s USING (cluster_id)
@@ -1219,6 +1226,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs_prefix(table(spark, "documents", sf_dir),
                                        threshold=0.7)
     return dedup_clusters(pairs)
+
+
+@query("dedup_survivors", oracle=_CC_CTE + """
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+GROUP BY lang
+""")
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED form of dedup clustering: drop every cluster member
+    except the canonical minimum and account for what survives per
+    language — i.e. the deduplicated corpus a training run would
+    consume. Non-canonical members anti-join out of the full table
+    (cluster labels are tiny next to the corpus → broadcast anti
+    join)."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix)
+    from map_reduce_mongodb_spark.operators.graph import (
+        connected_components)
+    docs = table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.7)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    removed = (labels.where(F.col("id") != F.col("cc"))
+                     .select(F.col("id").alias("doc_id")))
+    return (docs.join(F.broadcast(removed), "doc_id", "left_anti")
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum("n_chars").alias("kept_chars")))
 
 
 # =====================================================================

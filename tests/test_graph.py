@@ -67,6 +67,15 @@ def test_duplicate_reversed_and_self_edges(spark):
     assert got == {1: 1, 2: 1, 4: 4, 5: 4}
 
 
+def test_high_degree_star(spark):
+    # Star around node 500 (hub NOT the min) with 300 leaves including
+    # node 0: everything must collapse to 0, and the hub's full
+    # neighbourhood must never need a collect_set-style array.
+    edges = [(500, leaf) for leaf in range(0, 300)]
+    got = _labels(spark, edges)
+    assert got == {v: 0 for v in [*range(0, 300), 500]}
+
+
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src: long, dst: long")
     assert connected_components(df).count() == 0
