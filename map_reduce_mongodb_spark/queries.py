@@ -1971,6 +1971,36 @@ def q_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("s_suppkey", "s_name", "n_name"))
 
 
+@query("error_handling", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       count(try_cast(event_type AS BIGINT)) AS n_type_as_int,
+       count(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_k_parsed,
+       count(value / nullif(0.0, 0.0)) AS n_div_zero,
+       count(try_cast(event_type AS TIMESTAMP)) AS n_type_as_ts
+FROM events
+GROUP BY event_type
+""")
+def q_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data semantics under ANSI mode: the ``try_*`` family maps
+    unparseable casts, division by zero, and bad timestamps to NULL
+    instead of failing the job — the posture a 100 TB ingest needs
+    (one malformed row must not kill a 6-hour run). Counted per event
+    type; DuckDB's non-ANSI operators have the same NULL results, so
+    it oracle-checks."""
+    ev = table(spark, "events", sf_dir)
+    return (ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.try_to_number("event_type", F.lit("999999")))
+         .alias("n_type_as_int"),
+        F.count(F.get_json_object("props", "$.k").try_cast("bigint"))
+         .alias("n_k_parsed"),
+        F.count(F.try_divide(F.col("value"), F.lit(0.0)))
+         .alias("n_div_zero"),
+        F.count(F.try_to_timestamp("event_type")).alias("n_type_as_ts")))
+
+
 @query("data_profile", oracle="""
 SELECT 'l_quantity' AS col,
        count(*) AS n,

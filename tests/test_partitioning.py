@@ -48,6 +48,27 @@ def test_partitioned_write_prunes_at_read(spark, lang_partitioned_docs):
     assert en_rows == want
 
 
+def test_write_sizing_controls_file_count(spark, tmp_path):
+    """Output-file sizing — the compaction story: repartition picks the
+    file count (the small-files fix for 100k-task jobs), and
+    maxRecordsPerFile caps file size without a shuffle. Both are
+    asserted on disk, not just in the plan."""
+    import math
+    import os
+
+    li = table(spark, "lineitem", SF_DIR)
+    out1 = str(tmp_path / "coalesced")
+    li.repartition(4).write.mode("overwrite").parquet(out1)
+    files1 = [f for f in os.listdir(out1) if f.endswith(".parquet")]
+    assert len(files1) == 4
+
+    out2 = str(tmp_path / "capped")
+    li.repartition(1).write.option("maxRecordsPerFile", 1000) \
+        .mode("overwrite").parquet(out2)
+    files2 = [f for f in os.listdir(out2) if f.endswith(".parquet")]
+    assert len(files2) == math.ceil(li.count() / 1000)
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling: one hot key (90% of the fact side) must
     be detected at runtime and split across tasks instead of sinking
