@@ -2348,6 +2348,64 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.min("doc_id").alias("first_doc")))
 
 
+@query("seq_packing_ffd", oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS shard,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+r AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM t),
+steps AS (
+  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin_id,
+         CAST(NULL AS BIGINT) AS n_tokens
+  FROM (SELECT DISTINCT shard FROM r)
+  UNION ALL
+  SELECT d.shard, d.rn,
+         CASE WHEN list_filter(generate_series(1, len(s.loads)),
+                     i -> s.loads[i] + d.n_tokens <= 256)[1] IS NULL
+              THEN list_append(s.loads, d.n_tokens)
+              ELSE list_transform(generate_series(1, len(s.loads)),
+                     i -> CASE WHEN i = list_filter(
+                                   generate_series(1, len(s.loads)),
+                                   j -> s.loads[j] + d.n_tokens <= 256)[1]
+                               THEN s.loads[i] + d.n_tokens
+                               ELSE s.loads[i] END)
+         END AS loads,
+         d.doc_id,
+         CAST(CASE WHEN list_filter(generate_series(1, len(s.loads)),
+                         i -> s.loads[i] + d.n_tokens <= 256)[1] IS NULL
+                   THEN len(s.loads)
+                   ELSE list_filter(generate_series(1, len(s.loads)),
+                         i -> s.loads[i] + d.n_tokens <= 256)[1] - 1
+              END AS BIGINT) AS bin_id,
+         d.n_tokens
+  FROM steps s JOIN r d ON d.shard = s.shard AND d.rn = s.rn + 1
+)
+SELECT doc_id, shard, bin_id, n_tokens FROM steps WHERE rn > 0
+""")
+def q_seq_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per md5 shard (capacity 256
+    tokens) — the no-straddle variant of seq_packing: every doc lands
+    wholly inside one context window, FFD bounds waste at 11/9·OPT+1.
+    Spark side is one shuffle (groupBy shard) + an applyInPandas whose
+    state is just the open-bin load list; the oracle replays the same
+    deterministic (tokens DESC, id ASC) first-fit state machine as a
+    recursive CTE carrying the load list as a LIST column."""
+    from map_reduce_mongodb_spark.functions import text as T
+    from map_reduce_mongodb_spark.operators.packing import pack_ffd
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select("doc_id",
+                    T.bpe_token_count(F.col("text")).alias("n_tokens"))
+    return pack_ffd(t, capacity=256, n_shards=8)
+
+
 @query("decontaminate_train", oracle=r"""
 WITH b AS (
   SELECT doc_id, text,
