@@ -228,7 +228,8 @@ def _simhash_from_hashes(exploded: DataFrame, id_col: str,
 def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id",
                                threshold: float = 0.5,
-                               shingle_n: int = 3) -> DataFrame:
+                               shingle_n: int = 3,
+                               max_df: int | None = None) -> DataFrame:
     """EXACT n-gram Jaccard pairs via PREFIX FILTERING (the
     AllPairs/PPJoin family) — the document-frequency scale lever on
     top of the plain inverted index:
@@ -248,7 +249,20 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
     (global df counts) + one window per doc, in exchange for a prefix
     join whose volume shrinks as (1-t) — at t=0.7 only ~30% of each
     posting list joins, and the worst (most frequent) shingles are
-    exactly the ones excluded."""
+    exactly the ones excluded.
+
+    ``max_df`` (the web-scale stop-shingle lever): when set, postings
+    for shingles appearing in more than ``max_df`` documents are
+    dropped from CANDIDATE GENERATION entirely, capping every posting
+    list — the worst-case join volume becomes O(max_df²) per shingle
+    regardless of corpus skew (boilerplate headers, licence blurbs).
+    Verification still scores FULL shingle sets, so reported Jaccard
+    values stay exact and no false positives can appear; the trade is
+    RECALL only — a qualifying pair is missed iff every shingle its
+    prefixes share is above the df cap. ``None`` (default) keeps the
+    algorithm exactly equal to the brute-force answer (pinned in
+    tests); with a cap the result is a subset, and planted near-dups
+    (rare shingles by construction) survive (also pinned)."""
     sh = word_shingles(F.col(text_col), shingle_n)
     base = tracked_persist(
         df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0))
@@ -261,6 +275,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
     prefix = ranked.filter(
         F.col("r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
         + F.lit(1))
+    if max_df is not None:
+        prefix = prefix.filter(F.col("gdf") <= F.lit(max_df))
     a = prefix.select(F.col(id_col).alias("id_a"), "g",
                       F.col("sz").alias("sz_a"))
     b = prefix.select(F.col(id_col).alias("id_b"), "g",

@@ -401,7 +401,7 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
 def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                  dim: int = 64, n_planes: int = 4, n_tables: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 multiprobe: bool = True) -> DataFrame:
+                 multiprobe: int | bool = 1) -> DataFrame:
     """Approximate top-k: rank only bucket-cohabitants of each query,
     across `n_tables` independent bucketings (union raises recall).
     Returns (query_id, neighbor_id, cosine, rank).
@@ -414,15 +414,18 @@ def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     of the data, not the index. Tune n_planes up for bigger corpora
     (smaller buckets), n_tables up for recall.
 
-    Multiprobe (default on): each QUERY additionally probes the
-    n_planes buckets at Hamming distance 1 from its own — the
-    neighbouring half-spaces where a near miss most likely landed.
-    This multiplies examined candidates by ≤ (n_planes+1) while
+    Multiprobe (default depth 1): each QUERY additionally probes every
+    bucket within Hamming distance ``multiprobe`` of its own — the
+    neighbouring half-spaces where a near miss most likely landed
+    (``True`` ≡ 1 for back-compat; 0/False disables). Depth d
+    multiplies examined candidates by ≤ Σ_{i≤d} C(n_planes, i) while
     touching only the (tiny) query side of the join: the corpus is
-    never re-bucketed, re-shuffled, or widened. Measured on the
+    never re-bucketed, re-shuffled, or widened — the recall/cost dial
+    a user turns before paying for more tables. Measured on the
     near-uniform driver corpus (the hard case): recall ≈0.2-0.35
-    single-probe → ≥0.6 multiprobe; planted near-duplicates: 50/50
-    (tests/test_similarity.py gates both)."""
+    single-probe → ≥0.6 at depth 1; planted near-duplicates: 50/50
+    (tests/test_similarity.py gates both, plus candidate-superset
+    monotonicity across depths)."""
     # ALL tables' buckets in one projection + explode (not a union of
     # n_tables branches: one whole-stage-codegen unit instead of
     # n_tables compilations of near-identical generated code), then one
@@ -443,11 +446,16 @@ def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     q = all_buckets.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         "bucket", "tbl")
-    if multiprobe:
-        probes = F.array(F.col("bucket"), *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << j))
-            for j in range(n_planes)
-        ])
+    probe_bits = int(multiprobe)  # True -> 1, False -> 0
+    if probe_bits:
+        from itertools import combinations
+        masks = [0] + [
+            sum(1 << j for j in bits)
+            for d in range(1, probe_bits + 1)
+            for bits in combinations(range(n_planes), d)
+        ]
+        probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                           for m in masks])
         q = q.select("query_id", "qv", "tbl",
                      F.explode(probes).alias("bucket"))
     c = all_buckets.select(F.col(id_col).alias("neighbor_id"),

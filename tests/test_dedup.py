@@ -129,3 +129,26 @@ def test_prefix_filtered_jaccard_equals_inverted_index(spark):
             docs, threshold=t).collect()))
         assert pref == plain, f"threshold {t}"
     assert plain  # the fixture plants qualifying pairs
+
+
+def test_prefix_jaccard_max_df_pruning(spark):
+    """The df cap is recall-only: capped results are a subset of the
+    exact answer (identical Jaccard values), an infinite cap changes
+    nothing, and the planted near-dup pairs (rare shingles) survive
+    even an aggressive cap."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix)
+    docs = _docs(spark)
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs_prefix(
+                 docs, threshold=0.5).collect()}
+    uncapped = {(r.id_a, r.id_b): r.jaccard
+                for r in ngram_jaccard_pairs_prefix(
+                    docs, threshold=0.5, max_df=10**9).collect()}
+    assert uncapped == exact
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs_prefix(
+                  docs, threshold=0.5, max_df=2).collect()}
+    assert set(capped) <= set(exact)
+    assert all(exact[p] == j for p, j in capped.items())
+    assert capped  # planted dups share rare shingles -> still found

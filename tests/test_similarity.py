@@ -110,6 +110,46 @@ def test_ann_lsh_random_corpus_multiprobe_recall(spark):
     assert recall_multi >= recall_single
 
 
+def test_ann_multiprobe_depth_dial(spark):
+    """Probe depth is the recall/cost dial: candidate sets are supersets
+    as depth grows (ranking by exact cosine then keeps recall
+    non-decreasing), and probing at depth n_planes covers every bucket
+    — the result must equal brute force exactly, the same closed-loop
+    gate IVF's all-cells probe has."""
+    emb = table(spark, "embeddings", SF_DIR)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(emb, QUERY_IDS, k=5).collect()}
+    recalls = []
+    for depth in (0, 1, 2):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ann_lsh_topk(emb, QUERY_IDS, k=5,
+                                     multiprobe=depth).collect()}
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    full = sorted(map(tuple, ann_lsh_topk(
+        emb, QUERY_IDS, k=5, n_planes=4, multiprobe=4).collect()))
+    brute = sorted(map(tuple, cosine_topk_bruteforce(
+        emb, QUERY_IDS, k=5).collect()))
+    assert full == brute
+
+
+def test_ivf_nprobe_sweep_monotone(spark):
+    """Recall vs brute force is non-decreasing in nprobe (probed cells
+    are prefix-supersets; exact re-ranking can only improve)."""
+    from map_reduce_mongodb_spark.operators.similarity import ivf_topk
+    emb = table(spark, "embeddings", SF_DIR)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(emb, QUERY_IDS, k=5).collect()}
+    recalls = []
+    for nprobe in (1, 4, 16):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb, QUERY_IDS, k=5,
+                                 nprobe=nprobe).collect()}
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0
+
+
 def test_ann_deterministic(spark):
     emb = table(spark, "embeddings", SF_DIR)
     a = sorted(map(tuple, ann_lsh_topk(emb, QUERY_IDS, k=5).collect()))
