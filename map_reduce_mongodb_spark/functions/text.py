@@ -31,6 +31,31 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
 
 
+#: PII patterns — the portable Java-regex/RE2 subset (no lookaround).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Match counts per PII class (emails, NANP-style phone tails)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(
+            col, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(
+            col, F.lit(PII_PHONE_RE), F.lit(0))).cast("long"),
+    }
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every email then phone match with a typed placeholder —
+    the standard scrub pass before corpus release. Spark's
+    regexp_replace is global by default (DuckDB needs the 'g' flag);
+    redaction order (emails first) is part of the contract since the
+    second pattern runs over the first pass's output."""
+    scrubbed = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+
+
 def words(col: Column) -> Column:
     """Whitespace tokenization of trimmed text (empty string → [''])."""
     return F.split(F.trim(col), r"\s+")

@@ -704,6 +704,51 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pii_scrub", oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.' AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS clean_md5
+FROM raw
+""")
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass before corpus
+    release. The synthetic corpus carries no real PII, so the query
+    first APPENDS deterministic doc_id-derived PII (an email and a
+    phone tail), then counts matches per class and redacts with typed
+    placeholders; md5 of the redacted text pins the exact replacement
+    output against the oracle. Patterns live in functions/text.py in
+    the portable Java-regex/RE2 subset; everything is JVM regexp
+    (one narrow scan, no UDFs)."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    raw = F.concat(
+        F.col("text"), F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("."))
+    t = docs.select("doc_id", raw.alias("t"))
+    counts = T.pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(T.pii_redact(F.col("t"))).alias("clean_md5"))
+
+
 @query("top_bigrams", oracle=r"""
 WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
      b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
