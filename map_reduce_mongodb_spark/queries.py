@@ -670,6 +670,44 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("quality_percentile_filter", oracle=r"""
+WITH q AS (
+  SELECT doc_id, lang,
+         round(CAST(len(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is')))
+               AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')), 6) AS q_score
+  FROM documents),
+p AS (SELECT doc_id, lang, q_score,
+             percent_rank() OVER (PARTITION BY lang ORDER BY q_score) AS pr
+      FROM q)
+SELECT doc_id, lang, q_score, round(pr, 6) AS pctile
+FROM p WHERE pr >= 0.25
+""")
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-relative quality gate: drop the bottom quartile of
+    docs per LANGUAGE by stopword-ratio score — the percentile filter
+    corpus pipelines use instead of absolute thresholds (robust to
+    per-language score distributions). percent_rank ties get identical
+    values in both engines, so the kept SET is engine-independent
+    without a unique tie-break. One scan, one shuffle (window by
+    lang); at 100 TB the per-lang sort is the cost — swap to
+    approx_percentile cutoffs when exact ranks aren't required."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    n_words = T.word_count(F.col("text"))
+    hits = T.stopword_hits(F.col("text"), T.QUALITY_STOPWORDS)
+    q = docs.select(
+        "doc_id", "lang",
+        F.round(hits.cast("double") / n_words, 6).alias("q_score"))
+    w = Window.partitionBy("lang").orderBy("q_score")
+    return (q.withColumn("pr", F.percent_rank().over(w))
+             .filter(F.col("pr") >= 0.25)
+             .select("doc_id", "lang", "q_score",
+                     F.round("pr", 6).alias("pctile")))
+
+
 @query("lang_id", oracle=r"""
 WITH hits AS (
   SELECT doc_id, lang AS labeled_lang,
@@ -773,6 +811,43 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query("vocab_coverage", oracle=r"""
+WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+f AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+c AS (SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rnk,
+             sum(freq) OVER (ORDER BY freq DESC, word
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(freq) OVER () AS tot
+      FROM f)
+SELECT rnk, word, CAST(freq AS BIGINT) AS freq,
+       round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share
+FROM c WHERE rnk <= 30
+""")
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build with coverage accounting: rank words by corpus
+    frequency, report each top-30 word's CUMULATIVE share of all
+    tokens — the curve that sizes a tokenizer vocab ("how many types
+    cover 95% of tokens"). Post-aggregation the frequency table is
+    |vocab| rows, so the global ranking window is cheap; the corpus
+    itself is touched by one explode + one partial-agg groupBy."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    f = (docs.select(F.explode(T.words(F.col("text"))).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    w_ord = Window.orderBy(F.desc("freq"), F.asc("word"))
+    cum = (Window.orderBy(F.desc("freq"), F.asc("word"))
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy()
+    return (f.select(
+                F.row_number().over(w_ord).alias("rnk"),
+                "word", F.col("freq").cast("bigint").alias("freq"),
+                F.round(F.sum("freq").over(cum).cast("double")
+                        / F.sum("freq").over(tot), 6).alias("cum_share"))
+             .filter(F.col("rnk") <= 30))
 
 
 @query("doc_repetition", oracle=r"""
