@@ -91,6 +91,34 @@ def test_whole_stage_codegen_on_core_queries(spark):
         assert "*(" in p, f"{name} has no codegen span:\n{p}"
 
 
+def test_new_queries_prune_columns(spark):
+    """Round-2 additions keep the scan narrow: pii_scrub and
+    seq_packing_ffd read only (doc_id, text) — lang/source/n_chars
+    never leave the parquet reader."""
+    for name in ("pii_scrub", "seq_packing_ffd", "vocab_coverage"):
+        p = plan(QUERIES[name](spark, SF_DIR))
+        read_schema = p.split("ReadSchema")[1].split("\n")[0]
+        assert "n_chars" not in read_schema, name
+        assert "source" not in read_schema, name
+
+
+def test_ffd_packing_single_shuffle(spark):
+    """FFD packing is one shuffle (hash by shard) feeding the
+    per-shard Python packer — no extra exchange after it."""
+    p = plan(QUERIES["seq_packing_ffd"](spark, SF_DIR), mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert "FlatMapGroupsInPandas" in p
+
+
+def test_quality_percentile_single_window_shuffle(spark):
+    """The percentile gate is one shuffle (window by lang); the filter
+    on percent_rank stays inside the window stage."""
+    p = plan(QUERIES["quality_percentile_filter"](spark, SF_DIR),
+             mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert "Window" in p
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """Runtime Bloom-filter join pruning: when a selective small side
     feeds a shuffle join, Spark can inject bloom_filter_might_contain
