@@ -1118,6 +1118,54 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.7)
 
 
+@query("dup_provenance", oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+          >= 0.7 * greatest(len(a.s), len(b.s)))
+  WHERE jaccard >= 0.7)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs
+JOIN documents da ON pairs.id_a = da.doc_id
+JOIN documents db ON pairs.id_b = db.doc_id
+GROUP BY 1, 2
+""")
+def q_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PROVENANCE: which source pairs duplicate each other —
+    the curation diagnostic behind "drop mirror B, it's 90% a copy of
+    A". Near-dup pairs come from the prefix-filtered EXACT Jaccard
+    join (the scale path); each side then picks up its document's
+    source via a broadcast-size join and pairs aggregate on the
+    unordered (source_a, source_b) key."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix)
+    docs = table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.7)
+    src = docs.select("doc_id", "source")
+    da = src.select(F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("src_a"))
+    db = src.select(F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("src_b"))
+    return (pairs.join(da, "id_a").join(db, "id_b")
+                 .groupBy(F.least("src_a", "src_b").alias("source_a"),
+                          F.greatest("src_a", "src_b").alias("source_b"))
+                 .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
 @query("minhash_dedup_pairs")  # no oracle: murmur3 signatures are Spark-specific
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates verified by true Jaccard —
