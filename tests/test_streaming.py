@@ -81,3 +81,51 @@ def test_stateful_user_profiles_stream_equals_batch(spark, events_stream_dir):
     run_to_memory_sink(stream_df, "profiles_test", output_mode="update")
     streamed = spark.table("profiles_test")
     assert _canon(batch.collect()) == _canon(streamed.collect())
+
+
+def test_streaming_merge_into_store(spark, tmp_path):
+    """Streaming out:{reduce}: a file-source stream drained through
+    foreach_batch, each micro-batch merge_into-ing the persisted
+    store, must equal one batch job over all input — the reference's
+    incremental collection merge (mongodb.js:96,100) running
+    continuously. maxFilesPerTrigger=1 forces 2 real micro-batches so
+    the store's re-reduce path (not just the bootstrap) executes."""
+    import json
+
+    from map_reduce_mongodb_spark.operators.mapreduce import (
+        map_reduce, merge_into, read_reduced_store)
+    from map_reduce_mongodb_spark.sinks import foreach_batch
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    rows1 = [(1, "a b a"), (2, "b only_in_first")]
+    rows2 = [(3, "a c"), (4, "b c c")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    store = str(tmp_path / "wc_store")
+    mr = lambda d: ((w, {"n": 1}) for w in d["text"].split())
+    red = lambda k, vs: {"n": sum(v["n"] for v in vs)}
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = foreach_batch(
+        stream,
+        lambda batch_df, epoch: merge_into(store, batch_df, mr, red),
+        checkpoint=str(tmp_path / "ckpt"),
+        query_name="stream_merge_test", available_now=True)
+    q.awaitTermination(120)
+
+    oracle = map_reduce(
+        spark.createDataFrame(rows1 + rows2, schema), mr, red)
+    want = {r._id: json.loads(r.value)["n"] for r in oracle.collect()}
+    got = {r._id: json.loads(r.value)["n"]
+           for r in read_reduced_store(spark, store).collect()}
+    assert got == want
+    # two micro-batches really ran: store advanced past the bootstrap
+    assert int((tmp_path / "wc_store" / "_VERSION").read_text()) >= 1
