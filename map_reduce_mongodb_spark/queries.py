@@ -437,6 +437,35 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select("c_custkey").exceptAll(opens).distinct()
 
 
+@query("set_ops_all", oracle="""
+SELECT 'intersect' AS op, okey FROM (
+  SELECT l_orderkey AS okey FROM lineitem
+  INTERSECT ALL
+  SELECT o_orderkey AS okey FROM orders WHERE o_orderkey % 2 = 0)
+UNION ALL
+SELECT 'except' AS op, okey FROM (
+  SELECT l_orderkey AS okey FROM lineitem WHERE l_orderkey % 3 = 0
+  EXCEPT ALL
+  SELECT o_orderkey AS okey FROM orders WHERE o_orderkey % 2 = 0)
+""")
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations (the ALL variants the distinct-based
+    set_intersect/set_except don't exercise): INTERSECT ALL keeps
+    min-multiplicity, EXCEPT ALL subtracts per-occurrence — Spark's
+    intersectAll/exceptAll, which plan as aggregate-count + join
+    rather than distinct-hash, so duplicate multiplicity survives."""
+    li = table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("okey"))
+    o = table(spark, "orders", sf_dir)
+    even = (o.filter(F.col("o_orderkey") % 2 == 0)
+             .select(F.col("o_orderkey").alias("okey")))
+    inter = li.intersectAll(even).select(
+        F.lit("intersect").alias("op"), "okey")
+    exc = (li.filter(F.col("okey") % 3 == 0).exceptAll(even)
+             .select(F.lit("except").alias("op"), "okey"))
+    return inter.unionAll(exc)
+
+
 @query("topk_orders", oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
