@@ -15,7 +15,14 @@ mode Spark silently substitutes plan fragments persisted by EARLIER
 queries in the same session (e.g. one query's shingle cache feeding
 another's), which flatters per-query numbers; --fresh gives each query
 a cold cache, matching the grading driver's one-query-per-check
-profile, while still sharing the warmed JVM."""
+profile, while still sharing the warmed JVM.
+
+``--isolate [names...]``: run each query in its OWN subprocess/JVM —
+the strongest isolation (no shared JIT, cache, or broadcast state);
+use to arbitrate when --fresh numbers look suspicious. Much slower
+(~10 s JVM startup per query), so optionally pass query names to
+isolate only those; per-query times exclude the session bootstrap
+(measured inside the child)."""
 
 from __future__ import annotations
 
@@ -32,9 +39,45 @@ from map_reduce_mongodb_spark.queries import QUERIES  # noqa: E402
 from map_reduce_mongodb_spark.session import get_spark  # noqa: E402
 
 
+def _run_one(name: str, sf_dir: str) -> float:
+    """Child-process entry: build a session, run ONE query, print its
+    wall time (bootstrap excluded) on the last line."""
+    spark = get_spark(app_name=f"bench-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+    print(round(time.perf_counter() - t0, 3))
+
+
+def _isolate(names: list[str], sf_dir: str) -> dict[str, float]:
+    import subprocess
+    times = {}
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, __file__, "--run-one", name],
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True, text=True, check=True)
+        times[name] = float(out.stdout.strip().splitlines()[-1])
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+    args = sys.argv[1:]
+    if "--run-one" in args:
+        _run_one(args[args.index("--run-one") + 1], sf_dir)
+        return
+    if "--isolate" in args:
+        picked = [a for a in args if not a.startswith("--")]
+        times = _isolate(picked or list(QUERIES), sf_dir)
+        print(json.dumps({
+            "metric": "total_query_wall_sec_isolated",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec", "queries": times, "sf": sf,
+        }))
+        return
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
