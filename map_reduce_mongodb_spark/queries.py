@@ -2168,6 +2168,93 @@ def q_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("s_suppkey", "s_name", "n_name"))
 
 
+@query("q5_local_supplier_volume", oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-way star join with the local-supplier
+    constraint (customer and supplier share a nation). Plan: lineitem
+    (the only big table) streams through a chain of BROADCAST joins —
+    orders is date-filtered before joining, region/nation prune to one
+    region's nations — so the fact table is scanned once and never
+    shuffled until the (tiny) per-nation aggregate."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    c = table(spark, "customer", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .select("n_name", "revenue")
+    )
+
+
+@query("q10_returned_items", oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top customers by returned-revenue in a
+    quarter. The returnflag filter pushes to the lineitem scan; orders
+    is quarter-filtered pre-join; customer/nation broadcast; the
+    global top-20 carries c_custkey as the deterministic tie-break."""
+    li = table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R")
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    c = table(spark, "customer", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
 @query("error_handling", oracle="""
 SELECT event_type,
        count(*) AS n,
