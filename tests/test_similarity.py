@@ -174,3 +174,63 @@ def test_ivf_recall_and_probe_dial(spark):
     allprobe = {(r.query_id, r.neighbor_id)
                 for r in ivf_topk(emb, QUERY_IDS, k=5, nprobe=16).collect()}
     assert allprobe == exact
+
+
+def _clustered_fixture(spark):
+    """4 well-separated direction clusters; vec_ids 0..3 are one member
+    of each cluster (so the id-init seeds one centroid per cluster and
+    Lloyd refinement has a sane starting point)."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    dirs = rng.standard_normal((4, 64))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(50):
+            v = dirs[c] + 0.15 * rng.standard_normal(64)
+            rows.append((vid if vid >= 4 else c, [float(x) for x in v], c))
+            vid += 1
+    # reassign ids: make them unique (first 4 got cluster index)
+    seen, fixed = set(), []
+    nxt = 4
+    for i, (vid_, v, c) in enumerate(rows):
+        if vid_ in seen:
+            fixed.append((nxt, v, c)); nxt += 1
+        else:
+            fixed.append((vid_, v, c)); seen.add(vid_)
+    return spark.createDataFrame(
+        fixed, "vec_id long, embedding array<float>, label int")
+
+
+def test_ivf_kmeans_allprobe_equals_bruteforce(spark):
+    """The closed-loop gate: probing ALL cells is exact for ANY
+    centroid set — k-means refinement must not perturb correctness,
+    only cell quality."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivf_kmeans_topk)
+    emb = table(spark, "embeddings", SF_DIR)
+    got = sorted(map(tuple, ivf_kmeans_topk(
+        emb, QUERY_IDS, k=5, nprobe=16, n_iters=2).collect()))
+    brute = sorted(map(tuple, cosine_topk_bruteforce(
+        emb, QUERY_IDS, k=5).collect()))
+    assert got == brute
+
+
+def test_ivf_kmeans_clustered_recall_and_determinism(spark):
+    """On a separable corpus, refined cells align with the planted
+    clusters: nprobe=1 recall ≥0.9 (true neighbours are co-clustered).
+    Same session + same partitioning → identical results."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivf_kmeans_topk)
+    emb = _clustered_fixture(spark)
+    qids = list(range(8))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(emb, qids, k=3).collect()}
+    a = sorted(map(tuple, ivf_kmeans_topk(
+        emb, qids, k=3, n_centroids=4, nprobe=1, n_iters=3).collect()))
+    recall = len(exact & {(r[0], r[1]) for r in a}) / len(exact)
+    assert recall >= 0.9, f"clustered recall {recall}"
+    b = sorted(map(tuple, ivf_kmeans_topk(
+        emb, qids, k=3, n_centroids=4, nprobe=1, n_iters=3).collect()))
+    assert a == b
