@@ -1568,6 +1568,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     query_ids=list(range(10)), k=5)
 
 
+@query("ivf_kmeans_topk")  # no oracle: iterative Lloyd refinement
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over spherical-k-means-REFINED centroids (2 Lloyd
+    iterations) — same probe machinery as ivf_topk but cells follow
+    the data's cluster structure. Rows-only by design (iterative
+    refinement isn't SQL-reproducible); correctness is gated closed-
+    loop in tests/test_similarity.py: probing ALL cells equals brute
+    force for ANY centroids, clustered-corpus recall ≥0.9 at
+    nprobe=1, and results are deterministic."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivf_kmeans_topk)
+    return ivf_kmeans_topk(table(spark, "embeddings", sf_dir),
+                           query_ids=list(range(10)), k=5, n_iters=2)
+
+
 @query("cosine_topk", oracle=_cosine_topk_oracle())
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbours for query vectors (vec_id < 10):
@@ -3069,3 +3084,511 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_dedup_pairs_md5)
     return minhash_dedup_pairs_md5(table(spark, "documents", sf_dir),
                                    threshold=0.7)
+
+
+# =====================================================================
+# TPC-H completion — the remaining classic shapes (q2,q6,q7,q8,q9,q11,
+# q12,q14,q15,q19,q21,q22), adapted to the testdata schema (no
+# partsupp / l_commitdate / l_shipmode / c_phone; adaptations keep each
+# query's CHARACTERISTIC plan shape: correlated-min, disjunctive
+# pushdown, double-EXISTS, scalar-subquery HAVING, ...).  With these,
+# all 22 TPC-H query shapes are registered and oracle-checked.
+# =====================================================================
+
+@query("q6_forecast_revenue", oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-filter-aggregate: every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan, no join, no shuffle beyond the single-row final aggregate.
+    The litmus test for predicate pushdown + partial aggregation."""
+    li = table(spark, "lineitem", sf_dir)
+    return (li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                & F.col("l_discount").between(0.05, 0.07)
+                & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * F.col("l_discount")), 2).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+@query("q7_volume_shipping", oracle="""
+SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+GROUP BY supp_nation, cust_nation, yr
+""")
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by
+    year. The nation dimension joins TWICE under different roles
+    (supplier's vs customer's nation) with a symmetric pair predicate
+    applied AFTER both joins; lineitem streams through broadcast joins
+    and only the tiny (nation, nation, year) aggregate shuffles."""
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    n1 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | (
+           (F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("yr", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+              .alias("revenue")))
+
+
+@query("q8_market_share", oracle="""
+WITH all_nations AS (
+  SELECT year(o_orderdate) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'),
+per_year AS (
+  SELECT yr,
+         round(sum(CASE WHEN supp_nation = 'NATION_3'
+                        THEN volume ELSE 0 END), 2) AS nation_revenue,
+         round(sum(volume), 2) AS total_revenue
+  FROM all_nations GROUP BY yr)
+SELECT yr, nation_revenue, total_revenue,
+       round(nation_revenue / total_revenue, 6) AS mkt_share
+FROM per_year
+""")
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: one nation's slice of a
+    region's trade in one part type, by order year. Nation joins twice
+    (customer side filters the region, supplier side labels the
+    seller); the share divides the two ROUNDED sums so both engines
+    divide bit-identical inputs (unrounded double sums differ in
+    accumulation order)."""
+    p = table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = table(spark, "customer", sf_dir)
+    n1 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"))
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "AMERICA")
+    n2 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .withColumn("yr", F.year("o_orderdate").cast("bigint"))
+        .groupBy("yr")
+        .agg(F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                            .otherwise(0.0)), 2).alias("nation_revenue"),
+             F.round(F.sum(vol), 2).alias("total_revenue"))
+        .withColumn("mkt_share",
+                    F.round(F.col("nation_revenue")
+                            / F.col("total_revenue"), 6)))
+
+
+@query("q9_product_type_profit", oracle="""
+SELECT nation, yr, round(sum(amount), 2) AS sum_profit
+FROM (SELECT n_name AS nation, year(o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') profit
+GROUP BY nation, yr
+""")
+def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit on a product line by supplier nation and
+    order year. The testdata has no partsupp, so supply cost is proxied
+    as 0.5 * p_retailprice * l_quantity (per-row arithmetic, bit-equal
+    across engines). The substring filter on p_name cannot push as a
+    parquet min/max predicate but still prunes the broadcast side
+    before the fact-table join."""
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    s = table(spark, "supplier", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").cast("bigint").alias("yr"),
+                amount.alias("amount"))
+        .groupBy("nation", "yr")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+
+
+@query("q11_important_stock", oracle="""
+WITH vals AS (
+  SELECT l_partkey, CAST(sum(l_quantity) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_key, part_value
+FROM vals
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM vals)
+""")
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a scalar subquery over the
+    SAME aggregate: parts holding an outsized share of three nations'
+    moved stock. Spark computes the per-part aggregate once, derives
+    the grand total from it, and broadcasts the 1-row total into the
+    filter (no second scan of lineitem). Quantities are integral
+    doubles, so both engines' sums are exact and the > threshold is
+    deterministic."""
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))
+    vals = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .groupBy("l_partkey")
+              .agg(F.sum("l_quantity").alias("part_value")))
+    total = vals.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (vals.join(F.broadcast(total))
+                .filter(F.col("part_value") > F.col("threshold"))
+                .select(F.col("l_partkey").alias("p_key"), "part_value"))
+
+
+@query("q12_late_shipments", oracle="""
+SELECT l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate >  o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+""")
+def q_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional priority counts over a join with
+    a non-equi lateness predicate. The testdata has no l_shipmode /
+    l_commitdate, so the grouping "mode" is l_returnflag and "late" is
+    shipped >30 days after the order date (predicate referencing BOTH
+    sides, evaluated inside the join). CASE-sums keep it one pass."""
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = table(spark, "orders", sf_dir)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o),
+                (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate
+                   > o.o_orderdate + F.expr("INTERVAL 30 DAYS")))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(F.sum(F.when(urgent, 1).otherwise(0))
+              .alias("high_line_count"),
+             F.sum(F.when(~urgent, 1).otherwise(0))
+              .alias("low_line_count")))
+
+
+@query("q14_promo_revenue", oracle="""
+WITH month_rev AS (
+  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END), 2) AS promo_revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01')
+SELECT promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+FROM month_rev
+""")
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo share of one month's revenue: CASE-sum
+    ratio in a single pass over the date-pruned fact slice. The
+    percentage divides the two ROUNDED sums (identical doubles on both
+    engines) rather than the raw accumulator values."""
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    p = table(spark, "part", sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                            .otherwise(0.0)), 2).alias("promo_revenue"),
+             F.round(F.sum(vol), 2).alias("total_revenue"))
+        .withColumn("promo_pct",
+                    F.round(100.0 * F.col("promo_revenue")
+                            / F.col("total_revenue"), 6)))
+
+
+@query("q2_min_cost_supplier", oracle="""
+WITH offers AS (
+  SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+         n_name,
+         round(l_extendedprice / l_quantity, 4) AS unit_cost
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'SMALL'
+    AND p_size BETWEEN 10 AND 20)
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+       unit_cost
+FROM offers o
+WHERE unit_cost = (SELECT min(unit_cost) FROM offers i
+                   WHERE i.p_partkey = o.p_partkey)
+""")
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated-min subquery: for each
+    qualifying part, the European supplier(s) offering it at the
+    minimum unit cost. No partsupp in the testdata, so the offer book
+    is DISTINCT (part, supplier, unit price) rows derived from
+    lineitem. The correlated `= (SELECT min ...)` decorrelates to a
+    per-part window min — one shuffle on p_partkey instead of a
+    rescan, the classic Catalyst rewrite. Unit cost is per-row
+    division (bit-equal across engines) rounded to 4."""
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "SMALL") & F.col("p_size").between(10, 20))
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                "s_acctbal", "n_name",
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+                 .alias("unit_cost"))
+        .distinct())
+    w = Window.partitionBy("p_partkey")
+    return (offers
+            .withColumn("_min_cost", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("_min_cost"))
+            .drop("_min_cost"))
+
+
+@query("q15_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the revenue "view" reused twice: once as the
+    join input, once inside the scalar max. Spark materializes the
+    per-supplier aggregate once; the 1-row max is broadcast into the
+    filter, and supplier (the dim) broadcasts into the final join.
+    Equality on a rounded double is deterministic because both
+    engines round the same per-supplier sums."""
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+                 .agg(F.round(F.sum(F.col("l_extendedprice")
+                                    * (1 - F.col("l_discount"))), 2)
+                       .alias("total_revenue")))
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = table(spark, "supplier", sf_dir)
+    return (revenue.join(F.broadcast(top))
+            .filter(F.col("total_revenue") == F.col("_max_rev"))
+            .join(F.broadcast(s),
+                  F.col("supplier_no") == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query("q19_discounted_revenue", oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the OR-of-ANDs predicate straddling the join:
+    each disjunct pairs part attributes with a lineitem quantity band.
+    The part-only implication of the disjunction (brand ∈ {...} and
+    the per-brand size cap) pre-filters the broadcast side so the
+    fact-table join probes a small hash table; the exact disjunction
+    is re-applied after the join."""
+    li = table(spark, "lineitem", sf_dir)
+    part_pre = ((F.col("p_brand") == "Brand#3")
+                & F.col("p_size").between(1, 15)) | (
+               (F.col("p_brand") == "Brand#14")
+                & F.col("p_size").between(1, 25)) | (
+               (F.col("p_brand") == "Brand#21")
+                & F.col("p_size").between(1, 35))
+    p = table(spark, "part", sf_dir).filter(part_pre)
+    full = ((F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)) | (
+           (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)) | (
+           (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .filter(full)
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+@query("q21_suppliers_kept_waiting", oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""")
+def q_q21_suppliers_kept_waiting(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the sole-blame pattern: suppliers whose line
+    on a finished multi-supplier order shipped late (>60 days after
+    the order date — no l_commitdate/l_receiptdate in the testdata)
+    while NO other supplier on that order was late. EXISTS → left-semi
+    and NOT EXISTS → left-anti against the same fact table, both with
+    an extra non-equi (<> supplier) condition on the equi orderkey
+    join — no pair explosion, no distinct."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F")
+    late = (li.join(F.broadcast(o),
+                    (li.l_orderkey == o.o_orderkey)
+                    & (li.l_shipdate
+                       > o.o_orderdate + F.expr("INTERVAL 60 DAYS")))
+              .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("l_orderkey").alias("o3"),
+                     F.col("l_suppkey").alias("s3"))
+    s = table(spark, "supplier", sf_dir)
+    blamed = (
+        late.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                  & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+            .join(l3, (F.col("l_orderkey") == F.col("o3"))
+                  & (F.col("l_suppkey") != F.col("s3")), "left_anti"))
+    return (blamed.join(F.broadcast(s),
+                        F.col("l_suppkey") == s.s_suppkey)
+                  .groupBy("s_name")
+                  .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@query("q22_global_sales_opportunity", oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)),
+avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM pool WHERE c_acctbal > 0.0)
+SELECT c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM pool, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""")
+def q_q22_global_sales_opportunity(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — dormant rich customers: above-average balance
+    (scalar AVG subquery over the same slice), never ordered (anti
+    join against the fact table), grouped by country (c_nationkey
+    stands in for the phone prefix). The 1-row average broadcasts
+    into the filter; the anti join shuffles only the filtered
+    customer slice."""
+    c = table(spark, "customer", sf_dir).filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+                .agg(F.avg("c_acctbal").alias("ab")))
+    o = table(spark, "orders", sf_dir).select("o_custkey")
+    return (c.join(F.broadcast(avg_bal))
+             .filter(F.col("c_acctbal") > F.col("ab"))
+             .join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .groupBy(F.col("c_nationkey").alias("cntrycode"))
+             .agg(F.count(F.lit(1)).alias("numcust"),
+                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
