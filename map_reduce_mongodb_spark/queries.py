@@ -2431,12 +2431,11 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # races if the driver ever interleaves queries.
     sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
-    raw = (sess.readStream
-           .schema("event_id long, ts long, user_id long, event_type string,"
-                   " value double, props string")
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = (sess.readStream
+              .schema("event_id long, ts timestamp, user_id long,"
+                      " event_type string, value double, props string")
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
     run_to_memory_sink(user_profiles_stateful(stream),
                        "stateful_user_profiles_sink",
                        output_mode="update")
@@ -2463,12 +2462,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.conf.set("spark.sql.shuffle.partitions", "8")
 
     def read_once() -> DataFrame:
-        raw = (sess.readStream
-               .schema("event_id long, ts long, user_id long,"
-                       " event_type string, value double, props string")
-               .option("pathGlobFilter", "events.parquet")
-               .parquet(sf_dir))
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return (sess.readStream
+                .schema("event_id long, ts timestamp, user_id long,"
+                        " event_type string, value double, props string")
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir))
 
     doubled = read_once().unionAll(read_once())
     run_to_memory_sink(exactly_once_dedup(doubled, keys=("event_id",)),
@@ -2504,12 +2502,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def read_side(alias: str) -> DataFrame:
         raw = (sess.readStream
-               .schema("event_id long, ts long, user_id long,"
+               .schema("event_id long, ts timestamp, user_id long,"
                        " event_type string, value double, props string")
                .option("pathGlobFilter", "events.parquet")
                .parquet(sf_dir))
-        return (raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-                   .withWatermark("ts", "1 hour").alias(alias))
+        return raw.withWatermark("ts", "1 hour").alias(alias)
 
     clicks = (read_side("c")
               .where(F.col("event_type") == "click")

@@ -61,18 +61,30 @@ def user_profiles_stateful(events: DataFrame) -> DataFrame:
             n, total, first_ts, last_ts = state.get
         else:
             n, total, first_ts, last_ts = 0, 0.0, None, None
+        # Arrow hands pandas-2 batches with datetime64[us] columns; the
+        # state/serializer round-trip assumes nanosecond Timestamps, so a
+        # us-unit Timestamp silently re-reads its integer value as ns
+        # (2024 epoch-us -> 1970-01-20). Pin everything to ns explicitly.
+        if first_ts is not None:
+            first_ts = _pd.Timestamp(first_ts).as_unit("ns")
+        if last_ts is not None:
+            last_ts = _pd.Timestamp(last_ts).as_unit("ns")
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            ts = pdf["ts"].astype("datetime64[ns]")
+            lo, hi = ts.min(), ts.max()
             first_ts = lo if first_ts is None else min(first_ts, lo)
             last_ts = hi if last_ts is None else max(last_ts, hi)
         state.update((n, total, first_ts, last_ts))
-        yield _pd.DataFrame({
+        out = _pd.DataFrame({
             "user_id": [user_id], "n_events": [n],
             "total_value": [round(total, 2)],
             "first_ts": [first_ts], "last_ts": [last_ts],
         })
+        out["first_ts"] = out["first_ts"].astype("datetime64[ns]")
+        out["last_ts"] = out["last_ts"].astype("datetime64[ns]")
+        yield out
 
     grouped = events.select("user_id", "ts", "value").groupBy("user_id")
     if events.isStreaming:

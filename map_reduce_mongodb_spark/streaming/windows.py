@@ -15,18 +15,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-#: Driver events table schema as stored (ts is TIMESTAMP(NANOS) parquet,
-#: read as long under nanosAsLong — converted below).
-_EVENTS_DDL = ("event_id long, ts long, user_id long, event_type string, "
-               "value double, props string")
+#: Driver events table schema as stored (ts is TIMESTAMP(MICROS)
+#: parquet — read directly; no unit conversion needed).
+_EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string")
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """``readStream`` over an events parquet directory (file source =
-    replayable, exactly-once). Applies the same nanos→timestamp
-    conversion as the batch catalog (io.py)."""
-    raw = spark.readStream.schema(_EVENTS_DDL).parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    replayable, exactly-once)."""
+    return spark.readStream.schema(_EVENTS_DDL).parquet(path)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
