@@ -397,9 +397,10 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     iterate over — pass it when the caller keeps iterating afterwards
     (ivf_kmeans_topk does) so the scan+spread shuffle happens once for
     the whole build instead of once per Lloyd pass."""
-    cents = [(int(r[0]), [float(x) for x in r[1]])
-             for r in embeddings.filter(F.col(id_col) < n_centroids)
-             .select(id_col, vec_col).collect()]
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col).collect())
     if corpus is None:
         # single-file corpora scan as ONE partition — spread the Arrow
         # batches across cores, once, and keep them hot across passes
@@ -409,31 +410,56 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
             .repartition(par))
     v = corpus
     for _ in range(n_iters):
-        # Assignment is the Arrow-matmul pattern (ivf_topk's documented
-        # C≳10³ switch, profitable here even at C=16 because it runs
-        # once per iteration): one numpy matmul per batch replaces the
-        # C-way row explosion + per-vector ranking window. np.argmax
-        # breaks ties on the lowest cid, matching the window's
-        # (desc cos, asc cid) order.
-        assign = v.select(
-            _argmax_cell_udf(cents)("vv").alias("cid"), "vv")
-        unit = assign.select(
-            "cid",
-            F.sqrt(norm_sq_unrolled("vv", dim)).alias("_n"), "vv"
-        ).select(
-            "cid",
-            F.transform("vv", lambda x: x.cast("double") / F.col("_n"))
-            .alias("u"))
-        comp = (unit.select("cid", F.posexplode("u").alias("pos", "x"))
-                    .groupBy("cid", "pos").agg(F.avg("x").alias("m")))
-        rows = comp.groupBy("cid").agg(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-        ).select("cid", F.expr("transform(pm, p -> p.m)").alias("cv")) \
-         .collect()
-        updated = {int(r["cid"]): [float(x) for x in r["cv"]]
-                   for r in rows}
-        cents = [(cid, updated.get(cid, cv)) for cid, cv in cents]
+        # One mapInPandas pass per Lloyd iteration: each Arrow batch is
+        # assigned by numpy matmul (argmax ties → lowest cid, matching
+        # ivf_topk's (desc cos, asc cid) window order since `cents` is
+        # cid-sorted) AND folded into per-cell unit-vector sums right
+        # there — each partition emits C partial rows (cid, n, sum),
+        # so the per-pass shuffle is partitions·C tiny rows instead of
+        # the n·dim posexplode this replaces.
+        parts = v.mapInPandas(
+            _cell_partials_fn(cents),
+            schema="cid int, n long, s array<double>").collect()
+        counts = {cid: 0 for cid, _ in cents}
+        sums = {cid: np.zeros(dim) for cid, _ in cents}
+        for r in parts:
+            counts[int(r["cid"])] += int(r["n"])
+            sums[int(r["cid"])] += np.asarray(r["s"])
+        cents = [(cid,
+                  (sums[cid] / counts[cid]).tolist()
+                  if counts[cid] else cv)
+                 for cid, cv in cents]
     return cents
+
+
+def _cell_partials_fn(cents: list[tuple[int, list[float]]]):
+    """mapInPandas body: per-batch nearest-cell assignment (cosine =
+    argmax over v·ĉ, centroids L2-normalized once) folded into per-cell
+    running (count, sum of L2-normalized members) — the spherical
+    k-means sufficient statistics, emitted once per partition."""
+    cids = np.array([c for c, _ in cents], dtype=np.int32)
+    M = np.array([vec for _, vec in cents], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    M = M / norms
+    dim = M.shape[1]
+
+    def fn(batches):
+        counts = np.zeros(len(cids), dtype=np.int64)
+        sums = np.zeros((len(cids), dim), dtype=np.float64)
+        for pdf in batches:
+            X = np.array(pdf["vv"].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            a = np.argmax(X @ M.T, axis=1)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            U = X / xn
+            counts += np.bincount(a, minlength=len(cids))
+            np.add.at(sums, a, U)
+        yield pd.DataFrame({"cid": cids, "n": counts, "s": list(sums)})
+
+    return fn
 
 
 def _argmax_cell_udf(cents: list[tuple[int, list[float]]]):
