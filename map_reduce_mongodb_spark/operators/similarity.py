@@ -344,29 +344,43 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     (lsh_bucket_arrays) and feed k-means centroids — the index
     structure and probe join are unchanged. Candidate volume per query
     ≈ n·nprobe/C of the corpus — the recall/cost dial."""
+    # Norms are hoisted into per-row columns BEFORE any pair expansion:
+    # cosine(a,b) = dot(a,b)/sqrt(nsq_a*nsq_b) evaluates the identical
+    # IEEE-754 sequence as the inline form (and the SQL oracle), but
+    # each row's norm is computed once, not once per pair — the n·C
+    # assignment and the candidate re-rank drop to one dot per pair.
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        norm_sq_unrolled(vec_col, dim).alias("cnsq"))
     v = embeddings.select(F.col(id_col).alias("vid"),
-                          F.col(vec_col).alias("vv"))
+                          F.col(vec_col).alias("vv"),
+                          norm_sq_unrolled(vec_col, dim).alias("vnsq"))
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "ccos", cosine_unrolled("vv", "cv", dim))
+        "ccos",
+        dot_unrolled("vv", "cv", dim)
+        / F.sqrt(F.col("vnsq") * F.col("cnsq")))
     w_assign = Window.partitionBy("vid").orderBy(
         F.desc("ccos"), F.asc("cid"))
     ranked = scored.withColumn("crank", F.row_number().over(w_assign))
     assign = ranked.filter(F.col("crank") == 1).select(
-        F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv_n"), "cid")
+        F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv_n"),
+        F.col("vnsq").alias("n_nsq"), "cid")
     probes = ranked.filter(F.col("vid").isin(query_ids)
                            & (F.col("crank") <= nprobe)).select(
-        F.col("vid").alias("query_id"), F.col("vv").alias("qv"), "cid")
+        F.col("vid").alias("query_id"), F.col("vv").alias("qv"),
+        F.col("vnsq").alias("q_nsq"), "cid")
     cands = (
         probes.join(assign, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv_n")
+        .select("query_id", "neighbor_id", "qv", "cv_n", "q_nsq", "n_nsq")
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("cosine", cosine_unrolled("qv", "cv_n", dim))
+        cands.withColumn(
+            "cosine",
+            dot_unrolled("qv", "cv_n", dim)
+            / F.sqrt(F.col("q_nsq") * F.col("n_nsq")))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -517,26 +531,33 @@ def ivf_kmeans_topk(embeddings: DataFrame, query_ids: list[int],
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     v = tracked_persist(
         embeddings.select(F.col(id_col).alias("vid"),
-                          F.col(vec_col).alias("vv")).repartition(par))
+                          F.col(vec_col).alias("vv"),
+                          norm_sq_unrolled(vec_col, dim).alias("nsq"))
+        .repartition(par))
     cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
                              id_col, vec_col, corpus=v.select("vv"))
     assign = v.select(
         F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv_n"),
+        F.col("nsq").alias("n_nsq"),
         _argmax_cell_udf(cents)("vv").alias("cid"))
     probes = (v.filter(F.col("vid").isin(query_ids))
                .select(F.col("vid").alias("query_id"),
                        F.col("vv").alias("qv"),
+                       F.col("nsq").alias("q_nsq"),
                        F.explode(_topcells_udf(cents, nprobe)("vv"))
                         .alias("cid")))
     cands = (
         probes.join(assign, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv_n")
+        .select("query_id", "neighbor_id", "qv", "cv_n", "q_nsq", "n_nsq")
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("cosine", cosine_unrolled("qv", "cv_n", dim))
+        cands.withColumn(
+            "cosine",
+            dot_unrolled("qv", "cv_n", dim)
+            / F.sqrt(F.col("q_nsq") * F.col("n_nsq")))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
