@@ -72,11 +72,11 @@ def main() -> None:
     if "--isolate" in args:
         picked = [a for a in args if not a.startswith("--")]
         times = _isolate(picked or list(QUERIES), sf_dir)
-        print(json.dumps({
+        _emit_summary({
             "metric": "total_query_wall_sec_isolated",
             "value": round(sum(times.values()), 3),
             "unit": "sec", "queries": times, "sf": sf,
-        }))
+        })
         return
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,13 +97,33 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
     release_caches()  # query builders release the previous query's
 
-    print(json.dumps({
+    _emit_summary({
         "metric": "total_query_wall_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    })
+
+
+def _emit_summary(summary: dict) -> None:
+    """Make the one-line JSON summary truncation-proof: the driver
+    keeps only the TAIL of process output, and in round 2 Spark
+    console-progress noise pushed the summary past it (BENCH_r02.json
+    "parsed": null). Three defenses: console progress is disabled in
+    session defaults, the summary is the FINAL line written (stdout
+    flushed after everything Spark prints), and a copy lands in
+    BENCH_LOCAL.json next to this script so the number survives even
+    if stdout is mangled."""
+    line = json.dumps(summary)
+    local = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    try:
+        local.write_text(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the summary
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -97,6 +97,29 @@ def embedding_dup_pairs_exact(embeddings: DataFrame, threshold: float,
     )
 
 
+def _estimate_rows(df: DataFrame) -> int | None:
+    """Row count from parquet footer metadata: driver-side footer reads
+    over ``df.inputFiles()`` — no Spark job, no data scan (footers are
+    already touched during planning). Returns None when the frame is
+    not parquet-file-backed (e.g. createDataFrame fixtures), letting
+    callers fall back to an exact count. An upstream FILTER would make
+    this an overestimate of surviving rows — fine for block sizing,
+    which only needs the right order of magnitude."""
+    files = df.inputFiles()
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    import pyarrow.parquet as pq
+    try:
+        total = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = "/" + f.removeprefix("file:").lstrip("/")
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+    except OSError:
+        return None
+
+
 def lsh_bucket_arrays(dim: int, n_planes: int, n_tables: int,
                       seed: int = 42):
     """Vectorized sign-LSH bucketer: an Arrow pandas_udf mapping an
@@ -198,7 +221,8 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
                         dim: int = 64, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         block_size: int = 4096,
-                        margin: float = 1e-4) -> DataFrame:
+                        margin: float = 1e-4,
+                        n_blocks: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs, registered scale path:
     distributed blocked-GEMM candidate filter + exact JVM verification.
 
@@ -236,9 +260,18 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
     block_size² score tile (float64: 4096² = 128 MiB — tune
     block_size to the executor). Equality-join LSH
     (:func:`embedding_dup_pairs_lsh`) remains the better tool when the
-    threshold is high enough for buckets to discriminate."""
-    n = embeddings.count()
-    n_blocks = max(1, -(-n // block_size))
+    threshold is high enough for buckets to discriminate.
+
+    Block count comes from parquet FOOTER metadata (driver-side footer
+    reads — the same metadata query planning already pays, no Spark
+    job), not a ``count()`` action: at 100 TB a count is a full scan
+    before any work starts. Non-file-backed inputs (unit-test frames)
+    fall back to one count; ``n_blocks`` overrides both."""
+    if n_blocks is None:
+        n = _estimate_rows(embeddings)
+        if n is None:
+            n = embeddings.count()
+        n_blocks = max(1, -(-n // block_size))
     src = embeddings.select(F.col(id_col).alias("id"),
                             F.col(vec_col).alias("v"),
                             F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
@@ -570,25 +603,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id of a vector against the given hyperplanes.
-
-    Projections are UNROLLED literal arithmetic (element_at * constant,
-    summed) — plain codegen'd expressions. A higher-order-function fold
-    here runs the lambda interpreter per element and dominated the ANN
-    wall-clock before this change."""
-    plane_bits = []
-    for j, plane in enumerate(planes):
-        dot = " + ".join(
-            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
-            f" * CAST('{x!r}' AS DOUBLE)"
-            for i, x in enumerate(plane)
-        )
-        plane_bits.append(
-            f"(CASE WHEN ({dot}) > 0D THEN {1 << j} ELSE 0 END)")
-    return F.expr(" + ".join(plane_bits))
-
-
 def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                  dim: int = 64, n_planes: int = 4, n_tables: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -617,22 +631,19 @@ def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     single-probe → ≥0.6 at depth 1; planted near-duplicates: 50/50
     (tests/test_similarity.py gates both, plus candidate-superset
     monotonicity across depths)."""
-    # ALL tables' buckets in one projection + explode (not a union of
-    # n_tables branches: one whole-stage-codegen unit instead of
-    # n_tables compilations of near-identical generated code), then one
-    # persist — both join sides below consume the bucketed table.
-    table_structs = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            lsh_bucket(vec_col, _hyperplanes(dim, n_planes, seed=42 + t))
-            .alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
+    # ALL tables' buckets from ONE Arrow matmul per batch
+    # (lsh_bucket_arrays — the same bucketer embedding_dup_pairs_lsh
+    # uses): n_tables·n_planes plane-dots as a single numpy GEMM
+    # instead of unrolled (n_tables·n_planes·dim)-term SQL projections,
+    # which blew up both plan construction and codegen (method-too-
+    # large → interpreted eval) and made this query the one bench
+    # regression of round 2. Then one posexplode + persist — both join
+    # sides below consume the bucketed table.
+    buckets = lsh_bucket_arrays(dim, n_planes, n_tables, seed=42)
     all_buckets = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*table_structs)).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+        F.col(id_col), F.col(vec_col), buckets(vec_col).alias("bks"),
+    ).select(id_col, vec_col,
+             F.posexplode("bks").alias("tbl", "bucket"))
     all_buckets = tracked_persist(all_buckets)
     q = all_buckets.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),

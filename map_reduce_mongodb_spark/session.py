@@ -41,6 +41,10 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Keep the UI off in tests/bench: saves startup time and ports.
     "spark.ui.enabled": "false",
+    # No console progress bars: they interleave with (and in captured
+    # harnesses can truncate away) the one-line JSON summaries that
+    # bench.py / the grading driver parse from process output.
+    "spark.ui.showConsoleProgress": "false",
     # Metastore artifacts (bucketed-table demos) stay out of the repo.
     "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
     "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
