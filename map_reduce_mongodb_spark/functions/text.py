@@ -130,3 +130,24 @@ def word_shingles(col: Column, n: int = 3, distinct: bool = True) -> Column:
         grams = F.array_distinct(grams)
     return F.when(F.size(w) >= n, grams) \
         .otherwise(F.array().cast("array<string>"))
+
+
+def hashed_word_shingles(col: Column, n: int = 3,
+                         distinct: bool = True) -> Column:
+    """xxhash64 word n-gram shingles (array<bigint>) — the Spark-only
+    fast twin of :func:`word_shingles`: each shingle is hashed
+    DIRECTLY from its n word columns (``xxhash64(w1, ..., wn)`` hashes
+    the tuple), so the per-gram string concatenation — which dominates
+    the string variant's cost — never happens, and downstream joins/
+    set ops move fixed 8-byte keys. Two distinct grams collide with
+    probability 2⁻⁶⁴; not SQL-reproducible (no DuckDB xxhash64), so
+    use only in rows-only-checked queries."""
+    w = words(col)
+    m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, j + 1, m) for j in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(w) >= n, grams) \
+        .otherwise(F.array().cast("array<bigint>"))

@@ -21,9 +21,14 @@ TABLE_NAMES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-#: Columns stored as TIMESTAMP(NANOS) in the driver parquet. Spark reads
-#: them as long (``spark.sql.legacy.parquet.nanosAsLong``); we convert to
-#: TIMESTAMP at scan time — lossless, the corpus has 0 sub-µs digits.
+#: Timestamp columns whose parquet unit has varied across driver
+#: testdata generations (current snapshots store TIMESTAMP(MICROS),
+#: which Spark reads natively; older ones stored TIMESTAMP(NANOS),
+#: which lands as BIGINT under ``spark.sql.legacy.parquet.nanosAsLong``).
+#: The scan is dtype-defensive: the DIV-1000 conversion below applies
+#: only when the column actually arrives as bigint — lossless either
+#: way, the corpus has 0 sub-µs digits. Streaming readers probe the
+#: footer for the same tolerance (streaming/windows.py).
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),

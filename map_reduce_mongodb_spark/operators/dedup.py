@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from map_reduce_mongodb_spark.cache import tracked_persist
-from map_reduce_mongodb_spark.functions.text import fingerprint, word_shingles
+from map_reduce_mongodb_spark.functions.text import (
+    fingerprint,
+    hashed_word_shingles,
+    word_shingles,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -154,7 +158,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.5,
                         shingle_n: int = 3,
-                        block_col: str | None = "lang") -> DataFrame:
+                        block_col: str | None = "lang",
+                        hash_tokens: bool = False) -> DataFrame:
     """EXACT n-gram Jaccard pairs (within blocks, default same lang) via
     the inverted-index algorithm — the scalable exact formulation:
 
@@ -171,8 +176,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       shingle's document frequency (df-pruning slots in naturally at
       larger scale).
     Pairs with J ≥ threshold > 0 always share a shingle, so the result
-    is exactly the brute-force answer."""
-    sh = word_shingles(F.col(text_col), shingle_n)
+    is exactly the brute-force answer.
+
+    ``hash_tokens``: the Spark-only fast twin — shingles are hashed
+    DIRECTLY from their word tuples (``hashed_word_shingles``:
+    ``xxhash64(w1..wn)``, no per-gram string concatenation, which
+    dominates the string variant's narrow stage) and the posting join
+    ships fixed 8-byte longs instead of ~20-30-byte grams. A 64-bit
+    collision between two distinct shingles could perturb a count by 1
+    (probability ~n_shingles²·2⁻⁶⁴ — negligible; equality to the
+    exact string join is pinned at test scale), so the default stays
+    exact strings for the oracle-checked query."""
+    sh = (hashed_word_shingles(F.col(text_col), shingle_n) if hash_tokens
+          else word_shingles(F.col(text_col), shingle_n))
     cols = [F.col(id_col), sh.alias("sh")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
@@ -342,7 +358,8 @@ def simhash_md5(df: DataFrame, text_col: str = "text",
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", gram_n: int = 3,
-                        window: int = 4) -> DataFrame:
+                        window: int = 4,
+                        hasher: str = "md5") -> DataFrame:
     """Winnowing document fingerprints (the rolling-hash selection
     scheme from Schleimer/Wilkerson/Aiken's MOSS paper): hash every
     word n-gram, slide a window of `window` consecutive gram hashes,
@@ -367,23 +384,48 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     measured 40s at sf0.1. Instead the min is `least()` over
     ``arrays_zip`` of `window` shifted slices (the word_shingles
     pattern): h is multi-referenced (CollapseProject backs off) and
-    each element is touched O(window) times. 40s → ~2s."""
+    each element is touched O(window) times. 40s → ~2s.
+
+    ``hasher``: ``"md5"`` (default) is the engine-portable,
+    oracle-checked truth; ``"xxhash64"`` is the Spark-only fast twin —
+    same selection scheme over 64-bit integer hashes, ~5× cheaper per
+    gram (md5 is a cryptographic digest; winnowing only needs a
+    uniform hash). The winnowing guarantee (a shared run of
+    window+gram_n-1 words shares ≥1 selected fingerprint) holds for
+    ANY hash, so the twin is gated by the same planted-passage tests;
+    its fingerprints just aren't SQL-reproducible (rows-only check)."""
+    if hasher not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hasher: {hasher!r}")
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     m = F.greatest(F.size(w) - F.lit(gram_n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(w, j + 1, m) for j in range(gram_n)])
-    grams = F.transform(
-        zipped,
-        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(gram_n)]))
-    base = (
-        df.select(F.col(id_col), grams.alias("g"))
-        .filter(F.size("g") >= window)
-    )
-    # hex8 kept as STRING: lexicographic min of fixed-width lowercase
-    # hex == numeric min, and skipping conv() saves a pass (~30% of the
-    # hash stage).
-    hashed = base.select(
-        F.col(id_col),
-        F.transform("g", lambda x: F.substring(F.md5(x), 1, 8)).alias("h"))
+    if hasher == "md5":
+        grams = F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(gram_n)]))
+        base = (
+            df.select(F.col(id_col), grams.alias("g"))
+            .filter(F.size("g") >= window)
+        )
+        # hex8 kept as STRING: lexicographic min of fixed-width
+        # lowercase hex == numeric min, and skipping conv() saves a
+        # pass (~30% of the hash stage).
+        hashed = base.select(
+            F.col(id_col),
+            F.transform("g", lambda x: F.substring(F.md5(x), 1, 8))
+            .alias("h"))
+    else:
+        # Fast twin: hash each gram DIRECTLY from its word tuple
+        # (xxhash64 over the struct fields) — the gram string is never
+        # concatenated, which is most of the md5 variant's narrow-stage
+        # cost; window mins become numeric least() over longs.
+        gh = F.transform(
+            zipped,
+            lambda s: F.xxhash64(*[s[str(j)] for j in range(gram_n)]))
+        hashed = (
+            df.select(F.col(id_col), gh.alias("h"))
+            .filter(F.size("h") >= window)
+        )
     mw = F.greatest(F.size("h") - F.lit(window - 1), F.lit(0))
     wz = F.arrays_zip(*[F.slice("h", j + 1, mw) for j in range(window)])
     mins = hashed.select(
@@ -396,15 +438,17 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 def winnow_dup_pairs(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", gram_n: int = 3,
-                     window: int = 4, min_shared: int = 3) -> DataFrame:
+                     window: int = 4, min_shared: int = 3,
+                     hasher: str = "md5") -> DataFrame:
     """Passage-copy candidate pairs: documents sharing ≥ `min_shared`
     winnowing fingerprints, with the shared count. Inverted-index
     shape (identical scale story to ngram_jaccard_pairs): explode
     (fp, id) postings, self-join on the fingerprint itself, count hits
     per pair — only pairs that actually share a fingerprint are ever
-    materialized, shuffle keyed by fp."""
+    materialized, shuffle keyed by fp. ``hasher`` as in
+    :func:`winnow_fingerprints` (xxhash64 = Spark-only fast twin)."""
     fps = tracked_persist(
-        winnow_fingerprints(df, text_col, id_col, gram_n, window))
+        winnow_fingerprints(df, text_col, id_col, gram_n, window, hasher))
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

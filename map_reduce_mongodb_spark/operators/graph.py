@@ -63,13 +63,28 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _persistent_rdds(spark) -> dict:
-    """id → JVM RDD handle of every currently-persisted RDD."""
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-    out = {}
-    while it.hasNext():
-        t = it.next()
-        out[t._1()] = t._2()
-    return out
+    """id → JVM RDD handle of every currently-persisted RDD.
+
+    Deliberate private-API use, version-pinned: ``SparkContext._jsc``
+    (the Py4J JavaSparkContext) and ``sc().getPersistentRDDs()`` (a
+    PUBLIC Scala API, reached through the private Python handle) are
+    stable across Spark 3.x/4.x (developed against 4.1). There is no
+    public PySpark surface that enumerates persisted RDDs, and
+    ``DataFrame.unpersist`` does not release localCheckpoint blocks —
+    this is the only way to free them. If a future Spark moves the
+    handle, the except below degrades GRACEFULLY: checkpoint blocks
+    are simply not freed early (they still die with the session /
+    ContextCleaner), trading memory hygiene for correctness instead of
+    crashing the query."""
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        out = {}
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+    except Exception:  # AttributeError (API moved) or Py4J errors
+        return {}
 
 
 def _checkpoint(df: DataFrame):

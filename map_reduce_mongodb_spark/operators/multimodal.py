@@ -9,17 +9,25 @@ Design (north-star: 100 TB training-data pipelines):
 - Decode / feature-extraction / frame-sampling run as **Arrow-batched
   Python stages** (``mapInPandas`` / ``pandas_udf``) — the one place
   Python is the right tool, because codec libraries are Python/C.
-- THIS CONTAINER HAS NO CODEC LIBRARIES (no PIL/ffmpeg/librosa), so the
-  byte-level decoders below are **deterministic fakes, clearly marked**
-  (gated by ``_FAKE_DECODE = True``); the Spark-side plumbing — column
-  schemas, batch iteration, 1→n frame explosion, partition behavior —
-  is real and is what the tests exercise. Swapping in a real decoder
-  changes only the body of ``_decode_payload``.
+- Codec reality in this container (no PIL/ffmpeg/librosa): **image and
+  audio decode are REAL** — the synthesized payloads are well-formed
+  binary PPM (P6) and PCM WAV files, and ``_decode_payload`` parses
+  their headers with pure stdlib (hand-rolled P6 parsing with
+  pixel-array length validation; the ``wave`` module for WAV), so the
+  decode path exercises genuine bytes end-to-end. **Video stays a
+  deterministic fake** (``_FAKE_VIDEO_DECODE = True`` — the stdlib has
+  no video container parser), clearly marked; a real build swaps only
+  that branch for ffmpeg. The Spark-side plumbing — column schemas,
+  Arrow batch iteration, 1→n frame explosion, partition behavior — is
+  identical across all three types.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,13 +55,61 @@ MEDIA_SCHEMA = StructType([
     ]), True),
 ])
 
-_FAKE_DECODE = True  # no codec libs in this container — see module doc
+_FAKE_VIDEO_DECODE = True  # stdlib has no video parser — see module doc
+
+#: WAV synthesis parameters (PCM 16-bit).
+_WAV_RATE = 16000
+_WAV_SAMPLE_BYTES = 2
+
+
+def _synth_payload(media_type: str, text: str) -> bytes:
+    """Deterministic WELL-FORMED payload per media type, derived from
+    the document text so every property is SQL-derivable (the oracle
+    recomputes geometry from ``length(text)``):
+
+    - image → binary PPM (P6): ``P6\\n{w} {h}\\n255\\n`` + exactly
+      w·h·3 pixel bytes (text repeated/truncated). w and h are
+      16 + f(len) ∈ [16, 63], so their decimal forms are always two
+      digits and the header is exactly 13 bytes.
+    - audio → PCM WAV: standard 44-byte RIFF header + the text bytes
+      truncated to a whole number of frames (block align =
+      2·channels; channels = 1 + len % 2).
+    - video → raw text bytes (opaque; no stdlib container writer).
+    """
+    raw = text.encode("utf-8")
+    n = len(raw)
+    if media_type == "image":
+        w = 16 + n % 48
+        h = 16 + (n // 7) % 48
+        npix = w * h * 3
+        body = (raw * (-(-npix // n)))[:npix] if n else b"\x00" * npix
+        return b"P6\n%d %d\n255\n" % (w, h) + body
+    if media_type == "audio":
+        channels = 1 + n % 2
+        block = _WAV_SAMPLE_BYTES * channels
+        dsize = n - (n % block)
+        hdr = (b"RIFF" + struct.pack("<I", 36 + dsize) + b"WAVE"
+               + b"fmt " + struct.pack(
+                   "<IHHIIHH", 16, 1, channels, _WAV_RATE,
+                   _WAV_RATE * block, block, 8 * _WAV_SAMPLE_BYTES)
+               + b"data" + struct.pack("<I", dsize))
+        return hdr + raw[:dsize]
+    return raw
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic media table from the read-only documents
-    table: text bytes stand in for media payloads; media_type cycles by
-    doc_id. (Ingest analogue of ``spark.read.format('binaryFile')``.)"""
+    table: each row carries a synthesized well-formed payload (PPM /
+    WAV / opaque — see :func:`_synth_payload`); media_type cycles by
+    doc_id. (Ingest analogue of ``spark.read.format('binaryFile')``.)
+    Payload synthesis is an Arrow-batched pandas_udf — fixture-building
+    code, not a hot path."""
+    @F.pandas_udf(BinaryType())
+    def synth(mt: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_synth_payload(m, t if t is not None else "")
+             for m, t in zip(mt, text)])
+
     mt = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -63,7 +119,7 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit("mem://corpus/"), F.col("doc_id").cast("string")).alias("uri"),
         mt.alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
+        synth(mt, F.col("text")).alias("data"),
         F.struct(
             F.col("source").alias("source"),
             F.col("n_chars").alias("declared_chars"),
@@ -72,19 +128,49 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _decode_payload(media_type: str, payload: bytes) -> dict:
-    """FAKE decoder (deterministic): derives pseudo width/height/
-    duration from the payload digest. A real build replaces this body
-    with PIL / ffmpeg / soundfile calls behind the same dict contract."""
-    if not _FAKE_DECODE:  # pragma: no cover - real-codec path
-        raise NotImplementedError("no codec libraries in this environment")
-    digest = hashlib.sha256(payload or b"").digest()
-    a, b = digest[0], digest[1]
+    """Decode a media payload's geometry. Image and audio are REAL
+    parsers over real bytes:
+
+    - image: P6 (binary PPM) header — magic, dimensions, maxval — with
+      strict validation that the pixel array is exactly w·h·3 bytes
+      (a truncated or padded file raises ValueError);
+    - audio: stdlib ``wave`` (RIFF/fmt/data chunk walk), which rejects
+      malformed headers itself.
+
+    Video has no stdlib parser: a deterministic sha256-derived fake,
+    gated by ``_FAKE_VIDEO_DECODE`` — a real build replaces that
+    branch (only) with an ffmpeg probe behind the same dict contract."""
     if media_type == "image":
-        return {"width": 64 + a % 192, "height": 64 + b % 192,
+        if not payload.startswith(b"P6"):
+            raise ValueError("not a binary PPM (P6) payload")
+        # Header: P6 <ws> width <ws> height <ws> maxval <single ws>.
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PPM header")
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        if len(payload) - pos != width * height * 3:
+            raise ValueError("PPM pixel array size mismatch")
+        return {"width": width, "height": height,
                 "channels": 3, "n_frames": 1}
     if media_type == "audio":
-        return {"width": 0, "height": 0, "channels": 1 + a % 2,
-                "n_frames": 1000 + (a << 8 | b)}
+        with wave.open(io.BytesIO(payload)) as wv:
+            return {"width": 0, "height": 0,
+                    "channels": wv.getnchannels(),
+                    "n_frames": wv.getnframes()}
+    if not _FAKE_VIDEO_DECODE:  # pragma: no cover - real-codec path
+        raise NotImplementedError("no video codec in this environment")
+    digest = hashlib.sha256(payload or b"").digest()
+    a, b = digest[0], digest[1]
     return {"width": 320 + a % 64, "height": 240 + b % 64,
             "channels": 3, "n_frames": 8 + a % 24}
 

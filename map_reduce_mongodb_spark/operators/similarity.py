@@ -443,7 +443,14 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     ``corpus`` (optional): a pre-repartitioned+persisted (vv) frame to
     iterate over — pass it when the caller keeps iterating afterwards
     (ivf_kmeans_topk does) so the scan+spread shuffle happens once for
-    the whole build instead of once per Lloyd pass."""
+    the whole build instead of once per Lloyd pass.
+
+    Determinism note: per-partition partial sums merge on the driver in
+    float64, so centroid coordinates can differ in the last bit across
+    partition layouts (np.add.at accumulation order). Downstream
+    rankings could flip only on exact cosine ties; correctness is
+    carried by the probe machinery (all-cells probe ≡ brute force for
+    ANY centroids — see ivf_kmeans_topk), not by centroid bits."""
     cents = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in embeddings.filter(F.col(id_col) < n_centroids)

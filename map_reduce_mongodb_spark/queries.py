@@ -1333,6 +1333,50 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             min_shared=3)
 
 
+# Spark-only fast twins of the md5-bound dedup tail. md5 keeps those
+# queries SQL-reproducible (the whole point of the oracle-checked
+# variants), but it is a cryptographic digest where the algorithm only
+# needs a uniform hash — xxhash64 runs the same selection/join shapes
+# ~5× cheaper. Rows-only driver check by design (xxhash64 is
+# Spark-specific); correctness is gated in tests/test_dedup.py: the
+# ngram twin must EQUAL the exact string-join answer, the winnow twins
+# must find the planted passage copies.
+
+@query("winnow_fingerprints_fast")  # rows-only: xxhash64 is Spark-only
+def q_winnow_fingerprints_fast(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints over xxhash64 gram hashes — identical
+    selection scheme to `winnow_fingerprints` (window-min of rolling
+    gram hashes; the shared-run guarantee holds for any hash), minus
+    the md5 oracle-portability tax."""
+    from map_reduce_mongodb_spark.operators.dedup import winnow_fingerprints
+    return winnow_fingerprints(table(spark, "documents", sf_dir),
+                               hasher="xxhash64")
+
+
+@query("winnow_dup_pairs_fast")  # rows-only: xxhash64 is Spark-only
+def q_winnow_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-copy pairs over xxhash64 winnowing fingerprints — the
+    bench-path twin of `winnow_dup_pairs` (same inverted-index join,
+    integer fingerprints instead of md5 hex)."""
+    from map_reduce_mongodb_spark.operators.dedup import winnow_dup_pairs
+    return winnow_dup_pairs(table(spark, "documents", sf_dir),
+                            min_shared=3, hasher="xxhash64")
+
+
+@query("ngram_jaccard_pairs_fast")  # rows-only: xxhash64 is Spark-only
+def q_ngram_jaccard_pairs_fast(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs with xxhash64-hashed postings: the
+    inverted-index join ships 8-byte keys instead of shingle strings.
+    Same answer as `ngram_jaccard_pairs` up to 2⁻⁶⁴ collisions
+    (equality pinned in tests/test_dedup.py)."""
+    from map_reduce_mongodb_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(table(spark, "documents", sf_dir),
+                               threshold=0.7, shingle_n=3,
+                               block_col="lang", hash_tokens=True)
+
+
 def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 32) -> str:
     nb = max_hamming + 1
     widths = [bits // nb + (1 if j < bits % nb else 0) for j in range(nb)]
@@ -1740,20 +1784,35 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @query("multimodal_inventory", oracle="""
-SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
+WITH m AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         length(text) AS len
+  FROM documents),
+sized AS (
+  SELECT media_type,
+         CASE media_type
+           WHEN 'image' THEN
+             13 + (16 + len % 48) * (16 + (len // 7) % 48) * 3
+           WHEN 'audio' THEN 44 + len - (len % (2 * (1 + len % 2)))
+           ELSE len END AS nbytes
+  FROM m)
+SELECT media_type,
        count(*) AS n,
-       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
-       min(length(text)) AS min_bytes,
-       max(length(text)) AS max_bytes
-FROM documents
-GROUP BY 1
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+       min(nbytes) AS min_bytes,
+       max(nbytes) AS max_bytes
+FROM sized
+GROUP BY media_type
 """)
 def q_multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column accounting over the synthesized media table (the
-    corpus is ASCII so byte length == text length, which the oracle
-    exploits)."""
+    """Binary-column accounting over the synthesized media table. The
+    payloads are WELL-FORMED files (binary PPM / PCM WAV — see
+    multimodal._synth_payload), whose sizes are closed-form in the
+    text length (ASCII corpus: bytes == chars): PPM = 13-byte header
+    + w·h·3 pixels, WAV = 44-byte header + frame-aligned data, video
+    = raw bytes. The oracle recomputes those formulas."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         media_from_documents)
     media = media_from_documents(table(spark, "documents", sf_dir))
@@ -1770,19 +1829,22 @@ WITH d AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
+         length(text) AS len,
          CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) AS a,
          CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) AS b
   FROM documents),
 g AS (
   SELECT media_type,
-         CASE media_type WHEN 'image' THEN 64 + a % 192
+         CASE media_type WHEN 'image' THEN 16 + len % 48
                          WHEN 'audio' THEN 0
                          ELSE 320 + a % 64 END AS width,
-         CASE media_type WHEN 'image' THEN 64 + b % 192
+         CASE media_type WHEN 'image' THEN 16 + (len // 7) % 48
                          WHEN 'audio' THEN 0
                          ELSE 240 + b % 64 END AS height,
          CASE media_type WHEN 'image' THEN 1
-                         WHEN 'audio' THEN 1000 + a * 256 + b
+                         WHEN 'audio' THEN
+                           (len - (len % (2 * (1 + len % 2))))
+                             // (2 * (1 + len % 2))
                          ELSE 8 + a % 24 END AS n_frames
   FROM d)
 SELECT media_type,
@@ -1794,11 +1856,15 @@ FROM g
 GROUP BY media_type
 """)
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode stage (stubbed codec, real mapInPandas plumbing) +
-    aggregation over the decoded geometry. The fake decoder derives
-    geometry from sha256 digest bytes (multimodal.py:_decode_payload),
-    and DuckDB has sha256() — so even the stubbed decode path is fully
-    oracle-checked, pinning the Arrow plumbing end-to-end. avgs are
+    """REAL decode for image/audio + aggregation over the decoded
+    geometry: the Spark side genuinely parses the synthesized PPM
+    headers (with pixel-array validation) and WAV headers (stdlib
+    ``wave``) inside the Arrow mapInPandas stage; only video geometry
+    is the documented sha256-derived fake (no stdlib video parser).
+    The oracle recomputes what a correct parse MUST find from the
+    synthesis formulas (PPM w/h from text length; WAV frame count
+    from frame-aligned data size) — so a broken parser or malformed
+    synthesis fails the hash, not just a schema check. avgs are
     emitted UNROUNDED: sum-of-ints/count divides identically in both
     engines, while round(x, 2) can disagree on half-way doubles."""
     from map_reduce_mongodb_spark.operators.multimodal import (
@@ -3636,6 +3702,8 @@ _PRIORITY: list[str] = [
     "pivot_priority_status", "posexplode_components", "null_semantics",
     "incremental_dedup_pairs", "minhash_lsh_md5",
     # --- tier 2: new in round 3 (append new registrations HERE)
+    "winnow_fingerprints_fast", "winnow_dup_pairs_fast",
+    "ngram_jaccard_pairs_fast",
     # --- tier 3: checked in r01 only (rotate back in as slots allow)
     "embedding_dup_pairs", "string_functions", "stateful_user_profiles",
     "salted_agg_skew", "asof_join_purchases", "range_join_error_context",

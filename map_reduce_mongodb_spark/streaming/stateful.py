@@ -65,6 +65,9 @@ def user_profiles_stateful(events: DataFrame) -> DataFrame:
         # state/serializer round-trip assumes nanosecond Timestamps, so a
         # us-unit Timestamp silently re-reads its integer value as ns
         # (2024 epoch-us -> 1970-01-20). Pin everything to ns explicitly.
+        # Range assumption: ns-representable timestamps only (1677-2262)
+        # — .astype/as_unit('ns') raises OutOfBoundsDatetime beyond that;
+        # fine for event data, by design.
         if first_ts is not None:
             first_ts = _pd.Timestamp(first_ts).as_unit("ns")
         if last_ts is not None:

@@ -15,16 +15,44 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-#: Driver events table schema as stored (ts is TIMESTAMP(MICROS)
-#: parquet — read directly; no unit conversion needed).
-_EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+#: Driver events table schema (current testdata stores ts as
+#: TIMESTAMP(MICROS); {ts_type} is filled per-corpus by the footer
+#: probe in read_events_stream).
+_EVENTS_DDL = ("event_id long, ts {ts_type}, user_id long, "
                "event_type string, value double, props string")
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """Probe one parquet footer for events.ts stored as
+    TIMESTAMP(NANOS) (older driver testdata generations) — file
+    streams must declare their schema up front, so the batch path's
+    dtype-defensive unit handling (io._NANO_TS_COLS) needs this
+    metadata peek instead. Driver-side, metadata-only, no job."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    files = (glob.glob(os.path.join(path, "*.parquet"))
+             if os.path.isdir(path) else [path])
+    if not files:
+        return False
+    field = pq.ParquetFile(files[0]).schema_arrow.field("ts")
+    return getattr(field.type, "unit", None) == "ns"
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """``readStream`` over an events parquet directory (file source =
-    replayable, exactly-once)."""
-    return spark.readStream.schema(_EVENTS_DDL).parquet(path)
+    replayable, exactly-once). Tolerates both timestamp units the
+    driver testdata has used: MICROS streams natively; NANOS is
+    declared as long and converted with integer DIV (never float —
+    epoch-nanos overflow double's 53-bit mantissa)."""
+    if _ts_is_nanos(path):
+        stream = spark.readStream.schema(
+            _EVENTS_DDL.format(ts_type="long")).parquet(path)
+        return stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.readStream.schema(
+        _EVENTS_DDL.format(ts_type="timestamp")).parquet(path)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

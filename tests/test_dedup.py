@@ -152,3 +152,56 @@ def test_prefix_jaccard_max_df_pruning(spark):
     assert set(capped) <= set(exact)
     assert all(exact[p] == j for p, j in capped.items())
     assert capped  # planted dups share rare shingles -> still found
+
+
+def test_ngram_jaccard_fast_twin_equals_exact(spark):
+    """The xxhash64-posting twin is the same algorithm over hashed
+    join keys: absent a 64-bit collision (probability ~2^-64 per
+    shingle pair) the pair set AND the Jaccard values are identical
+    to the exact string-join answer."""
+    docs = _docs(spark)
+    exact = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, threshold=0.7, block_col="lang").collect()))
+    fast = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, threshold=0.7, block_col="lang",
+        hash_tokens=True).collect()))
+    assert fast == exact
+    assert exact  # fixture plants qualifying pairs
+
+
+def test_winnow_fast_twin_guarantee_and_agreement(spark):
+    """The xxhash64 winnowing twin keeps the scheme's guarantee (a
+    planted shared passage must surface; disjoint docs must not) —
+    the hash choice changes WHICH grams are selected, not the
+    guarantee. On the real corpus the two hashers must agree on the
+    clear-cut planted copies (pairs sharing ≥3 fingerprints under
+    both)."""
+    from map_reduce_mongodb_spark.operators.dedup import winnow_dup_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    filler_a = " ".join(f"alpha{i}" for i in range(30))
+    filler_b = " ".join(f"beta{i}" for i in range(30))
+    filler_c = " ".join(f"gamma{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, f"{filler_a} {passage} more unrelated tail words here"),
+         (2, f"{passage} {filler_b}"),
+         (3, filler_c)],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in winnow_dup_pairs(docs, min_shared=1,
+                                       hasher="xxhash64").collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+    corpus = _docs(spark)
+    md5_pairs = {(r.id_a, r.id_b)
+                 for r in winnow_dup_pairs(corpus, min_shared=3).collect()}
+    fast_pairs = {(r.id_a, r.id_b)
+                  for r in winnow_dup_pairs(corpus, min_shared=3,
+                                            hasher="xxhash64").collect()}
+    assert md5_pairs  # fixture plants passage copies
+    # Different hashers sample different grams, so the n_shared
+    # borderline can differ; the planted copies (large overlap) must
+    # be found by both.
+    overlap = len(md5_pairs & fast_pairs) / len(md5_pairs)
+    assert overlap >= 0.8, f"winnow twin agreement too low: {overlap}"

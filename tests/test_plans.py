@@ -166,3 +166,61 @@ def test_cache_hygiene_bounded_and_releasable(spark):
         assert sc.getPersistentRDDs().size() <= 2, name
     release_caches()
     assert sc.getPersistentRDDs().size() == 0
+
+
+def test_gemm_block_pair_task_count(spark):
+    """The blocked-GEMM candidate stage must schedule exactly
+    B(B+1)/2 tasks (one per unordered block pair) — the distributed-
+    GEMM decomposition that bounds per-task memory at 2 blocks."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        embedding_dup_pairs)
+    emb = table(spark, "embeddings", SF_DIR)
+    for n_blocks in (3, 4):
+        df = embedding_dup_pairs(emb, threshold=0.4, n_blocks=n_blocks)
+        want = n_blocks * (n_blocks + 1) // 2
+        p = plan(df, "simple")
+        assert "hashpartitioning(blk_a" in p
+        assert f", {want}), REPARTITION_BY_NUM" in p, (
+            f"expected a {want}-partition repartition of block pairs")
+
+
+def test_embedding_dup_pairs_no_count_prescan(spark):
+    """Block sizing must come from parquet footer metadata, not a
+    count() action — at scale a count is a full scan before any work
+    starts. Building the query with DataFrame.count disabled proves
+    the action path is never taken for file-backed corpora."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("count() prescan executed")
+
+    name = "embedding_dup_pairs"
+    with mock.patch.object(DataFrame, "count", boom):
+        df = QUERIES[name](spark, SF_DIR)  # plan builds without count
+    assert df.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_cc_round_count_bounded_on_path_graph(spark):
+    """Kiveris et al. converge in O(log² n) rounds; a length-32 path
+    (worst diameter per node count) must finish well under the
+    max_iter failsafe — pin ≤6 rounds so an accidental downgrade to
+    per-hop propagation (O(n) rounds) fails loudly."""
+    from map_reduce_mongodb_spark.operators import graph as G
+
+    calls = {"n": 0}
+    orig = G._small_star
+
+    def counting(edges):
+        calls["n"] += 1
+        return orig(edges)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "src: long, dst: long")
+    from unittest import mock
+    with mock.patch.object(G, "_small_star", counting):
+        labels = {(r.id, r.cc)
+                  for r in G.connected_components(edges).collect()}
+    assert labels == {(i, 0) for i in range(1, 33)} | {(0, 0)}
+    assert calls["n"] <= 6, f"CC took {calls['n']} rounds on a 32-path"
