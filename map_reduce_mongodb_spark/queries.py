@@ -3666,6 +3666,316 @@ def q_q22_global_sales_opportunity(spark: SparkSession,
 
 
 # =====================================================================
+# Round-3 additions: retrieval ranking, SQL-surface completions,
+# product analytics, and corpus-monitoring shapes
+# =====================================================================
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(w) AS dl,
+         unnest(w) AS tok
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents)),
+tf AS (
+  SELECT doc_id, any_value(dl) AS dl, tok,
+         CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE tok IN ({terms})
+  GROUP BY doc_id, tok),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(len(string_split_regex(lower(trim(text)), '\\s+')))
+           AS avg_dl
+  FROM documents),
+idf AS (
+  SELECT tok, ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY tok), stats),
+scored AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * tf.dl / stats.avg_dl))) AS s
+  FROM tf JOIN idf ON tf.tok = idf.tok, stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS bm25
+FROM scored
+ORDER BY s DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("bm25_search", oracle=_bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the documents table — the lexical
+    ranking half of a retrieval pipeline (the dense half is
+    cosine_topk/hybrid_search). Corpus statistics (N, avgdl) are one
+    tiny aggregate broadcast into the per-(doc, term) score; term
+    frequencies come from one narrow explode+filter+groupBy keyed by
+    (doc, term) — at 100 TB this is the standard two-pass BM25: no
+    all-pairs anything, shuffle volume bounded by matching postings
+    only (the term filter prunes before the shuffle). Top-k with a
+    deterministic doc_id tiebreak; scores rounded to 4 decimals so
+    the float sum order (3 terms) can't flip the hash."""
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    tf = (toks.select("doc_id", F.size("w").alias("dl"),
+                      F.explode("w").alias("tok"))
+          .filter(F.col("tok").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "tok")
+          .agg(F.first("dl").alias("dl"),
+               F.count(F.lit(1)).cast("double").alias("tf")))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("w")).alias("avg_dl"))
+    idf = (tf.groupBy("tok")
+           .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+           .join(F.broadcast(stats))
+           .select("tok", F.log((F.col("n_docs") - F.col("df") + 0.5)
+                                / (F.col("df") + 0.5) + 1.0).alias("idf")))
+    k1, b = _BM25_K1, _BM25_B
+    term_score = (F.col("idf") * F.col("tf") * (k1 + 1.0)
+                  / (F.col("tf") + k1 * (1.0 - b
+                     + b * F.col("dl") / F.col("avg_dl"))))
+    scored = (tf.join(F.broadcast(idf), "tok")
+              .join(F.broadcast(stats))
+              .groupBy("doc_id").agg(F.sum(term_score).alias("s")))
+    return (scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(20)
+            .select("doc_id", F.round("s", 4).alias("bm25")))
+
+
+@query("grouping_sets_agg", oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), ())
+""")
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind the registered
+    rollup/cube queries): per (flag, status), per flag, and grand
+    total in ONE pass — Spark expands the sets into a single Expand +
+    hash-aggregate (each input row fans out to its grouping sets
+    map-side; still one shuffle, partial aggregation intact).
+    grouping_id disambiguates real NULL group keys from subtotal
+    rows; subtotal keys are labeled 'ALL' for hash stability."""
+    from map_reduce_mongodb_spark.io import load_tables
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               grouping_id() AS gid,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+@query("funnel_conversion", oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+""")
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view → later click → later purchase):
+    how many users progressed through each stage IN ORDER — the
+    product-analytics shape windowed counts can't express (stage k+1
+    must happen strictly after the user's first stage-k event).
+    Implemented as three per-user min-timestamp aggregations, each
+    joined to the previous stage's anchor; all shuffles are keyed by
+    user_id, and AQE may broadcast the shrinking stage anchors at
+    scale. The per-user anchor frames stay distributed — only the
+    final three counts are scalars."""
+    events = table(spark, "events", sf_dir)
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("first_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_click")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("first_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    return (v.agg(F.count(F.lit(1)).alias("n_view"))
+            .join(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+            .join(p.agg(F.count(F.lit(1))
+                        .alias("n_view_click_purchase"))))
+
+
+@query("lang_mixture_drift", oracle="""
+WITH per_src AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS n_sl
+  FROM documents GROUP BY source, lang),
+src_tot AS (
+  SELECT source, sum(n_sl) AS n_s FROM per_src GROUP BY source),
+corpus AS (
+  SELECT lang, CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS p_corpus
+  FROM documents GROUP BY lang)
+SELECT per_src.source, per_src.lang,
+       CAST(n_sl AS BIGINT) AS n_docs,
+       round(n_sl / n_s, 6) AS p_source,
+       round(p_corpus, 6) AS p_corpus,
+       round(n_sl / n_s - p_corpus, 6) AS drift
+FROM per_src
+JOIN src_tot ON per_src.source = src_tot.source
+JOIN corpus ON per_src.lang = corpus.lang
+""")
+def q_lang_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mixture drift report — the corpus-
+    monitoring query behind "source X suddenly skews Chinese": each
+    source's language distribution against the corpus-wide mixture,
+    with the signed share drift. One narrow (source, lang) count
+    feeds everything; the corpus mixture is a broadcast-size join.
+    At 100 TB the per-(source, lang) matrix stays tiny regardless of
+    corpus size — monitoring cost is O(groups), not O(docs)."""
+    docs = table(spark, "documents", sf_dir)
+    per_src = (docs.groupBy("source", "lang")
+               .agg(F.count(F.lit(1)).cast("double").alias("n_sl")))
+    src_tot = per_src.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    n_total = docs.agg(F.count(F.lit(1)).cast("double").alias("n_tot"))
+    corpus = (docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).cast("double").alias("n_l"))
+              .join(F.broadcast(n_total))
+              .select("lang", (F.col("n_l") / F.col("n_tot"))
+                      .alias("p_corpus")))
+    return (per_src.join(src_tot, "source")
+            .join(F.broadcast(corpus), "lang")
+            .select("source", "lang",
+                    F.col("n_sl").cast("long").alias("n_docs"),
+                    F.round(F.col("n_sl") / F.col("n_s"), 6)
+                    .alias("p_source"),
+                    F.round("p_corpus", 6).alias("p_corpus"),
+                    F.round(F.col("n_sl") / F.col("n_s")
+                            - F.col("p_corpus"), 6).alias("drift")))
+
+
+@query("dedup_rate_by_source", oracle="""
+WITH fp AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT f) AS DOUBLE) / count(*), 6)
+         AS dup_rate
+FROM fp GROUP BY source
+""")
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the curation dashboard number
+    that decides which feed gets deduplicated first. One hash-groupBy
+    on (source, fingerprint): count-distinct is computed from the
+    normalized-md5 fingerprint (functions/text.py), so the metric is
+    engine-portable and the shuffle is uniform md5 keys (no skew)."""
+    from map_reduce_mongodb_spark.functions.text import fingerprint
+    docs = table(spark, "documents", sf_dir)
+    return (docs.select("source", fingerprint(F.col("text")).alias("f"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("f").alias("n_distinct"))
+            .select("source", "n_docs", "n_distinct",
+                    F.round(1.0 - F.col("n_distinct").cast("double")
+                            / F.col("n_docs"), 6).alias("dup_rate")))
+
+
+@query("retention_cohorts", oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, firsts.cohort_week,
+         date_trunc('week', e.ts) AS activity_week
+  FROM events e JOIN firsts ON e.user_id = firsts.user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, activity_week) // 7
+            AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+""")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in each subsequent week they were active — the classic
+    retention triangle. Two aggregations keyed by user_id (first-seen
+    week, then distinct active weeks); the cohort matrix itself is
+    O(weeks²) rows, independent of event volume."""
+    events = table(spark, "events", sf_dir)
+    firsts = (events.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = (events.join(firsts, "user_id")
+                .select("user_id", "cohort_week",
+                        F.date_trunc("week", "ts").alias("activity_week"))
+                .distinct())
+    # cohort_week stays TIMESTAMP on both sides: engines disagree on
+    # DATE canonicalization (DuckDB fetches DATE as midnight
+    # Timestamp), not on timestamps.
+    return (activity
+            .groupBy("cohort_week",
+                     (F.datediff("activity_week", "cohort_week")
+                      .cast("long") / 7).cast("long").alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query("token_count_bpe", oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]|[^a-z0-9\s]')), 4) AS chars_per_token
+FROM documents
+""")
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-budget estimation: whitespace
+    tokens next to a BPE-ish regex segmentation (letter runs, single
+    digits, single punctuation — the GPT-2 pre-tokenizer shape
+    reduced to an engine-portable regex) and the chars-per-token
+    ratio. Pure JVM regexp_extract_all — narrow, no shuffle, scales
+    as one scan."""
+    docs = table(spark, "documents", sf_dir)
+    bpe = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"),
+        F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / bpe, 4)
+        .alias("chars_per_token"))
+
+
+# =====================================================================
 # Driver CORRECTNESS-window curation
 # =====================================================================
 # The grading driver records at most the FIRST 50 entries of
@@ -3703,7 +4013,9 @@ _PRIORITY: list[str] = [
     "incremental_dedup_pairs", "minhash_lsh_md5",
     # --- tier 2: new in round 3 (append new registrations HERE)
     "winnow_fingerprints_fast", "winnow_dup_pairs_fast",
-    "ngram_jaccard_pairs_fast",
+    "ngram_jaccard_pairs_fast", "bm25_search", "grouping_sets_agg",
+    "funnel_conversion", "lang_mixture_drift", "dedup_rate_by_source",
+    "retention_cohorts", "token_count_bpe",
     # --- tier 3: checked in r01 only (rotate back in as slots allow)
     "embedding_dup_pairs", "string_functions", "stateful_user_profiles",
     "salted_agg_skew", "asof_join_purchases", "range_join_error_context",
