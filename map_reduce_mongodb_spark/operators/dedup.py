@@ -13,8 +13,9 @@ Scale design (the point of each choice):
 - **SimHash** gives a single 32-bit fingerprint; near-dups differ in
   few bits. Bucketing on bit-masked prefixes turns Hamming search into
   equality joins.
-- All hash functions are Spark's deterministic murmur3 (`F.hash` with a
-  seed column) — runs are reproducible; no randomness at runtime.
+- Hash functions are Spark's deterministic builtins (xxhash64 for the
+  production paths, md5 for the DuckDB-reproducible oracle twins) —
+  runs are reproducible; no randomness at runtime.
 
 Everything is DataFrame-native (arrays + lambda expressions); no Python
 UDFs anywhere.
@@ -63,26 +64,54 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        shingle_n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of
-    murmur3(shingle, seed=i). Narrow (no shuffle); one pass per row.
+    """Per-doc MinHash signature over xxhash64 lanes: each 64-bit
+    digest funds TWO 32-bit hash functions (sig[2i] = min of the high
+    halves of xxhash64(shingle, i), sig[2i+1] = min of the low halves)
+    — num_hashes lanes cost num_hashes/2 hash calls per shingle, the
+    same lane-economy trick as the md5 oracle twin (4 lanes per
+    digest). Narrow (no shuffle); one pass per row.
+
+    Shingles are PRE-HASHED longs (``hashed_word_shingles`` — no gram
+    string ever concatenated, the dominant cost of the string
+    pipeline), so every downstream step — lane mins, banding,
+    true-Jaccard verification via array_intersect — runs over 8-byte
+    keys. This whole operator family is Spark-specific by design
+    (rows-only driver check; the md5 pipeline is the oracle-checked
+    twin), so hashed shingle identity (collisions ~2⁻⁶⁴) is the right
+    trade.
 
     Expression hygiene (matters ×100 in wall-clock): the shingle array
-    is materialized as a COLUMN in its own projection before the 16
-    per-seed folds reference it. Referencing the raw shingle
-    *expression* 16× invites Catalyst to inline the whole
-    sequence/transform/concat tree into every fold — measured 25×
-    slowdown at sf0.1 before this split."""
+    — and then each per-seed digest array — is materialized as a
+    COLUMN in its own projection before the lane folds reference it.
+    Referencing a raw *expression* n× invites Catalyst to inline its
+    whole definition into every fold — measured 25× slowdown at sf0.1
+    before this split (and re-hashing per lane without the digest
+    split)."""
+    assert num_hashes % 2 == 0, "xxhash64 lanes come in pairs"
     base = (
         df.select(F.col(id_col),
-                  word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+                  hashed_word_shingles(F.col(text_col), shingle_n)
+                  .alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("shingles"),
-                                lambda s: F.hash(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
-    return base.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
+
+    def _digest(i: int):  # closure factory: unary lambda (see NOTES)
+        seed = F.lit(i)
+        return F.transform(F.col("shingles"),
+                           lambda s: F.xxhash64(s, seed))
+
+    hashed = base.select(
+        F.col(id_col), F.col("shingles"),
+        *[_digest(i).alias(f"h{i}") for i in range(num_hashes // 2)])
+    lanes = []
+    for i in range(num_hashes // 2):
+        h = F.col(f"h{i}")
+        lanes.append(F.array_min(F.transform(
+            h, lambda x: F.shiftrightunsigned(x, 32))))
+        lanes.append(F.array_min(F.transform(
+            h, lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF)))))
+    return hashed.select(F.col(id_col), F.col("shingles"),
+                         F.array(*lanes).alias("sig"))
 
 
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int,

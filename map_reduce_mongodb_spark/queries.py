@@ -1195,12 +1195,14 @@ def q_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count(F.lit(1)).alias("n_pairs")))
 
 
-@query("minhash_dedup_pairs")  # no oracle: murmur3 signatures are Spark-specific
+@query("minhash_dedup_pairs")  # no oracle: xxhash64 lanes are Spark-specific
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates verified by true Jaccard —
-    the scale path for near-dup dedup (only bucket-cohabitant pairs are
-    verified). Rows-only driver check; recall vs the exact baseline is
-    asserted in tests/test_dedup.py."""
+    the scale path for near-dup dedup (only bucket-cohabitant pairs
+    are verified; shingles and signatures are 8-byte xxhash64 lanes
+    end-to-end). Rows-only driver check; recall vs the exact baseline
+    is asserted in tests/test_dedup.py; the md5 pipeline
+    (minhash_lsh_md5) is the oracle-checked twin."""
     from map_reduce_mongodb_spark.operators.dedup import minhash_dedup_pairs
     return minhash_dedup_pairs(table(spark, "documents", sf_dir),
                                threshold=0.7)
