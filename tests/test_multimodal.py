@@ -75,3 +75,63 @@ def test_sample_frames_video_only(spark):
     assert [r.media_type for r in got_types.collect()] == ["video"]
     per_video = frames.groupBy("media_id").count().collect()
     assert per_video and all(r["count"] >= 1 for r in per_video)
+
+
+def test_resize_images_real_resample(spark):
+    """Thumbnails are valid PPMs whose pixels are an actual subset of
+    the source grid: every thumb pixel must equal the source pixel at
+    the canonical floor-mapped coordinates."""
+    import numpy as np
+
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        resize_images)
+
+    media = _media(spark)
+    thumbs = {r.media_id: bytes(r.data)
+              for r in resize_images(media).limit(50).collect()}
+    assert thumbs
+    src = {r.media_id: bytes(r.data)
+           for r in media.filter(F.col("media_id").isin(
+               list(thumbs))).collect()}
+    for mid, tdata in thumbs.items():
+        hdr, dims, maxval, tpix = tdata.split(b"\n", 3)
+        tw, th = map(int, dims.split())
+        assert (hdr, maxval, len(tpix)) == (b"P6", b"255", tw * th * 3)
+        sdata = src[mid]
+        _, sdims, _, spix = sdata.split(b"\n", 3)
+        sw, sh = map(int, sdims.split())
+        s = np.frombuffer(spix, dtype=np.uint8).reshape(sh, sw, 3)
+        t = np.frombuffer(tpix, dtype=np.uint8).reshape(th, tw, 3)
+        ys = (np.arange(th) * sh) // th
+        xs = (np.arange(tw) * sw) // tw
+        assert (t == s[np.ix_(ys, xs)]).all()
+
+
+def test_audio_features_match_pure_python(spark):
+    """RMS/peak/mean from the Spark DSP stage must equal a direct
+    pure-Python decode of the same WAV payloads."""
+    import math
+
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        audio_features)
+
+    media = _media(spark)
+    got = {r.media_id: (r.n_samples, r.peak, r.mean_amp, r.rms)
+           for r in audio_features(media).collect()}
+    assert got
+    raw = {r.media_id: bytes(r.data)
+           for r in media.filter(F.col("media_type") == "audio")
+           .limit(20).collect()}
+    for mid, payload in raw.items():
+        with wave.open(io.BytesIO(payload)) as wv:
+            frames = wv.readframes(wv.getnframes())
+        vals = [int.from_bytes(frames[i:i + 2], "little", signed=True)
+                for i in range(0, len(frames), 2)]
+        if not vals:
+            assert mid not in got
+            continue
+        n = len(vals)
+        r4 = (lambda v: math.floor(v * 10000 + 0.5) / 10000)
+        assert got[mid] == (
+            n, max(vals), r4(sum(vals) / n),
+            r4(math.sqrt(sum(v * v for v in vals) / n)))
