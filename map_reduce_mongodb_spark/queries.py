@@ -4044,6 +4044,35 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("media_id"), "n_samples", "peak", "mean_amp", "rms")
 
 
+@query("event_transitions", oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM ordered WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""")
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): for
+    each user's time-ordered stream, count (event → next event) pairs
+    — the sequence-analytics shape behind funnels and session-path
+    mining. One window (lead over user_id/ts, event_id tiebreak for
+    determinism under equal timestamps) + one tiny aggregation; the
+    shuffle is keyed by user_id and the output is O(|event_types|²)
+    regardless of event volume."""
+    events = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (events
+            .withColumn("next_type", F.lead("event_type").over(w))
+            .filter(F.col("next_type").isNotNull())
+            .groupBy(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window curation
 # =====================================================================
@@ -4085,7 +4114,7 @@ _PRIORITY: list[str] = [
     "ngram_jaccard_pairs_fast", "bm25_search", "grouping_sets_agg",
     "funnel_conversion", "lang_mixture_drift", "dedup_rate_by_source",
     "retention_cohorts", "token_count_bpe", "image_thumbnails",
-    "audio_features",
+    "audio_features", "event_transitions",
     # --- tier 3: checked in r01 only (rotate back in as slots allow)
     "embedding_dup_pairs", "string_functions", "stateful_user_profiles",
     "salted_agg_skew", "asof_join_purchases", "range_join_error_context",
