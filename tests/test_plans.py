@@ -224,3 +224,21 @@ def test_cc_round_count_bounded_on_path_graph(spark):
                   for r in G.connected_components(edges).collect()}
     assert labels == {(i, 0) for i in range(1, 33)} | {(0, 0)}
     assert calls["n"] <= 6, f"CC took {calls['n']} rounds on a 32-path"
+
+
+def test_bm25_broadcasts_corpus_stats(spark):
+    """BM25's corpus statistics (N, avgdl) and idf table must reach
+    the per-(doc, term) scoring via broadcast — never a shuffle keyed
+    by a scalar."""
+    p = plan(QUERIES["bm25_search"](spark, SF_DIR), "simple")
+    assert p.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS compiles to ONE Expand node feeding a partial →
+    final hash aggregate — each row fans out map-side; no per-set
+    re-scan of the input."""
+    p = plan(QUERIES["grouping_sets_agg"](spark, SF_DIR), "simple")
+    assert p.count("Expand") == 1
+    assert "partial_count" in p or "partial" in p
