@@ -205,3 +205,20 @@ def test_winnow_fast_twin_guarantee_and_agreement(spark):
     # be found by both.
     overlap = len(md5_pairs & fast_pairs) / len(md5_pairs)
     assert overlap >= 0.8, f"winnow twin agreement too low: {overlap}"
+
+
+def test_hashed_shingles_align_with_string_shingles(spark):
+    """hashed_word_shingles must produce arrays positionally aligned
+    with word_shingles (same doc → same shingle count; distinct sets
+    equal in size barring 2^-64 collisions) — the contract the fast
+    dedup twins rely on."""
+    from map_reduce_mongodb_spark.functions.text import (
+        hashed_word_shingles, word_shingles)
+
+    docs = _docs(spark).limit(100)
+    both = docs.select(
+        F.size(word_shingles(F.col("text"), 3)).alias("ns"),
+        F.size(hashed_word_shingles(F.col("text"), 3)).alias("nh"),
+    ).collect()
+    assert both
+    assert all(r.ns == r.nh for r in both)

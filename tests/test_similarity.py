@@ -234,3 +234,18 @@ def test_ivf_kmeans_clustered_recall_and_determinism(spark):
     b = sorted(map(tuple, ivf_kmeans_topk(
         emb, qids, k=3, n_centroids=4, nprobe=1, n_iters=3).collect()))
     assert a == b
+
+
+def test_estimate_rows_from_footers(spark):
+    """_estimate_rows reads exact row counts from parquet footers for
+    file-backed frames and returns None for in-memory frames (count()
+    fallback path)."""
+    from map_reduce_mongodb_spark.io import table
+    from map_reduce_mongodb_spark.operators.similarity import (
+        _estimate_rows)
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, "embeddings", SF_DIR)
+    assert _estimate_rows(emb) == emb.count()
+    mem = spark.createDataFrame([(1,)], "x long")
+    assert _estimate_rows(mem) is None
