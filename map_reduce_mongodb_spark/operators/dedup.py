@@ -87,7 +87,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     whole definition into every fold — measured 25× slowdown at sf0.1
     before this split (and re-hashing per lane without the digest
     split)."""
-    assert num_hashes % 2 == 0, "xxhash64 lanes come in pairs"
+    if num_hashes % 2 != 0:  # not assert: stripped under python -O,
+        # which would silently drop a lane (num_hashes//2 digests)
+        raise ValueError("num_hashes must be even: xxhash64 lanes "
+                         f"come in pairs (got {num_hashes})")
     base = (
         df.select(F.col(id_col),
                   hashed_word_shingles(F.col(text_col), shingle_n)

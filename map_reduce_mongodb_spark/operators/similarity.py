@@ -106,7 +106,13 @@ def _estimate_rows(df: DataFrame) -> int | None:
     this an overestimate of surviving rows — fine for block sizing,
     which only needs the right order of magnitude."""
     files = df.inputFiles()
-    if not files or not all(f.endswith(".parquet") for f in files):
+    # Footer-probe only LOCAL parquet (bare paths or file: URIs): a
+    # remote URI (s3://, hdfs://) would be opened as a local path and
+    # fail confusingly. Remote-backed frames fall back to count().
+    if not files or not all(
+            f.endswith(".parquet")
+            and (f.startswith("file:") or f.startswith("/"))
+            for f in files):
         return None
     import pyarrow.parquet as pq
     try:
@@ -116,8 +122,8 @@ def _estimate_rows(df: DataFrame) -> int | None:
                 f = "/" + f.removeprefix("file:").lstrip("/")
             total += pq.ParquetFile(f).metadata.num_rows
         return total
-    except OSError:
-        return None
+    except Exception:  # ArrowInvalid on bad footers is not an OSError;
+        return None    # any probe failure means "estimate unavailable"
 
 
 def lsh_bucket_arrays(dim: int, n_planes: int, n_tables: int,

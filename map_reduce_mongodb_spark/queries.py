@@ -3708,7 +3708,7 @@ scored AS (
   GROUP BY tf.doc_id)
 SELECT doc_id, round(s, 4) AS bm25
 FROM scored
-ORDER BY s DESC, doc_id
+ORDER BY round(s, 4) DESC, doc_id
 LIMIT 20
 """
 
@@ -3723,8 +3723,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) — at 100 TB this is the standard two-pass BM25: no
     all-pairs anything, shuffle volume bounded by matching postings
     only (the term filter prunes before the shuffle). Top-k with a
-    deterministic doc_id tiebreak; scores rounded to 4 decimals so
-    the float sum order (3 terms) can't flip the hash."""
+    deterministic doc_id tiebreak; BOTH engines rank on the
+    4-decimal-ROUNDED score (not the raw float sum), so a
+    cross-engine last-bit difference near the rank-20 boundary
+    cannot select different docs (ADVICE r3)."""
     docs = table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
@@ -3750,7 +3752,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (tf.join(F.broadcast(idf), "tok")
               .join(F.broadcast(stats))
               .groupBy("doc_id").agg(F.sum(term_score).alias("s")))
-    return (scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(20)
+    return (scored
+            .orderBy(F.round("s", 4).desc(), F.asc("doc_id")).limit(20)
             .select("doc_id", F.round("s", 4).alias("bm25")))
 
 
@@ -3998,6 +4001,12 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_from_documents, resize_images)
     thumbs = resize_images(
         media_from_documents(table(spark, "documents", sf_dir)))
+    # ASCII-CORPUS ASSUMPTION (shared with audio_features): decoding
+    # the binary PPM body as UTF-8 and matching it against ascii()
+    # over documents.text is only sound while every text char is
+    # single-byte ASCII (<128). tests/test_multimodal.py::
+    # test_corpus_is_pure_ascii fails loudly if a future testdata
+    # generation breaks this, instead of a subtle hash drift here.
     first_r = F.ascii(F.substring(F.decode(F.col("data"), "UTF-8"), 14, 1))
     return thumbs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -4036,7 +4045,13 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     little-endian pair of text bytes, so DuckDB reconstructs the
     exact waveform from ascii() and must agree on all three
     statistics (integer sums are exact in both engines; doubles
-    derive from the same exact integers)."""
+    derive from the same exact integers).
+
+    ASCII-CORPUS ASSUMPTION: the unsigned byte-pair reconstruction
+    (lo + 256·hi) only equals the signed little-endian int16 the WAV
+    decoder produces while both bytes are <128 (high bit clear), i.e.
+    while documents.text is pure ASCII — guarded loudly by
+    tests/test_multimodal.py::test_corpus_is_pure_ascii."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         audio_features, media_from_documents)
     return audio_features(

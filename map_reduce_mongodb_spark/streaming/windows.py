@@ -32,11 +32,19 @@ def _ts_is_nanos(path: str) -> bool:
     import os
 
     import pyarrow.parquet as pq
+    if path.startswith("file:"):
+        path = "/" + path.removeprefix("file:").lstrip("/")
+    elif "://" in path:
+        return False  # remote URI: can't footer-probe locally; the
+        # current-generation MICROS schema is the safe default
     files = (glob.glob(os.path.join(path, "*.parquet"))
              if os.path.isdir(path) else [path])
     if not files:
         return False
-    field = pq.ParquetFile(files[0]).schema_arrow.field("ts")
+    try:
+        field = pq.ParquetFile(files[0]).schema_arrow.field("ts")
+    except Exception:  # ArrowInvalid / KeyError on odd footers —
+        return False   # fall back to the MICROS default schema
     return getattr(field.type, "unit", None) == "ns"
 
 

@@ -135,3 +135,21 @@ def test_audio_features_match_pure_python(spark):
         assert got[mid] == (
             n, max(vals), r4(sum(vals) / n),
             r4(math.sqrt(sum(v * v for v in vals) / n)))
+
+
+def test_corpus_is_pure_ascii(spark):
+    """LOUD guard for the ASCII-corpus assumption both multimodal
+    oracles depend on (queries.py image_thumbnails / audio_features):
+    decoding PPM bodies as UTF-8 and reconstructing int16 samples as
+    unsigned ascii() byte-pairs are only sound while every text char
+    is single-byte ASCII (<128). If a future testdata generation adds
+    non-ASCII text, this fails with a clear message instead of a
+    subtle oracle hash drift."""
+    docs = table(spark, "documents", SF_DIR)
+    bad = docs.filter(
+        (F.octet_length("text") != F.char_length("text"))
+        | F.col("text").rlike("[^\\x00-\\x7f]")).count()
+    assert bad == 0, (
+        f"{bad} documents contain non-ASCII text: the image/audio "
+        "oracle reconstructions in queries.py are no longer valid — "
+        "rework them before trusting multimodal correctness rows")
