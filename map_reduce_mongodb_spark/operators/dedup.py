@@ -468,6 +468,25 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     return mins.select(F.col(id_col), F.explode("fps").alias("fp"))
 
 
+def winnow_pair_search(fps: DataFrame, min_shared: int = 3,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Pair search over an EXISTING (id, fp) fingerprint frame:
+    inverted-index self-join on the fingerprint, count shared hits per
+    pair, keep pairs with ≥ `min_shared`. Split out of
+    :func:`winnow_dup_pairs` so a once-materialized fingerprint table
+    (the production layout — fingerprints are written to storage once
+    and consumed by listing AND pair search) can feed it directly."""
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_dup_pairs(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", gram_n: int = 3,
                      window: int = 4, min_shared: int = 3,
@@ -481,15 +500,7 @@ def winnow_dup_pairs(df: DataFrame, text_col: str = "text",
     :func:`winnow_fingerprints` (xxhash64 = Spark-only fast twin)."""
     fps = tracked_persist(
         winnow_fingerprints(df, text_col, id_col, gram_n, window, hasher))
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    return winnow_pair_search(fps, min_shared, id_col)
 
 
 def simhash_pairs(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
