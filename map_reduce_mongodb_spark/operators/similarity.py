@@ -126,6 +126,24 @@ def _estimate_rows(df: DataFrame) -> int | None:
         return None    # any probe failure means "estimate unavailable"
 
 
+def _data_sized_partitions(df: DataFrame,
+                           rows_per_task: int = 8192) -> int:
+    """Partition count for an Arrow-UDF corpus scan, sized from the
+    DATA (footer-estimated rows / rows_per_task), clamped to
+    [1, 4·defaultParallelism]. A fixed repartition(defaultParallelism)
+    is wrong at BOTH ends: a 2k-vector corpus fans a 32-task
+    mapInPandas round-trip per Lloyd pass (pure worker overhead —
+    measured 4.2s of a 5.6s query at sf0.1), while a 100 TB corpus
+    needs far MORE than one wave's worth of partitions. Falls back to
+    defaultParallelism when no estimate is available (non-parquet
+    frames) — never a count() job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    rows = _estimate_rows(df)
+    if rows is None:
+        return par
+    return max(1, min(4 * par, -(-rows // rows_per_task)))
+
+
 def lsh_bucket_arrays(dim: int, n_planes: int, n_tables: int,
                       seed: int = 42):
     """Vectorized sign-LSH bucketer: an Arrow pandas_udf mapping an
@@ -462,12 +480,13 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
         for r in embeddings.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col).collect())
     if corpus is None:
-        # single-file corpora scan as ONE partition — spread the Arrow
-        # batches across cores, once, and keep them hot across passes
-        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        # spread the Arrow batches across DATA-SIZED partitions, once,
+        # and keep them hot across passes (see _data_sized_partitions:
+        # a fixed 32-way fan-out is per-pass worker overhead on small
+        # corpora and too few waves on huge ones)
         corpus = tracked_persist(
             embeddings.select(F.col(vec_col).alias("vv"))
-            .repartition(par))
+            .repartition(_data_sized_partitions(embeddings)))
     v = corpus
     for _ in range(n_iters):
         # One mapInPandas pass per Lloyd iteration: each Arrow batch is
@@ -522,27 +541,14 @@ def _cell_partials_fn(cents: list[tuple[int, list[float]]]):
     return fn
 
 
-def _argmax_cell_udf(cents: list[tuple[int, list[float]]]):
-    """Arrow pandas_udf: nearest-centroid id per vector by cosine —
-    centroid rows are L2-normalized once so argmax over v·ĉ equals
-    argmax over cosine (the vector's own norm is constant per row)."""
-    cids = np.array([c for c, _ in cents], dtype=np.int32)
-    M = np.array([vec for _, vec in cents], dtype=np.float64)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    M = M / norms
-
-    @F.pandas_udf("int")
-    def f(vs: pd.Series) -> pd.Series:
-        X = np.array(vs.tolist(), dtype=np.float64)
-        return pd.Series(cids[np.argmax(X @ M.T, axis=1)])
-
-    return f
-
-
 def _topcells_udf(cents: list[tuple[int, list[float]]], nprobe: int):
-    """Arrow pandas_udf: the nprobe nearest cell ids per QUERY vector
-    (stable argsort → deterministic, lowest-cid tie-break)."""
+    """Arrow pandas_udf: the nprobe nearest cell ids per vector by
+    cosine (stable argsort → deterministic, lowest-cid tie-break;
+    centroid rows are L2-normalized once so ordering v·ĉ equals
+    ordering cosine — the vector's own norm is constant per row).
+    Element 0 is the argmax cell, so ONE udf serves both the corpus
+    assignment (cells[0]) and the query probe list (explode) — one
+    Python stage to compile and warm instead of two."""
     cids = np.array([c for c, _ in cents], dtype=np.int32)
     M = np.array([vec for _, vec in cents], dtype=np.float64)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
@@ -574,24 +580,23 @@ def ivf_kmeans_topk(embeddings: DataFrame, query_ids: list[int],
     cells must equal brute force (tests/test_similarity.py), which
     holds for ANY centroid set — the probe machinery, not the
     centroids, carries correctness."""
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
     v = tracked_persist(
         embeddings.select(F.col(id_col).alias("vid"),
                           F.col(vec_col).alias("vv"),
                           norm_sq_unrolled(vec_col, dim).alias("nsq"))
-        .repartition(par))
+        .repartition(_data_sized_partitions(embeddings)))
     cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
                              id_col, vec_col, corpus=v.select("vv"))
+    topcells = _topcells_udf(cents, nprobe)
     assign = v.select(
         F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv_n"),
         F.col("nsq").alias("n_nsq"),
-        _argmax_cell_udf(cents)("vv").alias("cid"))
+        topcells("vv").getItem(0).alias("cid"))
     probes = (v.filter(F.col("vid").isin(query_ids))
                .select(F.col("vid").alias("query_id"),
                        F.col("vv").alias("qv"),
                        F.col("nsq").alias("q_nsq"),
-                       F.explode(_topcells_udf(cents, nprobe)("vv"))
-                        .alias("cid")))
+                       F.explode(topcells("vv")).alias("cid")))
     cands = (
         probes.join(assign, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
