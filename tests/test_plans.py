@@ -242,3 +242,28 @@ def test_grouping_sets_single_expand(spark):
     p = plan(QUERIES["grouping_sets_agg"](spark, SF_DIR), "simple")
     assert p.count("Expand") == 1
     assert "partial_count" in p or "partial" in p
+
+
+def test_q9_join_build_sides_pinned(spark):
+    """q9 (5-table star over lineitem): all four joins must BUILD the
+    dimension side (explicit hints) and STREAM lineitem — no shuffle
+    join may appear, and the only hash-partitioned exchange is the
+    final group-by. Pinned so a stats/threshold change can't silently
+    flip a build side to the fact table (VERDICT r3 #7)."""
+    p = plan(QUERIES["q9_product_type_profit"](spark, SF_DIR),
+             mode="simple")
+    assert p.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # lineitem is the leftmost (streamed) input of the whole join
+    # chain, so every build side must be a RIGHT build of a dim scan
+    assert p.count("BuildRight") == 4 and "BuildLeft" not in p
+    assert p.count("Exchange hashpartitioning") == 1  # final agg only
+
+
+def test_q21_join_build_sides_pinned(spark):
+    """q21 (sole-blame): the orders filter and supplier lookup build
+    broadcast sides; the l2 semi / l3 anti probes keyed on l_orderkey
+    may shuffle only on that key. Pinned per VERDICT r3 #7."""
+    p = plan(QUERIES["q21_suppliers_kept_waiting"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2   # orders build + supplier
+    assert "l_orderkey" in p
