@@ -578,19 +578,64 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
     their own projection before the 4 lane-min folds reference them —
     same anti-inlining split as minhash_signatures (re-deriving the
     digest array per lane re-runs md5 per reference)."""
-    base, banded = _md5_banded(df, text_col, id_col, num_hashes, bands,
-                               shingle_n)
+    base, _sigs, banded = _md5_banded(df, text_col, id_col, num_hashes,
+                                      bands, shingle_n)
     cands = _candidates_from_banded(banded, id_col)
     return _verify_jaccard(cands, base, id_col, threshold)
 
 
+def minhash_estimate_md5(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 16,
+                         bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Sketch-ACCURACY instrumentation for the md5 MinHash pipeline:
+    for every LSH candidate pair, the signature-based Jaccard ESTIMATE
+    (matching lanes / num_hashes — the unbiased MinHash estimator)
+    next to the exact shingle Jaccard and their absolute error.
+
+    This is the measurement a pipeline owner runs before trusting a
+    banding configuration at corpus scale: the estimator's observed
+    error on real candidates tells you whether num_hashes is adequate
+    for the threshold you filter at. Same join volume as the dedup
+    pipeline itself (candidates only — never all pairs); signatures
+    ride along the existing persisted frames. Engine-portable md5
+    lanes keep every column DuckDB-reproducible."""
+    base, sigs, banded = _md5_banded(df, text_col, id_col, num_hashes,
+                                     bands, shingle_n)
+    cands = _candidates_from_banded(banded, id_col)
+    sa = sigs.select(F.col(id_col).alias("id_a"), *[
+        F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sigs.select(F.col(id_col).alias("id_b"), *[
+        F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard",
+                    F.round(matches / F.lit(float(num_hashes)), 6))
+        .join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("abs_err",
+                    F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")),
+                            6))
+        .select("id_a", "id_b", "est_jaccard", "jaccard", "abs_err")
+    )
+
+
 def _md5_banded(df: DataFrame, text_col: str, id_col: str,
-                num_hashes: int, bands: int,
-                shingle_n: int) -> tuple[DataFrame, DataFrame]:
+                num_hashes: int, bands: int, shingle_n: int,
+                ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared md5 MinHash pipeline: (persisted (id, shingles) base,
-    (id, band, bucket) banded signatures)."""
+    persisted (id, s0..s{n-1}) signatures, (id, band, bucket) banded
+    signatures)."""
     rows_per_band = num_hashes // bands
-    assert num_hashes % 4 == 0, "md5 lanes come in fours"
+    if num_hashes % 4 != 0:  # not assert: stripped under python -O
+        raise ValueError("num_hashes must be a multiple of 4: md5 "
+                         f"lanes come in fours (got {num_hashes})")
     base = (
         df.select(F.col(id_col),
                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
@@ -629,7 +674,7 @@ def _md5_banded(df: DataFrame, text_col: str, id_col: str,
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    return base, banded
+    return base, sigs, banded
 
 
 def _verify_jaccard(cands: DataFrame, base: DataFrame, id_col: str,
@@ -664,8 +709,8 @@ def minhash_dedup_pairs_md5_incremental(
 
     ``is_new``: Column predicate over `id_col` (e.g.
     ``F.col("doc_id") % 10 == 0``)."""
-    base, banded = _md5_banded(df, text_col, id_col, num_hashes, bands,
-                               shingle_n)
+    base, _sigs, banded = _md5_banded(df, text_col, id_col, num_hashes,
+                                      bands, shingle_n)
     nb = banded.where(is_new).select(
         F.col(id_col).alias("id_a"), "band", "bucket")
     cb = banded.where(~is_new).select(

@@ -1553,6 +1553,60 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_chars").alias("kept_chars")))
 
 
+@query("dup_graph_stats", oracle=_CC_CTE + """
+, deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+          FROM edges GROUP BY src),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+       JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM cc)
+         AS n_components,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       (SELECT CASE WHEN sum(d * (d - 1)) = 0 THEN 0.0
+               ELSE round(6.0 * (SELECT n_triangles FROM tri)
+                          / sum(d * (d - 1)), 6) END
+        FROM deg) AS clustering_coeff
+""")
+def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural statistics of the near-dup pair graph — the health
+    check run on a dedup candidate graph before acting on it (a
+    pathological crawl shows up as one giant low-clustering component;
+    true duplicate sets show as small dense cliques): node/edge/
+    component counts, triangle count, and the global clustering
+    coefficient (3·triangles / wedges, wedges = Σ d(d-1)/2).
+
+    Triangle counting is the textbook two-join formulation on the
+    ordered edge list (a<b<c), so join volume is bounded by the pair
+    graph — which the threshold already made sparse — never the
+    corpus; both the pair list and the component labels come from the
+    once-materialized shared artifacts (`_jaccard_pairs_07`,
+    `_cc_labels`), so this costs three small joins at any scale."""
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    labels = _cc_labels(spark, sf_dir)
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+             .agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (pairs.select(F.col("id_a").alias("id"))
+           .unionAll(pairs.select(F.col("id_b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    wedges = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"))
+    counts = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+              .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+              .crossJoin(labels.agg(F.countDistinct("cc")
+                                    .alias("n_components"))))
+    return (counts.crossJoin(tri).crossJoin(wedges)
+            .select("n_nodes", "n_edges", "n_components", "n_triangles",
+                    F.when(F.col("w2") == 0, F.lit(0.0))
+                    .otherwise(F.round(6.0 * F.col("n_triangles")
+                                       / F.col("w2"), 6))
+                    .alias("clustering_coeff")))
+
+
 # =====================================================================
 # Similarity search (north-star: embeddings)
 # =====================================================================
@@ -3143,9 +3197,12 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_md5_oracle(threshold: float = 0.7, num_hashes: int = 16,
-                        bands: int = 4, shingle_n: int = 3,
-                        pair_pred: str = "a.doc_id < b.doc_id") -> str:
+def _minhash_md5_ctes(num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3,
+                      pair_pred: str = "a.doc_id < b.doc_id") -> str:
+    """The WITH-block shared by every md5-MinHash oracle: shingle
+    base → per-seed digests → 16 signature lanes → band buckets →
+    distinct candidate pairs. Final SELECTs differ per query."""
     r = num_hashes // bands
     # 4 lanes per md5 digest, mirroring the Spark side:
     # s[4i+j] = min over shingles of md5(g || '#i') hex digits
@@ -3184,7 +3241,13 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE {pair_pred})
+  WHERE {pair_pred})"""
+
+
+def _minhash_md5_oracle(threshold: float = 0.7, num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 3,
+                        pair_pred: str = "a.doc_id < b.doc_id") -> str:
+    return _minhash_md5_ctes(num_hashes, bands, shingle_n, pair_pred) + f"""
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
          round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -3193,6 +3256,27 @@ SELECT id_a, id_b, jaccard FROM (
   FROM cand JOIN base x ON x.doc_id = id_a
             JOIN base y ON y.doc_id = id_b)
 WHERE jaccard >= {threshold}
+"""
+
+
+def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4,
+                        shingle_n: int = 3) -> str:
+    matches = " + ".join(
+        f"CASE WHEN sx.s{i} = sy.s{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes))
+    return _minhash_md5_ctes(num_hashes, bands, shingle_n) + f"""
+SELECT id_a, id_b, est_jaccard, jaccard,
+       round(abs(est_jaccard - jaccard), 6) AS abs_err
+FROM (
+  SELECT id_a, id_b,
+         round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard,
+         round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)
+         AS jaccard
+  FROM cand JOIN sig sx ON sx.doc_id = id_a
+            JOIN sig sy ON sy.doc_id = id_b
+            JOIN base x ON x.doc_id = id_a
+            JOIN base y ON y.doc_id = id_b)
 """
 
 
@@ -3209,6 +3293,22 @@ def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs_md5_incremental(
         table(spark, "documents", sf_dir),
         is_new=F.col("doc_id") % 10 == 0, threshold=0.7)
+
+
+@query("minhash_estimate_accuracy", oracle=_minhash_est_oracle())
+def q_minhash_estimate_accuracy(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Sketch-accuracy measurement for the md5 MinHash pipeline: every
+    LSH candidate pair with its signature-lane Jaccard ESTIMATE
+    (matching lanes / 16, the unbiased MinHash estimator), the exact
+    shingle Jaccard, and the absolute error — the calibration a
+    pipeline owner checks before trusting a banding configuration at
+    corpus scale. Candidate-bounded join volume (never all pairs);
+    md5 lanes keep estimate AND truth DuckDB-reproducible, so the
+    driver hash-checks the estimator itself."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        minhash_estimate_md5)
+    return minhash_estimate_md5(table(spark, "documents", sf_dir))
 
 
 @query("minhash_lsh_md5", oracle=_minhash_md5_oracle())
@@ -4202,7 +4302,8 @@ _DRIVER_WINDOW = 50
 
 _PRIORITY: list[str] = [
     # --- tier 1: no driver row yet (round-4 additions)
-    "ivf_kmeans_probe_all",
+    "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
+    "dup_graph_stats",
     # --- tier 2: latest row is r01 (the 20 r1-only veterans; code
     #     rewritten r2-r4 for several — multimodal first, per VERDICT)
     "multimodal_inventory", "multimodal_decode_stats",
