@@ -559,7 +559,8 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
 def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.7,
                             num_hashes: int = 16, bands: int = 4,
-                            shingle_n: int = 3) -> DataFrame:
+                            shingle_n: int = 3,
+                            index=None) -> DataFrame:
     """MinHash+LSH with ENGINE-PORTABLE hashes: sig[i] = min over
     shingles of the first 8 hex chars of md5(shingle + '#' + i)
     (lexicographic min of fixed-width hex == numeric min), band bucket
@@ -579,14 +580,15 @@ def minhash_dedup_pairs_md5(df: DataFrame, text_col: str = "text",
     same anti-inlining split as minhash_signatures (re-deriving the
     digest array per lane re-runs md5 per reference)."""
     base, _sigs, banded = _md5_banded(df, text_col, id_col, num_hashes,
-                                      bands, shingle_n)
+                                      bands, shingle_n, index)
     cands = _candidates_from_banded(banded, id_col)
     return _verify_jaccard(cands, base, id_col, threshold)
 
 
 def minhash_estimate_md5(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 16,
-                         bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                         bands: int = 4, shingle_n: int = 3,
+                         index=None) -> DataFrame:
     """Sketch-ACCURACY instrumentation for the md5 MinHash pipeline:
     for every LSH candidate pair, the signature-based Jaccard ESTIMATE
     (matching lanes / num_hashes — the unbiased MinHash estimator)
@@ -600,7 +602,7 @@ def minhash_estimate_md5(df: DataFrame, text_col: str = "text",
     ride along the existing persisted frames. Engine-portable md5
     lanes keep every column DuckDB-reproducible."""
     base, sigs, banded = _md5_banded(df, text_col, id_col, num_hashes,
-                                     bands, shingle_n)
+                                     bands, shingle_n, index)
     cands = _candidates_from_banded(banded, id_col)
     sa = sigs.select(F.col(id_col).alias("id_a"), *[
         F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)])
@@ -626,22 +628,28 @@ def minhash_estimate_md5(df: DataFrame, text_col: str = "text",
     )
 
 
-def _md5_banded(df: DataFrame, text_col: str, id_col: str,
-                num_hashes: int, bands: int, shingle_n: int,
-                ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared md5 MinHash pipeline: (persisted (id, shingles) base,
-    persisted (id, s0..s{n-1}) signatures, (id, band, bucket) banded
-    signatures)."""
-    rows_per_band = num_hashes // bands
-    if num_hashes % 4 != 0:  # not assert: stripped under python -O
-        raise ValueError("num_hashes must be a multiple of 4: md5 "
-                         f"lanes come in fours (got {num_hashes})")
-    base = (
+def md5_shingle_base(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     shingle_n: int = 3) -> DataFrame:
+    """(id, sh) distinct word-shingle arrays — stage 1 of the md5
+    MinHash index (exposed so callers can materialize it once and
+    share it across the pair/incremental/accuracy queries)."""
+    return (
         df.select(F.col(id_col),
                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    base = tracked_persist(base)
+
+
+def md5_signatures(base: DataFrame, id_col: str = "doc_id",
+                   num_hashes: int = 16) -> DataFrame:
+    """(id, s0..s{n-1}) MinHash signature lanes from a shingle base —
+    stage 2 of the md5 index. 4 lanes per md5 digest (hash-lane
+    economy, see minhash_dedup_pairs_md5)."""
+    if num_hashes % 4 != 0:  # not assert: stripped under python -O
+        raise ValueError("num_hashes must be a multiple of 4: md5 "
+                         f"lanes come in fours (got {num_hashes})")
+
     # NB: the transform lambdas MUST be unary. A two-parameter lambda
     # (e.g. `lambda g, i=i: ...`) is treated by PySpark as the
     # (element, index) form and the array INDEX silently overrides the
@@ -659,10 +667,18 @@ def _md5_banded(df: DataFrame, text_col: str, id_col: str,
 
     hashed = base.select(F.col(id_col), *[
         _digest(i).alias(f"m{i}") for i in range(num_hashes // 4)])
-    sigs = hashed.select(F.col(id_col), *[
+    return hashed.select(F.col(id_col), *[
         _lane(i, j).alias(f"s{4 * i + j}")
         for i in range(num_hashes // 4) for j in range(4)])
-    sigs = tracked_persist(sigs)
+
+
+def md5_banded_from_sigs(sigs: DataFrame, id_col: str = "doc_id",
+                         num_hashes: int = 16,
+                         bands: int = 4) -> DataFrame:
+    """(id, band, bucket) LSH band buckets from signature lanes —
+    stage 3 of the md5 index (narrow projection; cheap to re-derive
+    from a materialized signature table)."""
+    rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -671,9 +687,26 @@ def _md5_banded(df: DataFrame, text_col: str, id_col: str,
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def _md5_banded(df: DataFrame, text_col: str, id_col: str,
+                num_hashes: int, bands: int, shingle_n: int,
+                index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+                ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Md5 MinHash pipeline: (persisted (id, shingles) base, persisted
+    (id, s0..s{n-1}) signatures, (id, band, bucket) banded signatures).
+    ``index``: a prebuilt (base, sigs, banded) triple (e.g. shared
+    materializations) returned as-is — callers sharing the index skip
+    the per-query rebuild AND the per-query persists."""
+    if index is not None:
+        return index
+    base = tracked_persist(md5_shingle_base(df, text_col, id_col,
+                                            shingle_n))
+    sigs = tracked_persist(md5_signatures(base, id_col, num_hashes))
+    banded = md5_banded_from_sigs(sigs, id_col, num_hashes, bands)
     return base, sigs, banded
 
 
@@ -695,7 +728,7 @@ def minhash_dedup_pairs_md5_incremental(
         df: DataFrame, is_new, text_col: str = "text",
         id_col: str = "doc_id", threshold: float = 0.7,
         num_hashes: int = 16, bands: int = 4,
-        shingle_n: int = 3) -> DataFrame:
+        shingle_n: int = 3, index=None) -> DataFrame:
     """Corpus-delta dedup: near-dup pairs BETWEEN an arriving batch
     (rows where ``is_new(id)`` holds) and the standing corpus (the
     rest) — the shape every incremental ingestion pipeline runs, where
@@ -710,7 +743,7 @@ def minhash_dedup_pairs_md5_incremental(
     ``is_new``: Column predicate over `id_col` (e.g.
     ``F.col("doc_id") % 10 == 0``)."""
     base, _sigs, banded = _md5_banded(df, text_col, id_col, num_hashes,
-                                      bands, shingle_n)
+                                      bands, shingle_n, index)
     nb = banded.where(is_new).select(
         F.col(id_col).alias("id_a"), "band", "bucket")
     cb = banded.where(~is_new).select(

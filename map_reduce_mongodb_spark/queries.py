@@ -3292,7 +3292,29 @@ def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_dedup_pairs_md5_incremental)
     return minhash_dedup_pairs_md5_incremental(
         table(spark, "documents", sf_dir),
-        is_new=F.col("doc_id") % 10 == 0, threshold=0.7)
+        is_new=F.col("doc_id") % 10 == 0, threshold=0.7,
+        index=_md5_minhash_index(spark, sf_dir))
+
+
+def _md5_minhash_index(spark: SparkSession, sf_dir: str):
+    """The md5 MinHash index over documents — (shingle base, signature
+    lanes, band buckets) — shared by THREE registered queries
+    (`minhash_lsh_md5`, `incremental_dedup_pairs`,
+    `minhash_estimate_accuracy`). Base and signatures are materialized
+    once per process (cache.shared_parquet — the production layout: a
+    signature table is written once per corpus snapshot and every
+    dedup/calibration consumer reads it); band buckets are a narrow
+    projection re-derived from the signature table."""
+    from map_reduce_mongodb_spark.cache import shared_parquet
+    from map_reduce_mongodb_spark.operators.dedup import (
+        md5_banded_from_sigs, md5_shingle_base, md5_signatures)
+
+    base = shared_parquet(
+        spark, f"md5_sh_base_{sf_dir}",
+        lambda: md5_shingle_base(table(spark, "documents", sf_dir)))
+    sigs = shared_parquet(
+        spark, f"md5_sigs_{sf_dir}", lambda: md5_signatures(base))
+    return base, sigs, md5_banded_from_sigs(sigs)
 
 
 @query("minhash_estimate_accuracy", oracle=_minhash_est_oracle())
@@ -3308,7 +3330,8 @@ def q_minhash_estimate_accuracy(spark: SparkSession,
     driver hash-checks the estimator itself."""
     from map_reduce_mongodb_spark.operators.dedup import (
         minhash_estimate_md5)
-    return minhash_estimate_md5(table(spark, "documents", sf_dir))
+    return minhash_estimate_md5(table(spark, "documents", sf_dir),
+                                index=_md5_minhash_index(spark, sf_dir))
 
 
 @query("minhash_lsh_md5", oracle=_minhash_md5_oracle())
@@ -3320,7 +3343,8 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_mongodb_spark.operators.dedup import (
         minhash_dedup_pairs_md5)
     return minhash_dedup_pairs_md5(table(spark, "documents", sf_dir),
-                                   threshold=0.7)
+                                   threshold=0.7,
+                                   index=_md5_minhash_index(spark, sf_dir))
 
 
 # =====================================================================
