@@ -1320,6 +1320,21 @@ mins AS (
   FROM hashed)"""
 
 
+def _winnow_fps_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 winnowing fingerprints over documents, materialized once
+    per process and shared between `winnow_fingerprints` and
+    `winnow_dup_pairs` — same production layout as the xxhash64 twins
+    (`_winnow_fps_fast`)."""
+    from map_reduce_mongodb_spark.cache import shared_parquet
+
+    def build() -> DataFrame:
+        from map_reduce_mongodb_spark.operators.dedup import (
+            winnow_fingerprints)
+        return winnow_fingerprints(table(spark, "documents", sf_dir))
+
+    return shared_parquet(spark, f"winnow_fps_md5_{sf_dir}", build)
+
+
 @query("winnow_fingerprints",
        oracle=f"WITH {_winnow_cte()}\n"
               "SELECT doc_id, unnest(fps) AS fp FROM mins")
@@ -1327,8 +1342,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash window-min) document fingerprints —
     MOSS-style passage fingerprinting, fully oracle-checked via the
     md5-lane hash. One row per (doc, selected fingerprint)."""
-    from map_reduce_mongodb_spark.operators.dedup import winnow_fingerprints
-    return winnow_fingerprints(table(spark, "documents", sf_dir))
+    return _winnow_fps_md5(spark, sf_dir)
 
 
 @query("winnow_dup_pairs", oracle=f"""
@@ -1344,10 +1358,11 @@ HAVING count(*) >= 3
 def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-copy detection: pairs sharing ≥3 winnowing fingerprints
     (inverted-index self-join on the fingerprint — same scale shape as
-    the n-gram Jaccard operator), oracle-checked end-to-end."""
-    from map_reduce_mongodb_spark.operators.dedup import winnow_dup_pairs
-    return winnow_dup_pairs(table(spark, "documents", sf_dir),
-                            min_shared=3)
+    the n-gram Jaccard operator), oracle-checked end-to-end; reads the
+    once-materialized fingerprint table (`_winnow_fps_md5`)."""
+    from map_reduce_mongodb_spark.operators.dedup import winnow_pair_search
+    return winnow_pair_search(_winnow_fps_md5(spark, sf_dir),
+                              min_shared=3)
 
 
 # Spark-only fast twins of the md5-bound dedup tail. md5 keeps those
