@@ -3895,7 +3895,9 @@ _BM25_TERMS = ("spark", "join", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The WITH-block computing per-doc BM25 scores (`scored`), shared
+    by the bm25_search oracle and the RRF fusion oracle."""
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     return f"""
 WITH toks AS (
@@ -3924,7 +3926,11 @@ scored AS (
              / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
                 + {_BM25_B} * tf.dl / stats.avg_dl))) AS s
   FROM tf JOIN idf ON tf.tok = idf.tok, stats
-  GROUP BY tf.doc_id)
+  GROUP BY tf.doc_id)"""
+
+
+def _bm25_oracle() -> str:
+    return _bm25_ctes() + """
 SELECT doc_id, round(s, 4) AS bm25
 FROM scored
 ORDER BY round(s, 4) DESC, doc_id
@@ -3932,20 +3938,47 @@ LIMIT 20
 """
 
 
-@query("bm25_search", oracle=_bm25_oracle())
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval over the documents table — the lexical
-    ranking half of a retrieval pipeline (the dense half is
-    cosine_topk/hybrid_search). Corpus statistics (N, avgdl) are one
-    tiny aggregate broadcast into the per-(doc, term) score; term
-    frequencies come from one narrow explode+filter+groupBy keyed by
-    (doc, term) — at 100 TB this is the standard two-pass BM25: no
-    all-pairs anything, shuffle volume bounded by matching postings
-    only (the term filter prunes before the shuffle). Top-k with a
-    deterministic doc_id tiebreak; BOTH engines rank on the
-    4-decimal-ROUNDED score (not the raw float sum), so a
-    cross-engine last-bit difference near the rank-20 boundary
-    cannot select different docs (ADVICE r3)."""
+def _rrf_oracle(dim: int = 64, k: int = 20, out_k: int = 10,
+                rrf_k: int = 60) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import (
+        cosine_unrolled_sql)
+    cos = cosine_unrolled_sql("qv", "cv", dim)
+    return _bm25_ctes() + f""",
+lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(s, 4) DESC, doc_id)
+             AS lex_rank
+    FROM scored)
+  WHERE lex_rank <= {k}),
+dense AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT neighbor_id AS doc_id,
+           row_number() OVER (ORDER BY cosine DESC, neighbor_id)
+             AS dense_rank
+    FROM (SELECT c.vec_id AS neighbor_id, {cos} AS cosine
+          FROM (SELECT vec_id, embedding AS cv FROM embeddings) c,
+               (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          WHERE c.vec_id <> 0))
+  WHERE dense_rank <= {k})
+SELECT doc_id, lex_rank, dense_rank, rrf, fused_rank FROM (
+  SELECT doc_id, lex_rank, dense_rank, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+  FROM (
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(d.dense_rank, 0) AS BIGINT) AS dense_rank,
+           round(coalesce(1.0 / ({rrf_k} + l.lex_rank), 0.0)
+                 + coalesce(1.0 / ({rrf_k} + d.dense_rank), 0.0), 6)
+             AS rrf
+    FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id))
+WHERE fused_rank <= {out_k}
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) raw BM25 scores for the fixed keyword query — the
+    shared upstream of `bm25_search` and `rrf_fusion`."""
     docs = table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
@@ -3968,12 +4001,92 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = (F.col("idf") * F.col("tf") * (k1 + 1.0)
                   / (F.col("tf") + k1 * (1.0 - b
                      + b * F.col("dl") / F.col("avg_dl"))))
-    scored = (tf.join(F.broadcast(idf), "tok")
+    return (tf.join(F.broadcast(idf), "tok")
               .join(F.broadcast(stats))
               .groupBy("doc_id").agg(F.sum(term_score).alias("s")))
+
+
+@query("bm25_search", oracle=_bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the documents table — the lexical
+    ranking half of a retrieval pipeline (the dense half is
+    cosine_topk/hybrid_search). Corpus statistics (N, avgdl) are one
+    tiny aggregate broadcast into the per-(doc, term) score; term
+    frequencies come from one narrow explode+filter+groupBy keyed by
+    (doc, term) — at 100 TB this is the standard two-pass BM25: no
+    all-pairs anything, shuffle volume bounded by matching postings
+    only (the term filter prunes before the shuffle). Top-k with a
+    deterministic doc_id tiebreak; BOTH engines rank on the
+    4-decimal-ROUNDED score (not the raw float sum), so a
+    cross-engine last-bit difference near the rank-20 boundary
+    cannot select different docs (ADVICE r3)."""
+    scored = _bm25_scored(spark, sf_dir)
     return (scored
             .orderBy(F.round("s", 4).desc(), F.asc("doc_id")).limit(20)
             .select("doc_id", F.round("s", 4).alias("bm25")))
+
+
+@query("rrf_fusion", oracle=_rrf_oracle())
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard combiner for hybrid
+    retrieval (Cormack et al.): the lexical BM25 top-20 and the dense
+    cosine top-20 (query vector 0) merge by
+    rrf = Σ 1/(60 + rank), absent-list docs contributing nothing;
+    output is the fused top-10 with both source ranks (0 = not in
+    that list, keeping the column integer-typed for the hash compare).
+
+    Both source rankings are deterministic (rounded-score/doc_id
+    tiebreaks), the fused score sums identical doubles in both
+    engines, and the final rank orders by the ROUNDED fused score —
+    so the whole fusion is hash-checked. Scale shape: two top-k
+    pipelines (each already bounded) + a full-outer join of two
+    20-row lists + one 40-row window — the fusion stage costs nothing
+    at any corpus size."""
+    from map_reduce_mongodb_spark.functions.vectors import cosine_unrolled
+    k, rrf_k, out_k = 20, 60, 10
+    # Both top-k cuts run as orderBy+limit (TakeOrderedAndProject —
+    # per-partition heaps, no global sort); the row_number window then
+    # ranks only the surviving k rows.
+    lex = (_bm25_scored(spark, sf_dir)
+           .orderBy(F.round("s", 4).desc(), F.asc("doc_id")).limit(k)
+           .withColumn("lex_rank",
+                       F.row_number().over(
+                           Window.orderBy(F.round("s", 4).desc(),
+                                          F.asc("doc_id"))))
+           .select("doc_id", "lex_rank"))
+    emb = table(spark, "embeddings", sf_dir)
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    dense = (emb.filter(F.col("vec_id") != 0)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.col("embedding").alias("cv"))
+             .crossJoin(F.broadcast(q0))
+             .withColumn("cosine", cosine_unrolled("qv", "cv", 64))
+             .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
+             .withColumn("dense_rank",
+                         F.row_number().over(
+                             Window.orderBy(F.desc("cosine"),
+                                            F.asc("doc_id"))))
+             .select("doc_id", "dense_rank"))
+    fused = (lex.join(dense, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.coalesce("lex_rank", F.lit(0)).cast("long")
+                     .alias("lex_rank"),
+                     F.coalesce("dense_rank", F.lit(0)).cast("long")
+                     .alias("dense_rank"),
+                     F.round(
+                         F.coalesce(1.0 / (rrf_k + F.col("lex_rank")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (rrf_k + F.col("dense_rank")),
+                                      F.lit(0.0)), 6).alias("rrf")))
+    return (fused
+            .withColumn("fused_rank",
+                        F.row_number().over(
+                            Window.orderBy(F.desc("rrf"),
+                                           F.asc("doc_id"))))
+            .filter(F.col("fused_rank") <= out_k)
+            .select("doc_id", "lex_rank", "dense_rank", "rrf",
+                    F.col("fused_rank").cast("long").alias("fused_rank")))
 
 
 @query("grouping_sets_agg", oracle="""
@@ -4342,7 +4455,7 @@ _DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # --- tier 1: no driver row yet (round-4 additions)
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
-    "dup_graph_stats",
+    "dup_graph_stats", "rrf_fusion",
     # --- tier 2: latest row is r01 (the 20 r1-only veterans; code
     #     rewritten r2-r4 for several — multimodal first, per VERDICT)
     "multimodal_inventory", "multimodal_decode_stats",
