@@ -46,3 +46,27 @@ def test_foreach_batch_sink(spark, tmp_path):
     from map_reduce_mongodb_spark.io import table as t
     assert got == t(spark, "events", SF_DIR).filter(
         "event_type = 'click'").count()
+
+
+def test_shared_parquet_materializes_once(spark):
+    """cache.shared_parquet contract: the builder runs exactly once
+    per key per process (consumers read the materialization), distinct
+    keys build independently, and results round-trip exactly."""
+    from map_reduce_mongodb_spark.cache import clear_shared, shared_parquet
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    clear_shared()
+    try:
+        a = shared_parquet(spark, "test_key_sf/x", build)
+        b = shared_parquet(spark, "test_key_sf/x", build)
+        assert calls["n"] == 1
+        assert sorted(r.v for r in a.collect()) == [0, 1, 2, 3, 4]
+        assert sorted(r.v for r in b.collect()) == [0, 1, 2, 3, 4]
+        shared_parquet(spark, "test_key_sf/y", build)
+        assert calls["n"] == 2
+    finally:
+        clear_shared()
