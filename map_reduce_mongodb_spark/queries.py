@@ -1781,6 +1781,62 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, query_ids=list(range(10)), k=5)
 
 
+def _knn_classify_oracle(dim: int = 64, k: int = 5, nq: int = 10) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import (
+        cosine_unrolled_sql)
+    cos = cosine_unrolled_sql("qv", "cv", dim)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+           FROM embeddings),
+     topk AS (
+       SELECT query_id, label FROM (
+         SELECT query_id, label,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY {cos} DESC, neighbor_id)
+                  AS rank
+         FROM c, q WHERE neighbor_id <> query_id)
+       WHERE rank <= {k}),
+     votes AS (
+       SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+       FROM topk GROUP BY query_id, label)
+SELECT query_id, label AS predicted_label, votes FROM (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes)
+WHERE vr = 1
+"""
+
+
+@query("knn_classify", oracle=_knn_classify_oracle())
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification over the embedding corpus — the
+    label-propagation shape (auto-labeling a new document from its
+    nearest labeled neighbours): exact top-5 cosine neighbours per
+    query vector, majority vote over their labels (ties broken by
+    label order for determinism). Composition of the brute-force
+    top-k (broadcast queries × corpus scan — corpus never shuffles)
+    with two tiny per-query aggregations; bit-identical cosine keeps
+    the vote itself hash-checkable. At scale the top-k stage swaps
+    for the IVF/LSH index paths — the vote is index-agnostic."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        cosine_topk_bruteforce)
+    emb = table(spark, "embeddings", sf_dir)
+    topk = cosine_topk_bruteforce(emb, query_ids=list(range(10)), k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (topk.join(F.broadcast(labels), "neighbor_id")
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label"))
+    return (votes.withColumn("vr", F.row_number().over(w))
+            .filter(F.col("vr") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    "votes"))
+
+
 @query("ann_lsh_topk")  # no oracle: approximate by design
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-LSH (8 hyperplanes × 2 tables, fixed
@@ -4391,6 +4447,90 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("media_id"), "n_samples", "peak", "mean_amp", "rms")
 
 
+@query("orders_rfm", oracle="""
+WITH rfm AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', max(o_orderdate),
+                        TIMESTAMP '2002-01-01') AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+         AS value_quintile
+FROM rfm
+""")
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days from last order to
+    the fixed analysis date), frequency (order count), monetary
+    (lifetime spend), and the spend quintile via ntile. One hash
+    aggregate keyed by customer; the quintile window orders on the
+    ROUNDED monetary (cent sums are exact at 2 decimals) with a
+    custkey tiebreak, so bucket boundaries are deterministic across
+    engines. The global ntile sort is O(|customers|), not
+    O(|orders|) — at 100 TB you'd ntile within a partition dimension
+    (e.g. region) or swap for percentile thresholds; the per-customer
+    aggregate is the scale-bearing stage."""
+    o = table(spark, "orders", sf_dir)
+    rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.datediff(F.lit("2002-01-01").cast("timestamp"),
+                           F.max("o_orderdate")).cast("long")
+                .alias("recency_days"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return rfm.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(w).cast("long").alias("value_quintile"))
+
+
+@query("events_anomaly_zscore", oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(cnt) AS s,
+         sum(cnt * cnt) AS ss
+  FROM hourly GROUP BY event_type)
+SELECT event_type, hour, CAST(cnt AS BIGINT) AS n_events,
+       round((cnt - s / n)
+             / sqrt((ss - s * s / n) / (n - 1.0)), 4) AS z
+FROM hourly JOIN m USING (event_type)
+WHERE n > 1.0 AND (ss - s * s / n) / (n - 1.0) > 0.0
+""")
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly scoring: per-event-type z-score of each
+    hour's event count against that type's hourly distribution — the
+    monitoring shape behind traffic-spike/outage detection. Two
+    aggregations (hourly counts, then per-type moments joined back via
+    broadcast — |event_types| rows); the variance is computed from
+    EXPLICIT integer-exact moments (n, Σc, Σc²) with the same
+    expression structure in both engines rather than builtin
+    stddev_samp, so the doubles are bit-identical and the z-scores
+    hash-check. Degenerate groups (one hour, zero variance) are
+    excluded by exact-zero tests on integer-derived doubles."""
+    events = table(spark, "events", sf_dir)
+    hourly = (events
+              .groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    m = (hourly.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.sum("cnt").alias("s"),
+              F.sum(F.col("cnt") * F.col("cnt")).alias("ss")))
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) \
+        / (F.col("n") - 1.0)
+    return (hourly.join(F.broadcast(m), "event_type")
+            .filter((F.col("n") > 1.0) & (var > 0.0))
+            .select("event_type", "hour",
+                    F.col("cnt").cast("long").alias("n_events"),
+                    F.round((F.col("cnt") - F.col("s") / F.col("n"))
+                            / F.sqrt(var), 4).alias("z")))
+
+
 @query("event_transitions", oracle="""
 WITH ordered AS (
   SELECT user_id, event_type,
@@ -4455,7 +4595,8 @@ _DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # --- tier 1: no driver row yet (round-4 additions)
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
-    "dup_graph_stats", "rrf_fusion",
+    "dup_graph_stats", "rrf_fusion", "knn_classify",
+    "events_anomaly_zscore", "orders_rfm",
     # --- tier 2: latest row is r01 (the 20 r1-only veterans; code
     #     rewritten r2-r4 for several — multimodal first, per VERDICT)
     "multimodal_inventory", "multimodal_decode_stats",
