@@ -267,3 +267,21 @@ def test_q21_join_build_sides_pinned(spark):
     p = plan(QUERIES["q21_suppliers_kept_waiting"](spark, SF_DIR))
     assert p.count("BroadcastHashJoin") >= 2   # orders build + supplier
     assert "l_orderkey" in p
+
+
+def test_rrf_fusion_topk_cuts_avoid_global_sort(spark):
+    """Both RRF source rankings must cut to k via per-partition heaps
+    (TakeOrderedAndProject), never a global Sort+Exchange of the full
+    corpus; the fused ranking windows only the tiny surviving lists —
+    and Catalyst pushes the final top-10 limit through the rank window
+    too, so all THREE cuts are heap-based."""
+    p = plan(QUERIES["rrf_fusion"](spark, SF_DIR), mode="simple")
+    assert p.count("TakeOrderedAndProject") == 3
+
+
+def test_knn_classify_broadcasts_queries_and_labels(spark):
+    """kNN classification: the query vectors and the label lookup are
+    broadcast; the corpus scan never shuffles for the ranking stage."""
+    p = plan(QUERIES["knn_classify"](spark, SF_DIR), mode="simple")
+    assert p.count("BroadcastNestedLoopJoin") == 1   # queries x corpus
+    assert "BroadcastHashJoin" in p                  # label lookup
