@@ -133,7 +133,31 @@ def _banded(sigs: DataFrame, id_col: str, num_hashes: int,
     ).select(id_col, "bb.band", "bb.bucket")
 
 
-def _candidates_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+def _candidates_from_banded(banded: DataFrame, id_col: str,
+                            max_bucket_size: int | None = None
+                            ) -> DataFrame:
+    """Distinct (id_a < id_b) bucket-cohabitant pairs.
+
+    ``max_bucket_size`` is the SKEW defense for corpus scale: a hot
+    bucket of |B| members (boilerplate/empty-ish documents whose band
+    signatures collide) contributes |B|² join output — one
+    pathological bucket can dominate the whole stage. Capping drops
+    buckets with more than ``max_bucket_size`` members BEFORE the
+    self-join (one extra count aggregate on the narrow banded frame,
+    broadcast back as a semi filter) — the standard production trade:
+    members of a mega-bucket are near-certainly boilerplate whose
+    pairs the verify stage would reject or downstream dedup would
+    collapse anyway, and any pair sharing a second, smaller bucket is
+    still found. Off (None) by default: at test scale every bucket is
+    small, and the oracle-checked queries must keep exact semantics.
+    """
+    if max_bucket_size is not None:
+        ok = (banded.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= max_bucket_size)
+              .select("band", "bucket"))
+        banded = banded.join(F.broadcast(ok), ["band", "bucket"],
+                             "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -165,14 +189,18 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         num_hashes: int = 16, bands: int = 4,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidates verified by TRUE shingle Jaccard ≥ threshold.
     Only candidate pairs are verified (the scale win vs all-pairs).
-    One persisted signature pass feeds banding AND verification."""
+    One persisted signature pass feeds banding AND verification.
+    ``max_bucket_size``: optional hot-bucket cap (the corpus-scale
+    skew defense — see _candidates_from_banded)."""
     sigs = tracked_persist(minhash_signatures(df, text_col, id_col,
                                               num_hashes, shingle_n))
     cands = _candidates_from_banded(
-        _banded(sigs, id_col, num_hashes, bands), id_col)
+        _banded(sigs, id_col, num_hashes, bands), id_col,
+        max_bucket_size)
     a = sigs.select(F.col(id_col).alias("id_a"),
                     F.col("shingles").alias("sh_a"))
     b = sigs.select(F.col(id_col).alias("id_b"),

@@ -842,6 +842,46 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_merge_candidates", oracle=r"""
+WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS word
+           FROM documents),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       FROM w WHERE len(word) >= 2 GROUP BY word),
+p AS (SELECT freq,
+             unnest(list_transform(generate_series(1, len(word) - 1),
+                    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+      FROM wf)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""")
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer TRAINING: corpus-weighted
+    adjacent character-pair frequencies (the pair with the highest
+    count becomes the first merge rule). Counting happens over the
+    DISTINCT-word vocabulary weighted by word frequency — the standard
+    BPE trick that makes the pass O(|vocab|·word_len) instead of
+    O(corpus chars); at 100 TB the vocabulary aggregate is the only
+    corpus-wide shuffle and the pair explode runs on the (tiny) vocab.
+    Top-20 with deterministic pair tiebreak."""
+    docs = table(spark, "documents", sf_dir)
+    words = (docs.select(F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2))
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "freq",
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(20))
+
+
 @query("vocab_coverage", oracle=r"""
 WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
            FROM documents),
@@ -4596,7 +4636,7 @@ _PRIORITY: list[str] = [
     # --- tier 1: no driver row yet (round-4 additions)
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
-    "events_anomaly_zscore", "orders_rfm",
+    "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
     # --- tier 2: latest row is r01 (the 20 r1-only veterans; code
     #     rewritten r2-r4 for several — multimodal first, per VERDICT)
     "multimodal_inventory", "multimodal_decode_stats",

@@ -222,3 +222,32 @@ def test_hashed_shingles_align_with_string_shingles(spark):
     ).collect()
     assert both
     assert all(r.ns == r.nh for r in both)
+
+
+def test_minhash_bucket_cap_bounds_hot_buckets(spark):
+    """The max_bucket_size skew defense: a planted mega-bucket (many
+    identical boilerplate docs, which collide in EVERY band) is
+    dropped from candidate generation, while genuinely similar pairs
+    that cohabit normal-size buckets survive. Without the cap the
+    boilerplate cluster alone contributes ~|B|²/2 pairs."""
+    docs = _docs(spark)
+    boiler = docs.limit(1).select(
+        (F.col("doc_id") + 100000).alias("base"), "text")
+    clones = (boiler.crossJoin(
+        spark.range(40).select(F.col("id").alias("i")))
+        .select((F.col("base") + F.col("i")).alias("doc_id"),
+                F.lit("common boilerplate header repeated verbatim "
+                      "across the whole crawl every single page")
+                .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    uncapped = minhash_dedup_pairs(corpus, threshold=0.7)
+    capped = minhash_dedup_pairs(corpus, threshold=0.7,
+                                 max_bucket_size=20)
+    un = {tuple(r) for r in uncapped.select("id_a", "id_b").collect()}
+    cp = {tuple(r) for r in capped.select("id_a", "id_b").collect()}
+    clone_pairs = {p for p in un if p[0] >= 100000 and p[1] >= 100000}
+    # the 40-clone cluster produced ~780 pairs uncapped, none capped
+    assert len(clone_pairs) == 40 * 39 // 2
+    assert not {p for p in cp if p[0] >= 100000 and p[1] >= 100000}
+    # every non-boilerplate pair survives the cap
+    assert cp >= (un - clone_pairs)
