@@ -1297,6 +1297,20 @@ fp AS (
   SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bs)"""
 
 
+def _simhash_fps_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 SimHash fingerprints over documents, materialized once per
+    process and shared between `simhash_fingerprints` and
+    `simhash_pairs` (the same write-once fingerprint-table layout as
+    the winnow/minhash families)."""
+    from map_reduce_mongodb_spark.cache import shared_parquet
+
+    def build() -> DataFrame:
+        from map_reduce_mongodb_spark.operators.dedup import simhash_md5
+        return simhash_md5(table(spark, "documents", sf_dir))
+
+    return shared_parquet(spark, f"simhash_fps_md5_{sf_dir}", build)
+
+
 @query("simhash_fingerprints",
        oracle=f"WITH {_simhash_fp_cte()}\n"
               "SELECT doc_id, simhash FROM fp")
@@ -1306,8 +1320,7 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint reproducible in DuckDB — fully oracle-checked (the
     cheaper murmur3 twin remains available as operators/dedup.py:
     simhash)."""
-    from map_reduce_mongodb_spark.operators.dedup import simhash_md5
-    return simhash_md5(table(spark, "documents", sf_dir))
+    return _simhash_fps_md5(spark, sf_dir)
 
 
 @query("approx_sketches")  # rows-only: HLL/quantile sketches are
@@ -1497,10 +1510,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the pair-search operator that makes fingerprints actionable:
     pigeonhole block split → equality self-join on (block, value) →
     popcount verify. Fully oracle-checked end-to-end (fingerprints AND
-    pair search) thanks to the md5-derived bit math."""
-    from map_reduce_mongodb_spark.operators.dedup import (
-        simhash_md5, simhash_pairs)
-    fps = simhash_md5(table(spark, "documents", sf_dir))
+    pair search) thanks to the md5-derived bit math; reads the
+    once-materialized fingerprint table (`_simhash_fps_md5`)."""
+    from map_reduce_mongodb_spark.operators.dedup import simhash_pairs
+    fps = _simhash_fps_md5(spark, sf_dir)
     return simhash_pairs(fps, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int"))
 
