@@ -9,17 +9,19 @@ Design (north-star: 100 TB training-data pipelines):
 - Decode / feature-extraction / frame-sampling run as **Arrow-batched
   Python stages** (``mapInPandas`` / ``pandas_udf``) — the one place
   Python is the right tool, because codec libraries are Python/C.
-- Codec reality in this container (no PIL/ffmpeg/librosa): **image and
-  audio decode are REAL** — the synthesized payloads are well-formed
-  binary PPM (P6) and PCM WAV files, and ``_decode_payload`` parses
-  their headers with pure stdlib (hand-rolled P6 parsing with
-  pixel-array length validation; the ``wave`` module for WAV), so the
-  decode path exercises genuine bytes end-to-end. **Video stays a
-  deterministic fake** (``_FAKE_VIDEO_DECODE = True`` — the stdlib has
-  no video container parser), clearly marked; a real build swaps only
-  that branch for ffmpeg. The Spark-side plumbing — column schemas,
-  Arrow batch iteration, 1→n frame explosion, partition behavior — is
-  identical across all three types.
+- Codec reality in this container (no PIL/ffmpeg/librosa): **all
+  three decodes are REAL** — the synthesized payloads are well-formed
+  binary PPM (P6) images, PCM WAV audio, and YUV4MPEG2 (Y4M) video
+  streams, and ``_decode_payload`` parses each with pure stdlib
+  (hand-rolled P6 parsing with pixel-array length validation; the
+  ``wave`` module for WAV; a hand-rolled Y4M header/FRAME walker with
+  exact-length validation), so every decode path exercises genuine
+  bytes end-to-end. Y4M is the uncompressed interchange format
+  ffmpeg/mjpegtools use — real files, no codec needed; a production
+  build would ADD compressed-container branches (mp4/webm via ffmpeg)
+  behind the same dict contract. The Spark-side plumbing — column
+  schemas, Arrow batch iteration, 1→n frame explosion, partition
+  behavior — is identical across all three types.
 """
 
 from __future__ import annotations
@@ -57,8 +59,6 @@ MEDIA_SCHEMA = StructType([
     ]), True),
 ])
 
-_FAKE_VIDEO_DECODE = True  # stdlib has no video parser — see module doc
-
 #: WAV synthesis parameters (PCM 16-bit).
 _WAV_RATE = 16000
 _WAV_SAMPLE_BYTES = 2
@@ -76,7 +76,12 @@ def _synth_payload(media_type: str, text: str) -> bytes:
     - audio → PCM WAV: standard 44-byte RIFF header + the text bytes
       truncated to a whole number of frames (block align =
       2·channels; channels = 1 + len % 2).
-    - video → raw text bytes (opaque; no stdlib container writer).
+    - video → YUV4MPEG2 (Y4M): 37-byte header ``YUV4MPEG2 W{w} H{h}
+      F25:1 Ip A1:1 C444\\n`` (w, h ∈ [16, 47] → always two digits)
+      followed by ``2 + len %% 7`` frames, each ``FRAME\\n`` + a
+      w·h·3-byte C444 plane block; frame f's block is the repeated
+      text starting at offset f, so frames differ but every byte is
+      ``substr(repeat(text, k), f+1, w·h·3)``-derivable in SQL.
     """
     raw = text.encode("utf-8")
     n = len(raw)
@@ -96,7 +101,18 @@ def _synth_payload(media_type: str, text: str) -> bytes:
                    _WAV_RATE * block, block, 8 * _WAV_SAMPLE_BYTES)
                + b"data" + struct.pack("<I", dsize))
         return hdr + raw[:dsize]
-    return raw
+    # video: YUV4MPEG2, C444 (three full planes — frame block w·h·3)
+    w = 16 + n % 32
+    h = 16 + (n // 5) % 32
+    nf = 2 + n % 7
+    fsize = w * h * 3
+    if n:
+        rep = raw * (-(-(fsize + nf) // n))
+        frames = [b"FRAME\n" + rep[f:f + fsize] for f in range(nf)]
+    else:
+        frames = [b"FRAME\n" + b"\x00" * fsize for _ in range(nf)]
+    return (b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)
+            + b"".join(frames))
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -137,11 +153,13 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
       strict validation that the pixel array is exactly w·h·3 bytes
       (a truncated or padded file raises ValueError);
     - audio: stdlib ``wave`` (RIFF/fmt/data chunk walk), which rejects
-      malformed headers itself.
-
-    Video has no stdlib parser: a deterministic sha256-derived fake,
-    gated by ``_FAKE_VIDEO_DECODE`` — a real build replaces that
-    branch (only) with an ffmpeg probe behind the same dict contract."""
+      malformed headers itself;
+    - video: hand-rolled YUV4MPEG2 walker — magic + parameter parse
+      (W/H/C tags), then a strict FRAME-by-FRAME traversal that
+      requires every frame marker and exactly w·h·3 plane bytes per
+      frame (truncated streams and unsupported colorspaces raise
+      ValueError). A production build would ADD compressed-container
+      branches (ffmpeg probe) behind the same dict contract."""
     if media_type == "image":
         if not payload.startswith(b"P6"):
             raise ValueError("not a binary PPM (P6) payload")
@@ -169,12 +187,48 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
             return {"width": 0, "height": 0,
                     "channels": wv.getnchannels(),
                     "n_frames": wv.getnframes()}
-    if not _FAKE_VIDEO_DECODE:  # pragma: no cover - real-codec path
-        raise NotImplementedError("no video codec in this environment")
-    digest = hashlib.sha256(payload or b"").digest()
-    a, b = digest[0], digest[1]
-    return {"width": 320 + a % 64, "height": 240 + b % 64,
-            "channels": 3, "n_frames": 8 + a % 24}
+    w, h, _, n_frames = _iter_y4m(payload, count_only=True)
+    return {"width": w, "height": h, "channels": 3, "n_frames": n_frames}
+
+
+def _iter_y4m(payload: bytes, count_only: bool = False
+              ) -> tuple[int, int, list[bytes], int]:
+    """Walk a YUV4MPEG2 stream: returns (width, height, frames,
+    n_frames) with strict validation — magic, W/H present, C444
+    colorspace, every frame marker, exact plane-block lengths, no
+    trailing bytes. ``count_only`` skips materializing frame bytes."""
+    if not payload.startswith(b"YUV4MPEG2 "):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    w = h = None
+    cspace = "C420"  # the Y4M default when no C tag is present
+    for p in payload[10:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            cspace = p.decode("ascii")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cspace != "C444":
+        raise ValueError(f"unsupported Y4M colorspace {cspace}")
+    fsize = w * h * 3
+    frames: list[bytes] = []
+    pos, n_frames = nl + 1, 0
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        pos = fnl + 1
+        if pos + fsize > len(payload):
+            raise ValueError("truncated Y4M frame")
+        if not count_only:
+            frames.append(payload[pos:pos + fsize])
+        pos += fsize
+        n_frames += 1
+    return w, h, frames, n_frames
 
 
 DECODED_SCHEMA = StructType(MEDIA_SCHEMA.fields + [
@@ -340,8 +394,10 @@ _FRAME_SCHEMA = StructType([
 
 def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
     """1→n frame sampling for video rows (mapInPandas as UDTF): emits
-    every `every`-th fake frame; non-video rows emit nothing. The fake
-    "frame" is a deterministic byte slice of the payload."""
+    every `every`-th REAL frame — the w·h·3-byte C444 plane block
+    pulled out of the Y4M stream by the strict walker — the sampled
+    stills a video-curation pipeline would hand to an image model.
+    Non-video rows emit nothing."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_id, out_idx, out_frame = [], [], []
@@ -350,13 +406,51 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
                 if mt != "video":
                     continue
                 payload = bytes(d) if d is not None else b""
-                n = _decode_payload(mt, payload)["n_frames"]
+                _w, _h, frames, n = _iter_y4m(payload)
                 for i in range(0, n, every):
-                    lo = (i * 7) % max(len(payload), 1)
                     out_id.append(mid)
                     out_idx.append(i)
-                    out_frame.append(payload[lo:lo + 16])
+                    out_frame.append(frames[i])
             yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx,
                                 "frame_data": out_frame})
 
     return media.mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+_VIDEO_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("n_frames", IntegerType(), False),
+    StructField("first_frame_bytes", LongType(), False),
+    StructField("first_frame_sum", LongType(), False),
+])
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL per-video statistics from the parsed Y4M stream: geometry,
+    frame count, and the integer-exact byte sum of the FIRST frame's
+    plane block — proving actual frame bytes came out of the
+    container (the oracle reconstructs the same sum arithmetically
+    from the synthesis formula). Narrow Arrow stage; sums in int64."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in _VIDEO_STATS_SCHEMA.fields}
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "video":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                w, h, frames, n = _iter_y4m(payload)
+                first = np.frombuffer(frames[0], dtype=np.uint8)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n)
+                out["first_frame_bytes"].append(len(frames[0]))
+                out["first_frame_sum"].append(int(first.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_VIDEO_STATS_SCHEMA)

@@ -2048,7 +2048,9 @@ sized AS (
            WHEN 'image' THEN
              13 + (16 + len % 48) * (16 + (len // 7) % 48) * 3
            WHEN 'audio' THEN 44 + len - (len % (2 * (1 + len % 2)))
-           ELSE len END AS nbytes
+           ELSE 37 + (2 + len % 7)
+                * (6 + (16 + len % 32) * (16 + (len // 5) % 32) * 3)
+         END AS nbytes
   FROM m)
 SELECT media_type,
        count(*) AS n,
@@ -2063,8 +2065,9 @@ def q_multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are WELL-FORMED files (binary PPM / PCM WAV — see
     multimodal._synth_payload), whose sizes are closed-form in the
     text length (ASCII corpus: bytes == chars): PPM = 13-byte header
-    + w·h·3 pixels, WAV = 44-byte header + frame-aligned data, video
-    = raw bytes. The oracle recomputes those formulas."""
+    + w·h·3 pixels, WAV = 44-byte header + frame-aligned data, Y4M =
+    37-byte header + n_frames·(6 + w·h·3). The oracle recomputes
+    those formulas."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         media_from_documents)
     media = media_from_documents(table(spark, "documents", sf_dir))
@@ -2081,23 +2084,21 @@ WITH d AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         length(text) AS len,
-         CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) AS a,
-         CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) AS b
+         length(text) AS len
   FROM documents),
 g AS (
   SELECT media_type,
          CASE media_type WHEN 'image' THEN 16 + len % 48
                          WHEN 'audio' THEN 0
-                         ELSE 320 + a % 64 END AS width,
+                         ELSE 16 + len % 32 END AS width,
          CASE media_type WHEN 'image' THEN 16 + (len // 7) % 48
                          WHEN 'audio' THEN 0
-                         ELSE 240 + b % 64 END AS height,
+                         ELSE 16 + (len // 5) % 32 END AS height,
          CASE media_type WHEN 'image' THEN 1
                          WHEN 'audio' THEN
                            (len - (len % (2 * (1 + len % 2))))
                              // (2 * (1 + len % 2))
-                         ELSE 8 + a % 24 END AS n_frames
+                         ELSE 2 + len % 7 END AS n_frames
   FROM d)
 SELECT media_type,
        count(*) AS n,
@@ -2108,17 +2109,18 @@ FROM g
 GROUP BY media_type
 """)
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode for image/audio + aggregation over the decoded
-    geometry: the Spark side genuinely parses the synthesized PPM
-    headers (with pixel-array validation) and WAV headers (stdlib
-    ``wave``) inside the Arrow mapInPandas stage; only video geometry
-    is the documented sha256-derived fake (no stdlib video parser).
-    The oracle recomputes what a correct parse MUST find from the
-    synthesis formulas (PPM w/h from text length; WAV frame count
-    from frame-aligned data size) — so a broken parser or malformed
-    synthesis fails the hash, not just a schema check. avgs are
-    emitted UNROUNDED: sum-of-ints/count divides identically in both
-    engines, while round(x, 2) can disagree on half-way doubles."""
+    """REAL decode for ALL THREE media types + aggregation over the
+    decoded geometry: the Spark side genuinely parses the synthesized
+    PPM headers (with pixel-array validation), WAV headers (stdlib
+    ``wave``) and Y4M streams (strict FRAME-walking parser) inside
+    the Arrow mapInPandas stage. The oracle recomputes what a correct
+    parse MUST find from the synthesis formulas (PPM w/h from text
+    length; WAV frame count from frame-aligned data size; Y4M w/h/
+    frame-count from the Y4M synthesis geometry) — so a broken parser
+    or malformed synthesis fails the hash, not just a schema check.
+    avgs are emitted UNROUNDED: sum-of-ints/count divides identically
+    in both engines, while round(x, 2) can disagree on half-way
+    doubles."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         decode_media, media_from_documents)
     media = decode_media(media_from_documents(table(spark, "documents", sf_dir)))
@@ -2128,6 +2130,51 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("height").alias("avg_height"),
         F.sum("n_frames").alias("total_frames"),
     )
+
+
+@query("video_frame_stats", oracle="""
+WITH v AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + length(text) % 32 AS w,
+         16 + (length(text) // 5) % 32 AS h,
+         2 + length(text) % 7 AS nf
+  FROM documents WHERE doc_id % 3 = 2),
+v2 AS (
+  SELECT doc_id, text, n, w, h, nf, w * h * 3 AS fsize,
+         (w * h * 3) // n AS q, (w * h * 3) % n AS r
+  FROM v),
+a AS (
+  SELECT doc_id,
+         sum(ascii(substr(text, CAST(i AS INTEGER), 1))) AS tot,
+         sum(CASE WHEN i <= r
+                  THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                  ELSE 0 END) AS pre
+  FROM (SELECT doc_id, text, r, unnest(generate_series(1, n)) AS i
+        FROM v2)
+  GROUP BY doc_id)
+SELECT v2.doc_id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(fsize AS BIGINT) AS first_frame_bytes,
+       CAST(q * tot + pre AS BIGINT) AS first_frame_sum
+FROM v2 JOIN a ON v2.doc_id = a.doc_id
+""")
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: per video row, the Y4M stream's
+    parsed geometry, frame count, and the integer-exact byte sum of
+    the FIRST frame's C444 plane block — evidence that actual frame
+    BYTES came out of the container, not just header fields. The
+    oracle reconstructs the same sum arithmetically from the
+    synthesis layout (frame 0 = the text repeated to w·h·3 bytes, so
+    its byte sum = ⌊fsize/n⌋·Σascii(text) + Σascii(prefix)) — a
+    parser that misplaces a single frame boundary fails the hash.
+    Narrow Arrow decode stage; at scale this is the per-partition
+    frame-extraction pass a video-curation pipeline runs before
+    sampling stills into an image model."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        media_from_documents, video_frame_stats)
+    return video_frame_stats(
+        media_from_documents(table(spark, "documents", sf_dir)))
 
 
 # =====================================================================
@@ -4650,6 +4697,7 @@ _PRIORITY: list[str] = [
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
+    "video_frame_stats",
     # --- tier 2: latest row is r01 (the 20 r1-only veterans; code
     #     rewritten r2-r4 for several — multimodal first, per VERDICT)
     "multimodal_inventory", "multimodal_decode_stats",

@@ -45,8 +45,19 @@ def test_media_schema_and_payload(spark):
         assert wv.getsampwidth() == 2
         assert wv.getnframes() * wv.getnchannels() * 2 == \
             len(bytes(aud.data)) - 44
-    # video payload is the opaque raw bytes (no stdlib container)
-    assert vid.meta.declared_chars == len(bytes(vid.data))
+    # video payload is a WELL-FORMED YUV4MPEG2 stream: header parses
+    # and every FRAME block is exactly w*h*3 bytes (C444)
+    vdata = bytes(vid.data)
+    assert vdata.startswith(b"YUV4MPEG2 ")
+    vhdr = vdata[:vdata.index(b"\n")]
+    tags = dict((p[:1], p[1:]) for p in vhdr[10:].split())
+    vw, vh = int(tags[b"W"]), int(tags[b"H"])
+    assert tags[b"C"] == b"444"
+    body = vdata[len(vhdr) + 1:]
+    fblock = 6 + vw * vh * 3  # b"FRAME\n" + planes
+    assert len(body) % fblock == 0 and len(body) // fblock >= 2
+    for f in range(len(body) // fblock):
+        assert body[f * fblock:f * fblock + 6] == b"FRAME\n"
 
 
 def test_decode_media_adds_geometry(spark):
