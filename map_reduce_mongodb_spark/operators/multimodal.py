@@ -26,7 +26,6 @@ Design (north-star: 100 TB training-data pipelines):
 
 from __future__ import annotations
 
-import hashlib
 import io
 import math
 import struct
@@ -366,16 +365,34 @@ _FEATURE_SCHEMA = StructType([
 
 
 def media_features(media: DataFrame) -> DataFrame:
-    """Feature-extraction stage (fake embedding: normalized byte
-    histogram moments from the sha256-whitened payload). Demonstrates
-    the binary→vector contract used by the similarity operators."""
+    """Feature-extraction stage: a REAL 8-dim byte-statistics vector
+    per payload (normalized mean, std, min, max, the 25/50/75th
+    percentiles, and the high-bit fraction) — the cheap content
+    signature a curation pipeline uses for coarse clustering before
+    real model embeddings. Demonstrates the binary→vector contract
+    the similarity operators consume; every component ∈ [0, 1]."""
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
             for d in pdf["data"]:
                 payload = bytes(d) if d is not None else b""
-                digest = hashlib.sha256(payload).digest()
-                feats.append([b / 255.0 for b in digest[:FEATURE_DIM]])
+                x = np.frombuffer(payload, dtype=np.uint8)
+                if not len(x):
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                q25, q50, q75 = np.percentile(x, [25, 50, 75])
+                feats.append([
+                    float(x.mean()) / 255.0,
+                    float(x.std()) / 255.0,
+                    float(x.min()) / 255.0,
+                    float(x.max()) / 255.0,
+                    float(q25) / 255.0,
+                    float(q50) / 255.0,
+                    float(q75) / 255.0,
+                    float((x > 127).mean()),
+                ])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],

@@ -1,6 +1,6 @@
 """Multimodal plumbing tests: schemas, Arrow batch stages, 1→n frame
-sampling. Image/audio payloads are REAL files (binary PPM / PCM WAV)
-parsed by real stdlib decoders; only video decode is stubbed."""
+sampling. All payloads are REAL files (binary PPM / PCM WAV /
+YUV4MPEG2) parsed by real pure-stdlib decoders."""
 
 from __future__ import annotations
 
@@ -67,7 +67,7 @@ def test_decode_media_adds_geometry(spark):
     assert all(r.n_frames >= 1 for r in rows)
     imgs = [r for r in rows if r.media_type == "image"]
     assert imgs and all(r.n_frames == 1 and r.channels == 3 for r in imgs)
-    # deterministic: same payload → same fake geometry
+    # deterministic: same payload → same decoded geometry
     again = {r.media_id: (r.width, r.height) for r in
              decode_media(_media(spark)).collect()}
     assert all((r.width, r.height) == again[r.media_id] for r in rows)
@@ -164,3 +164,27 @@ def test_corpus_is_pure_ascii(spark):
         f"{bad} documents contain non-ASCII text: the image/audio "
         "oracle reconstructions in queries.py are no longer valid — "
         "rework them before trusting multimodal correctness rows")
+
+
+def test_y4m_decoder_rejects_malformed_streams(spark):
+    """The Y4M walker must fail LOUDLY on structural damage — a
+    truncated frame, a bad frame marker, a wrong colorspace — rather
+    than return plausible geometry from garbage."""
+    import pytest
+
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        _decode_payload, _synth_payload)
+
+    good = _synth_payload("video", "ten words of sample text for video")
+    geom = _decode_payload("video", good)
+    assert geom["n_frames"] >= 2 and geom["channels"] == 3
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_payload("video", good[:-5])
+    with pytest.raises(ValueError, match="FRAME"):
+        hdr_end = good.index(b"\n") + 1
+        _decode_payload("video",
+                        good[:hdr_end] + b"XRAME" + good[hdr_end + 5:])
+    with pytest.raises(ValueError, match="colorspace"):
+        _decode_payload("video", good.replace(b"C444", b"C420", 1))
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _decode_payload("video", b"not a video at all")
