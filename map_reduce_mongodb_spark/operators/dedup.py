@@ -280,6 +280,62 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      shingle_n: int = 3,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """DIRECTIONAL shingle-containment pairs: c(A→B) = |A∩B| / |A| ≥
+    threshold — the excerpt/quote/boilerplate-inclusion detector that
+    symmetric Jaccard structurally misses (a 50-shingle quote inside a
+    5000-shingle page has J ≈ 0.01 but containment 1.0). Emits
+    (contained_id, container_id, containment); both directions of each
+    co-occurring pair are evaluated from ONE intersection count.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (flat
+    (shingle, id) posting join, hit count == |A∩B|) — the length-ratio
+    prefilter used there does NOT apply here (containment is
+    length-asymmetric by design), so the skew defense at corpus scale
+    is ``max_shingle_df``: drop postings for shingles appearing in
+    more than that many docs (stop-shingle pruning — a shingle shared
+    by half the corpus identifies nothing and quadratically dominates
+    the join). Pruning can only LOWER a containment score, never raise
+    it: with df-capped postings the result is a superset-safe filter
+    to run BELOW threshold, or exact when no shingle exceeds the cap
+    (the tested configuration leaves it off)."""
+    base = (df.select(F.col(id_col),
+                      word_shingles(F.col(text_col), shingle_n)
+                      .alias("sh"))
+            .filter(F.size("sh") > 0))
+    sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
+    tokens = base.select(F.col(id_col), F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        hot = (tokens.groupBy("g")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_shingle_df)
+               .select("g"))
+        tokens = tokens.join(F.broadcast(hot), "g", "left_anti")
+    a = tokens.select(F.col(id_col).alias("id_a"), "g")
+    b = tokens.select(F.col(id_col).alias("id_b"), "g")
+    inter = (a.join(b, "g")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("i")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"),
+                        F.col("sz").alias("sa"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"),
+                        F.col("sz").alias("sb"))
+    both = inter.join(sz_a, "id_a").join(sz_b, "id_b")
+    fwd = both.select(F.col("id_a").alias("contained_id"),
+                      F.col("id_b").alias("container_id"),
+                      F.round(F.col("i").cast("double")
+                              / F.col("sa"), 6).alias("containment"))
+    rev = both.select(F.col("id_b").alias("contained_id"),
+                      F.col("id_a").alias("container_id"),
+                      F.round(F.col("i").cast("double")
+                              / F.col("sb"), 6).alias("containment"))
+    return fwd.union(rev).filter(F.col("containment") >= threshold)
+
+
 def _simhash_from_hashes(exploded: DataFrame, id_col: str,
                          bits: int) -> DataFrame:
     """Assemble SimHash fingerprints from exploded (id, h) shingle

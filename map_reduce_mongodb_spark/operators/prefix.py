@@ -1,0 +1,119 @@
+"""Distributed prefix sum (global running total) without a
+single-partition window.
+
+The naive Spark expression of ``SUM(x) OVER (ORDER BY k)`` — a Window
+with ``orderBy`` and no ``partitionBy`` — moves the ENTIRE dataset into
+one task (Spark plans it as a single-partition window; the physical plan
+shows ``Window ... SinglePartition``). Fine at test scale, fatal at
+100 TB: one executor core sorts and scans everything.
+
+This module implements the textbook two-pass distributed scan instead
+(the same decomposition every PRAM / MPI prefix-sum uses, and what
+Trino's distributed window frames do under the hood):
+
+1. **Range-partition** the data by the global sort key
+   (``repartitionByRange`` — samples the key distribution, so
+   partitions are balanced even on skewed keys), then compute a
+   *within-partition* running sum with an ordinary partitioned window
+   (parallel, no single-partition stage).
+2. Aggregate **one row per partition** (its total), prefix-sum that
+   tiny table (``#partitions`` rows — a few thousand even on a
+   1000-executor cluster, so the single-partition window over it is
+   free), and broadcast-join each partition's *offset* (sum of all
+   earlier partitions) back.
+
+``global running sum = within-partition running sum + partition offset``
+
+Determinism: the caller must supply a TOTAL order (include a unique
+tiebreak column) — with a total order, any range partitioning yields
+the same global prefix sums regardless of where the cuts land.
+
+Consistency of ``_pid`` between the two passes: both branches (the
+within-partition window and the per-partition totals) hang off the
+SAME range exchange, which Spark's ReuseExchange executes once — so
+even though ``repartitionByRange`` samples its boundaries, every
+consumer sees identical partition assignments (pinned in
+tests/test_prefix.py::test_cumsum_range_exchange_is_reused; if that
+rule ever stopped firing the fallback is a tracked_persist of the
+ranged frame, not correct-by-luck recomputation).
+
+Scale notes: two shuffles (the range exchange; the per-partition totals
+aggregate is map-side) — the same cost as any global sort. The offset
+table is O(#partitions), driver-free, broadcast. Integer-typed values
+stay exact in any association order; for doubles the usual rounding
+defense applies downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(df: DataFrame, order_by: list[Column],
+                       value: Column, out: str,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Append column ``out`` = running sum of ``value`` over the global
+    total order ``order_by`` (list of Column, may use ``.desc()``),
+    computed with the two-pass range-partitioned scan described in the
+    module docstring. Returns ``df``'s columns plus ``out``.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(num_partitions, *order_by)
+                .withColumn("_pid", F.spark_partition_id())
+                .withColumn("_v", value))
+    w_local = (Window.partitionBy("_pid").orderBy(*order_by)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranged.withColumn("_local", F.sum("_v").over(w_local))
+
+    totals = ranged.groupBy("_pid").agg(F.sum("_v").alias("_tot"))
+    # #partitions rows: the single-partition window here is over a
+    # table with one row per partition, not per record.
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_tot").over(w_off),
+                   F.lit(0).cast("bigint")).alias("_off"))
+
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn(out, F.col("_local") + F.col("_off"))
+            .drop("_pid", "_v", "_local", "_off"))
+
+
+def distributed_cummax_exclusive(df: DataFrame, order_by: list[Column],
+                                 value: Column, out: str,
+                                 num_partitions: int | None = None
+                                 ) -> DataFrame:
+    """Append column ``out`` = max of ``value`` over all STRICTLY
+    EARLIER rows in the global total order ``order_by`` (NULL for the
+    global first row) — the exclusive prefix maximum, e.g. the
+    dominance test of skyline/Pareto-front queries.
+
+    Same two-pass decomposition as :func:`distributed_cumsum` (max is
+    associative, so the scheme carries over unchanged): range-partition
+    on the order key, exclusive within-partition running max
+    (``rowsBetween(unboundedPreceding, -1)``), then combine with the
+    max over all EARLIER partitions' totals via ``greatest`` (which
+    skips NULLs, handling both the partition-first and global-first
+    rows).
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(num_partitions, *order_by)
+                .withColumn("_pid", F.spark_partition_id())
+                .withColumn("_v", value))
+    w_local = (Window.partitionBy("_pid").orderBy(*order_by)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = ranged.withColumn("_local", F.max("_v").over(w_local))
+
+    totals = ranged.groupBy("_pid").agg(F.max("_v").alias("_tot"))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid", F.max("_tot").over(w_off).alias("_off"))
+
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn(out, F.greatest("_local", "_off"))
+            .drop("_pid", "_v", "_local", "_off"))

@@ -1,0 +1,67 @@
+"""Slowly-changing-dimension type-2 merge (versioned upsert).
+
+The warehouse-maintenance operator behind every "dimension table with
+history": applying a batch of attribute updates must CLOSE the current
+version of each changed key (stamp ``valid_to`` = the batch's effective
+time) and APPEND a new open version, while unchanged keys pass through
+untouched. Table formats spell this as ``MERGE INTO`` (Delta/Iceberg —
+the production backend once a jar is available, tracked in NOTES); the
+engine-level semantics are a keyed outer join + union, which is what
+this implements on plain DataFrames.
+
+Scale shape: one equi-join of the dimension against the update batch
+(dimensions are the SMALL side of a warehouse — broadcast the batch
+when it fits, AQE otherwise) + a union of three branches projected
+from that single join — no shuffle beyond the join key, no window, no
+driver state. History grows append-only, exactly like the table-format
+implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
+               attrs: list[str], effective: str = "effective_ts"
+               ) -> DataFrame:
+    """Apply one SCD2 update batch to a versioned dimension.
+
+    ``dim``: current dimension with ``key``, ``attrs``, ``valid_from``
+    (timestamp), ``valid_to`` (timestamp, NULL = open), ``version``
+    (int). Only OPEN rows (``valid_to IS NULL``) are eligible to
+    close; closed history passes through verbatim.
+
+    ``updates``: one row per changed key — ``key``, new values for
+    ``attrs``, and ``effective`` (timestamp the change takes effect).
+
+    Returns the merged dimension: closed history + still-open
+    unchanged rows + closed-out previous versions of updated keys +
+    the new open versions (version + 1).
+    """
+    upd = F.broadcast(updates.select(
+        F.col(key),
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+        F.col(effective).alias("_eff")))
+    open_rows = dim.where(F.col("valid_to").isNull())
+    closed_rows = dim.where(F.col("valid_to").isNotNull())
+    joined = open_rows.join(upd, key, "left")
+
+    untouched = joined.where(F.col("_eff").isNull()) \
+        .select(*dim.columns)
+    closed_out = (joined.where(F.col("_eff").isNotNull())
+                  .select(*[c for c in dim.columns if c != "valid_to"],
+                          F.col("_eff").alias("valid_to"))
+                  .select(*dim.columns))
+    new_versions = (joined.where(F.col("_eff").isNotNull())
+                    .select(F.col(key),
+                            *[F.col(f"_new_{a}").alias(a)
+                              for a in attrs],
+                            F.col("_eff").alias("valid_from"),
+                            F.lit(None).cast("timestamp")
+                             .alias("valid_to"),
+                            (F.col("version") + 1).alias("version"))
+                    .select(*dim.columns))
+    return closed_rows.unionByName(untouched) \
+        .unionByName(closed_out).unionByName(new_versions)

@@ -3274,11 +3274,10 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — the margin (1e-4) dwarfs BLAS-vs-JVM summation-order
     divergence (~1e-15), so no qualifying pair can be missed. See
     operators/similarity.py:embedding_dup_pairs for the scale
-    accounting and why sign-LSH is the wrong tool at threshold 0.4."""
-    from map_reduce_mongodb_spark.operators.similarity import (
-        embedding_dup_pairs)
-    return embedding_dup_pairs(table(spark, "embeddings", sf_dir),
-                               threshold=0.4)
+    accounting and why sign-LSH is the wrong tool at threshold 0.4.
+    Reads the once-materialized pair table (`_embedding_pairs_04`,
+    shared with `semantic_dedup_clusters`)."""
+    return _embedding_pairs_04(spark, sf_dir)
 
 
 @query("string_functions", oracle="""
@@ -4727,6 +4726,613 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-4b additions: distributed prefix-scan analytics, chunking,
+# time-spine gap fill, semantic dedup clusters, graph centrality
+# =====================================================================
+
+@query("pareto_revenue_abc", oracle="""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS tot_e4 FROM pr),
+cum AS (
+  SELECT l_partkey, rev_e4,
+         CAST(sum(rev_e4) OVER (
+             ORDER BY rev_e4 DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_e4
+  FROM pr)
+SELECT c.l_partkey,
+       c.rev_e4 / 10000.0 AS revenue,
+       c.cum_e4 / t.tot_e4 AS cum_share,
+       CASE WHEN c.cum_e4 * 100 <= t.tot_e4 * 80 THEN 'A'
+            WHEN c.cum_e4 * 100 <= t.tot_e4 * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum c, tot t
+""")
+def q_pareto_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue analysis: rank parts by revenue, compute
+    each part's GLOBAL cumulative revenue share, classify A (first
+    80% of revenue), B (next 15%), C (tail) — the inventory-analytics
+    shape that needs a full-table running total. The running total is
+    the interesting part at scale: a bare ``SUM OVER (ORDER BY ...)``
+    window plans as a SINGLE-PARTITION sort in Spark, so this uses
+    :func:`operators.prefix.distributed_cumsum` — range-partitioned
+    within-partition scans plus a broadcast per-partition offset table
+    (two-pass distributed prefix sum; see the module docstring).
+    Hash-robustness: per-line revenue is integerized to exact 1e-4
+    units BEFORE summation (row-local double arithmetic is
+    bit-identical across engines; integer sums are order-independent),
+    so the cumulative totals and the A/B/C boundary comparisons
+    (``cum*100 <= tot*80``, integer math) are exact in both engines —
+    no float boundary can flip a class. At very large SF move the
+    e4-scaled math to DECIMAL(38) to keep ``tot_e4 * 100`` in range."""
+    from map_reduce_mongodb_spark.operators.prefix import distributed_cumsum
+    li = table(spark, "lineitem", sf_dir)
+    rev = (li.groupBy("l_partkey")
+             .agg(F.sum(F.round(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")) * 10000)
+                        .cast("long")).alias("rev_e4")))
+    cum = distributed_cumsum(
+        rev, [F.col("rev_e4").desc(), F.col("l_partkey").asc()],
+        F.col("rev_e4"), "cum_e4")
+    tot = rev.agg(F.sum("rev_e4").alias("tot_e4"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("l_partkey",
+                    (F.col("rev_e4") / 10000.0).alias("revenue"),
+                    (F.col("cum_e4") / F.col("tot_e4"))
+                     .alias("cum_share"),
+                    F.when(F.col("cum_e4") * 100 <= F.col("tot_e4") * 80,
+                           "A")
+                     .when(F.col("cum_e4") * 100 <= F.col("tot_e4") * 95,
+                           "B")
+                     .otherwise("C").alias("abc_class")))
+
+
+@query("doc_chunking", oracle="""
+SELECT doc_id,
+       CAST((off - 1) // 150 AS INT) AS chunk_idx,
+       CAST(off AS INT) AS chunk_off,
+       CAST(length(substring(text, CAST(off AS INT), 200)) AS INT)
+         AS chunk_len,
+       md5(substring(text, CAST(off AS INT), 200)) AS chunk_md5
+FROM (SELECT doc_id, text,
+             unnest(generate_series(1, length(text), 150)) AS off
+      FROM documents WHERE length(text) > 0)
+""")
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into overlapping
+    fixed-size chunks (size 200 chars, stride 150 → 50-char overlap) —
+    the preprocessing step that turns raw documents into
+    training-window-sized pieces. Pure narrow plan: ``sequence`` +
+    ``explode`` + ``substr`` generate chunks WITHOUT any shuffle or
+    Python — at 100 TB this pipelines through the scan at parquet
+    read speed and parallelism follows input splits. Chunks are
+    emitted as (offset, length, md5) rather than raw text so the
+    result stays hash-comparable and compact; empty documents are
+    filtered on both sides (Spark's ``sequence(1, 0)`` throws where
+    DuckDB's returns empty). ASCII corpus ⇒ char offsets == byte
+    offsets in both engines (guarded by test_corpus_is_pure_ascii)."""
+    docs = table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    offs = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"),
+                             F.lit(150))).alias("off"))
+    chunk = F.col("text").substr(F.col("off"), F.lit(200))
+    return offs.select(
+        "doc_id",
+        F.floor((F.col("off") - 1) / 150).cast("int").alias("chunk_idx"),
+        F.col("off").cast("int").alias("chunk_off"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"))
+
+
+@query("events_gap_fill", oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, s.hour,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events
+FROM types t CROSS JOIN spine s
+LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour = s.hour
+""")
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling: a dense (event_type × hour) grid over
+    the corpus' full hour range with explicit ZERO rows where no
+    events occurred — the step that turns sparse event counts into
+    the regular series that downstream anomaly/forecast models need
+    (a missing hour and a zero-count hour are different facts). The
+    spine is generated, not scanned: global min/max bounds (one tiny
+    agg) → ``sequence``-exploded hour spine × distinct types. The
+    grid is O(|types| · hours) regardless of event volume, so the
+    left join against the aggregated hourly counts broadcasts the
+    grid side at any data scale; the only full-data pass is the
+    hourly pre-aggregation (map-side partial)."""
+    events = table(spark, "events", sf_dir)
+    hourly = (events
+              .groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1",
+                             F.expr("interval 1 hour"))).alias("hour"))
+    grid = events.select("event_type").distinct().crossJoin(
+        F.broadcast(spine))
+    return (grid.join(hourly, ["event_type", "hour"], "left")
+            .select("event_type", "hour",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n_events")))
+
+
+def _embedding_pairs_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-0.4 exact-verified embedding near-dup pair table —
+    shared upstream of ``embedding_dup_pairs`` (the listing) and
+    ``semantic_dedup_clusters`` (the transitive closure). Materialized
+    once per process via :func:`cache.shared_parquet` — at 100 TB the
+    verified pair table is the artifact written once and read by every
+    downstream consumer; the blocked-GEMM candidate pass must not
+    re-run per consumer."""
+    from map_reduce_mongodb_spark.cache import shared_parquet
+
+    def build() -> DataFrame:
+        from map_reduce_mongodb_spark.operators.similarity import (
+            embedding_dup_pairs)
+        return embedding_dup_pairs(table(spark, "embeddings", sf_dir),
+                                   threshold=0.4)
+
+    return shared_parquet(spark, f"emb_pairs_0.4_{sf_dir}", build)
+
+
+def _emb_cc_oracle(dim: int = 64, threshold: float = 0.4) -> str:
+    """Recursive-CTE oracle: connected components of the exact
+    all-pairs cosine>=threshold graph (mirrors _embedding_dup_oracle's
+    pair semantics, then the _CC_CTE closure shape)."""
+    from map_reduce_mongodb_spark.functions.vectors import (
+        dot_unrolled_sql, norm_sq_unrolled_sql)
+    nsq = norm_sq_unrolled_sql("embedding", dim)
+    dot = dot_unrolled_sql("a.vn", "b.vn", dim)
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / sqrt({nsq})) AS vn
+  FROM embeddings),
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({dot}, 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id)
+  WHERE cosine >= {threshold}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+cc AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT c.vec_id, c.cluster_id, s.cluster_size
+FROM cc c JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cc GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+@query("semantic_dedup_clusters", oracle=_emb_cc_oracle())
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (blocked-GEMM candidates + exact verify, threshold 0.4) →
+    connected components → cluster assignment (vec_id, cluster_id =
+    component-min vec, cluster_size). The vector-space twin of
+    ``dedup_clusters``: where that one clusters lexical (Jaccard)
+    duplicates, this clusters documents that SAY the same thing in
+    different words — the dedup mode that actually moves the needle
+    on model quality at pretraining scale. Reads the
+    once-materialized pair table (`_embedding_pairs_04`); components
+    via the same Kiveris large-star/small-star rounds; the oracle
+    re-derives everything from exact all-pairs cosine + a recursive
+    transitive-closure CTE."""
+    from map_reduce_mongodb_spark.operators.graph import (
+        connected_components)
+    pairs = _embedding_pairs_04(spark, sf_dir)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = labels.groupBy("cc").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(F.broadcast(sizes), "cc")
+            .select(F.col("id").alias("vec_id"),
+                    F.col("cc").alias("cluster_id"),
+                    "cluster_size"))
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank over the _CC_CTE edge set
+    (DuckDB disallows aggregates inside a recursive CTE member, so the
+    power iteration unrolls to one chained CTE per step; the graph is
+    symmetric, so every node has in-edges and each step's aggregate
+    covers all nodes)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+pr{k} AS (
+  SELECT e.dst AS id, 0.15 / nn.n + 0.85 * sum(p.r / d.d) AS r
+  FROM edges e
+  JOIN pr{k - 1} p ON e.src = p.id
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n)""")
+    return _CC_CTE + f"""
+, deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+          FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr0 AS (SELECT src AS id, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+{','.join(steps)}
+SELECT id AS doc_id, round(r, 6) AS pagerank FROM pr{iters}
+"""
+
+
+@query("dup_graph_pagerank", oracle=_pagerank_oracle())
+def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (damping 0.85, 5 fixed power iterations)
+    over the near-dup pair graph — scores which documents sit at the
+    CENTER of duplication neighbourhoods (template/boilerplate hubs
+    score high; the complement of the pairwise view: pairs say "these
+    two match", centrality says "this one matches everything"). Each
+    iteration is one join (attach current ranks to the edge list) +
+    one keyed aggregation (sum of rank/degree into each target) — the
+    standard shuffle-based power iteration, O(edges) per step with NO
+    driver-side state; lineage is cut per step with localCheckpoint
+    exactly like operators/graph.py. The node-count normalizer joins
+    in as a broadcast scalar (no .count() on the driver). Symmetric
+    dedup graphs have no dangling nodes (every node has degree ≥ 1),
+    so no dangling-mass redistribution term is needed. Reads the
+    once-materialized 0.7-Jaccard pair table (`_jaccard_pairs_07`);
+    the oracle unrolls the same 5 iterations as chained CTEs. Scores
+    round to 6dp — engine float divergence after 5 iterations is
+    ~1e-13, six orders below the rounding quantum."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("double").alias("deg"))
+    nodes = deg.select(F.col("id_a").alias("id"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    # the loop-invariant inputs are persisted ONCE — without this,
+    # every iteration's job re-reads the pair table and re-derives
+    # degrees (measured 7.3 s → ~2 s at sf0.1)
+    base = tracked_persist(
+        nodes.crossJoin(F.broadcast(nn))
+        .select("id", (F.lit(0.15) / F.col("n_nodes")).alias("base"),
+                (F.lit(1.0) / F.col("n_nodes")).alias("r0")))
+    edges_deg = tracked_persist(sym.join(deg, "id_a"))
+    ranks = base.select("id", F.col("r0").alias("r"))
+    for _ in range(5):
+        contrib = (edges_deg
+                   .join(ranks.withColumnRenamed("id", "id_a"), "id_a")
+                   .groupBy(F.col("id_b").alias("id"))
+                   .agg(F.sum(F.col("r") / F.col("deg"))
+                        .alias("contrib")))
+        ranks = (base.join(contrib, "id", "left")
+                 .select("id",
+                         (F.col("base") + F.lit(0.85)
+                          * F.coalesce("contrib", F.lit(0.0))).alias("r"))
+                 .localCheckpoint(eager=False))
+    return ranks.select(F.col("id").alias("doc_id"),
+                        F.round("r", 6).alias("pagerank"))
+
+
+@query("events_interarrival", oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 6)
+         AS avg_gap_s,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""")
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: microsecond-exact gaps
+    between consecutive events (lag window, event_id tiebreak for
+    determinism under equal timestamps) → count / mean / min / max per
+    user — the session-cadence profile behind bot detection and
+    engagement scoring. Hash-robust by construction: gaps are BIGINT
+    microseconds (``unix_micros`` / ``epoch_us`` — identical integers
+    in both engines), so sums are order-independent and the mean is
+    one exact-integer division; nothing accumulates in floats. One
+    user_id-keyed shuffle for the window, map-side partial agg after."""
+    events = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the cast to TIMESTAMP reads wall time as UTC —
+    # exactly DuckDB's epoch_us() on a naive timestamp, and gap
+    # DIFFERENCES are tz/DST-free under UTC by construction.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (events
+            .withColumn("gap_us", us - F.lag(us).over(w))
+            .where(F.col("gap_us").isNotNull()))
+    return (gaps.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.round(F.sum("gap_us").cast("double")
+                         / F.count(F.lit(1)) / F.lit(1000000.0), 6)
+                  .alias("avg_gap_s"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us")))
+
+
+@query("containment_pairs", oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) AS sa, len(b.s) AS sb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+dir AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         round(CAST(i AS DOUBLE) / sa, 6) AS containment FROM inter
+  UNION ALL
+  SELECT id_b, id_a, round(CAST(i AS DOUBLE) / sb, 6) FROM inter)
+SELECT * FROM dir WHERE containment >= 0.8
+""")
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt / quote / boilerplate-inclusion detection: DIRECTIONAL
+    shingle containment c(A→B) = |A∩B|/|A| ≥ 0.8 — the dedup family
+    member symmetric Jaccard structurally misses (a short quote inside
+    a long page has J ≈ 0.01 but containment 1.0; contamination checks
+    and license-text stripping need exactly this asymmetry). Inverted-
+    index posting join (never array intersections per pair); see
+    operators/dedup.py:containment_pairs for the stop-shingle df-cap
+    that bounds skew at corpus scale. Oracle: exact all-pairs set
+    intersection, both directions from one intersection count."""
+    from map_reduce_mongodb_spark.operators.dedup import containment_pairs
+    return containment_pairs(table(spark, "documents", sf_dir),
+                             threshold=0.8, shingle_n=3)
+
+
+@query("lineitem_yoy_growth", oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1)
+SELECT month,
+       rev_e4 / 10000.0 AS revenue,
+       (rev_e4 - lag(rev_e4, 12) OVER (ORDER BY month))
+         / lag(rev_e4, 12) OVER (ORDER BY month) * 100 AS yoy_pct
+FROM m
+""")
+def q_lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per ship month: monthly revenue
+    (integerized to exact 1e-4 units before summation — order-
+    independent) and the percentage delta against the same month one
+    year earlier (lag 12 over the month series). The window is global-
+    ordered but runs over the AGGREGATED month table — O(months) rows
+    regardless of fact volume, so the single-partition window is over
+    ~dozens of rows, not the data (the full-data stage is one map-side
+    partial agg). NULL yoy for the first year, by definition."""
+    li = table(spark, "lineitem", sf_dir)
+    m = (li.groupBy(F.date_trunc("month", "l_shipdate")
+                    .cast("timestamp").alias("month"))
+         .agg(F.sum(F.round(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")) * 10000)
+                    .cast("long")).alias("rev_e4")))
+    prev = F.lag("rev_e4", 12).over(Window.orderBy("month"))
+    return m.select(
+        "month",
+        (F.col("rev_e4") / 10000.0).alias("revenue"),
+        ((F.col("rev_e4") - prev) / prev * 100).alias("yoy_pct"))
+
+
+@query("window_rank_functions", oracle="""
+SELECT o_orderkey, o_orderpriority,
+       rank()         OVER wt AS rnk,
+       dense_rank()   OVER wt AS drnk,
+       round(percent_rank() OVER wt, 6) AS pct_rank,
+       round(cume_dist()    OVER wt, 6) AS cdist,
+       row_number()   OVER wu AS rn,
+       ntile(4)       OVER wu AS quartile,
+       first_value(o_orderkey) OVER wu AS cheapest_key,
+       lag(o_orderkey)  OVER wu AS prev_key,
+       lead(o_orderkey) OVER wu AS next_key
+FROM orders
+WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+       wu AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey)
+""")
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface sweep: rank / dense_rank /
+    percent_rank / cume_dist over a TIED ordering (order dates repeat,
+    so gap-vs-dense semantics and the tie-group numerators actually
+    differ), and row_number / ntile / first_value / lag / lead over a
+    UNIQUE total order (price + key tiebreak — required, or those five
+    are nondeterministic under ties). Two window specs, one pass, one
+    shuffle per spec key; all eleven outputs are integers or exactly-
+    derived ratios, so the sweep hash-checks without tolerance."""
+    o = table(spark, "orders", sf_dir)
+    wt = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    wu = (Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.round(F.percent_rank().over(wt), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wt), 6).alias("cdist"),
+        F.row_number().over(wu).alias("rn"),
+        F.ntile(4).over(wu).alias("quartile"),
+        F.first("o_orderkey").over(wu).alias("cheapest_key"),
+        F.lag("o_orderkey").over(wu).alias("prev_key"),
+        F.lead("o_orderkey").over(wu).alias("next_key"))
+
+
+@query("skyline_parts", oracle="""
+SELECT p_partkey, p_retailprice, p_size FROM (
+  SELECT p_partkey, p_retailprice, p_size,
+         max(p_size) OVER (
+             ORDER BY p_retailprice, p_size DESC, p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+  FROM part)
+WHERE best IS NULL OR p_size > best
+""")
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: the parts not dominated on
+    (price↓, size↑) — every part for which no cheaper-or-equal part
+    is at least as large (the "best value at each size point" set
+    behind product-recommendation and cost-frontier analyses). The
+    2-D skyline reduces to one EXCLUSIVE global prefix maximum over
+    the price-sorted order (a row survives iff it is strictly larger
+    than everything before it), which Spark would plan as a single-
+    partition window — so this runs on
+    :func:`operators.prefix.distributed_cummax_exclusive`, the
+    range-partitioned two-pass scan (same decomposition as the cumsum
+    behind pareto_revenue_abc; max is associative). Equal-price
+    groups order size-DESC so weak dominance within a price point is
+    handled; all compared values are per-row-exact (int size, raw
+    double price), so the survivor SET is engine-exact."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cummax_exclusive)
+    p = table(spark, "part", sf_dir).select(
+        "p_partkey", "p_retailprice", "p_size")
+    s = distributed_cummax_exclusive(
+        p, [F.col("p_retailprice").asc(), F.col("p_size").desc(),
+            F.col("p_partkey").asc()],
+        F.col("p_size"), "best")
+    return (s.where(F.col("best").isNull()
+                    | (F.col("p_size") > F.col("best")))
+            .select("p_partkey", "p_retailprice", "p_size"))
+
+
+@query("bigram_lm_logprob", oracle=r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i + 1])) AS w2
+  FROM w WHERE len(ws) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1),
+vocab AS (
+  SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+  FROM (SELECT unnest(ws) AS word FROM w)),
+scored AS (
+  SELECT bg.doc_id, ln((c2.c + 1) / (c1.c + vocab.v)) AS lp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(-avg(lp), 6) AS avg_neg_logprob
+FROM scored
+GROUP BY doc_id
+""")
+def q_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing: per-doc
+    mean negative log P(w₂|w₁) under the corpus's own bigram counts —
+    one step up from `unigram_logprob` on the LM-quality-filter
+    ladder (catches word-salad documents whose unigram profile looks
+    normal). One bigram explode feeds the transition counts c(w₁,w₂),
+    the context counts c(w₁), and the scoring join; the vocabulary
+    size (smoothing denominator) attaches as a broadcast scalar. The
+    joins are keyed by bigram/context — at corpus scale the LM tables
+    shuffle-join (or broadcast, if a pruned LM fits), never collect."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.functions.text import (
+        word_shingles, words)
+    docs = table(spark, "documents", sf_dir)
+    allw = docs.select("doc_id", F.explode(words(F.col("text")))
+                       .alias("word"))
+    vocab = allw.agg(
+        F.countDistinct("word").cast("double").alias("v"))
+    bg = tracked_persist(
+        docs.select("doc_id",
+                    F.explode(word_shingles(F.col("text"), 2,
+                                            distinct=False)).alias("g"))
+            .select("doc_id",
+                    F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+                     .alias("w1"),
+                    F.split_part(F.col("g"), F.lit(" "), F.lit(2))
+                     .alias("w2")))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      F.log((F.col("c2") + 1)
+                            / (F.col("c1") + F.col("v"))).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(-F.avg("lp"), 6).alias("avg_neg_logprob")))
+
+
+@query("scd2_customer_update", oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         1 AS version
+  FROM customer),
+upd AS (
+  SELECT c_custkey, 'UPD_' || c_mktsegment AS new_seg,
+         TIMESTAMP '1998-01-01 00:00:00' AS eff
+  FROM customer WHERE c_custkey % 10 = 3)
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+       u.eff AS valid_to, d.version
+FROM dim d LEFT JOIN upd u USING (c_custkey)
+UNION ALL
+SELECT c_custkey, new_seg, eff, CAST(NULL AS TIMESTAMP), 2
+FROM upd
+""")
+def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (versioned upsert): a
+    deterministic update batch (every custkey ≡ 3 mod 10 changes
+    market segment, effective 1998-01-01) applied to the customer
+    dimension — changed keys get their open row CLOSED (valid_to
+    stamped) plus a NEW version-2 open row; unchanged keys pass
+    through. This is MERGE INTO semantics expressed at the engine
+    level; see operators/scd.py:scd2_apply for the one-join + union
+    shape and the table-format production path. Output is the full
+    versioned dimension, so the oracle checks close-out and append
+    behaviour row-for-row."""
+    from map_reduce_mongodb_spark.operators.scd import scd2_apply
+    c = table(spark, "customer", sf_dir)
+    dim = c.select(
+        "c_custkey", "c_mktsegment",
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(1).alias("version"))
+    updates = (c.where(F.col("c_custkey") % 10 == 3)
+               .select("c_custkey",
+                       F.concat(F.lit("UPD_"), F.col("c_mktsegment"))
+                        .alias("c_mktsegment"),
+                       F.lit("1998-01-01").cast("timestamp")
+                        .alias("effective_ts")))
+    return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
+
+
+# =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
 # The grading driver records at most the FIRST 50 entries of
@@ -4760,6 +5366,11 @@ _DRIVER_WINDOW = 50
 
 _PRIORITY: list[str] = [
     # --- tier 1: no driver row yet (round-4 additions)
+    "pareto_revenue_abc", "doc_chunking", "events_gap_fill",
+    "semantic_dedup_clusters", "dup_graph_pagerank",
+    "events_interarrival", "containment_pairs", "lineitem_yoy_growth",
+    "window_rank_functions", "skyline_parts", "bigram_lm_logprob",
+    "scd2_customer_update",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",

