@@ -5332,6 +5332,178 @@ def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
 
 
+@query("market_basket_pairs", oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+n_orders AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n
+  FROM lineitem),
+freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY 1)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+       support / fa.f AS confidence,
+       (support * n) / (fa.f * fb.f) AS lift
+FROM pairs
+JOIN freq fa ON fa.l_partkey = part_a
+JOIN freq fb ON fb.l_partkey = part_b
+CROSS JOIN n_orders
+WHERE support >= 2
+""")
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs bought together
+    in ≥2 orders, with confidence P(b|a) and lift — the association-
+    rule primitives. The pair space explodes within baskets only
+    (self-join keyed on the ORDER, so candidate volume is
+    Σ basket_size², bounded by the ~7-line TPC-H baskets — never a
+    cross join over parts), then aggregates by pair; per-part
+    frequencies and the order count attach as keyed/broadcast joins.
+    Confidence and lift are single divisions of exact integers —
+    identical doubles in both engines, no rounding needed."""
+    li = table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .where(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .where(F.col("support") >= 2))
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"),
+                     F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"),
+                     F.col("f").alias("fb"))
+    return (pairs.join(fa, "part_a").join(fb, "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "support",
+                    (F.col("support") / F.col("fa")).alias("confidence"),
+                    ((F.col("support") * F.col("n"))
+                     / (F.col("fa") * F.col("fb"))).alias("lift")))
+
+
+@query("doc_ngram_novelty", oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3),
+firstk AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_grams,
+       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         / count(*) AS novelty
+FROM sh s JOIN firstk f USING (g)
+GROUP BY s.doc_id
+""")
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-novelty scoring: for each document (in doc_id ingestion
+    order), the fraction of its 3-gram shingles it is the FIRST
+    document to contribute — the curation metric that tells you when
+    more of a source stops adding information (novelty → 0 means the
+    source is exhausted / repetitive; the marginal-value curve of a
+    crawl). First-occurrence is min(doc_id) per gram — one gram-keyed
+    aggregation joined back to the exploded postings; all outputs are
+    exact-integer counts and one exact division."""
+    from map_reduce_mongodb_spark.functions.text import word_shingles
+    docs = table(spark, "documents", sf_dir)
+    sh = (docs.select("doc_id",
+                      F.explode(word_shingles(F.col("text"), 3))
+                       .alias("g")))
+    firstk = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0))
+    return (sh.join(firstk, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 novel.alias("novel_grams"),
+                 (novel / F.count(F.lit(1))).alias("novelty")))
+
+
+@query("unpivot_measures", oracle="""
+SELECT measure,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(val), 2) AS total,
+       min(val) AS min_val,
+       max(val) AS max_val
+FROM (SELECT CAST(l_quantity AS DOUBLE) AS l_quantity,
+             CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+             CAST(l_discount AS DOUBLE) AS l_discount
+      FROM lineitem)
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+GROUP BY measure
+""")
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt surface: lineitem's three numeric measures into
+    long form (measure, value) + per-measure profile — the wide→long
+    reshape every metrics pipeline needs (the inverse of
+    `pivot_priority_status`). Spark's native ``unpivot`` (an Expand
+    node — one pass, rows×measures output, no shuffle until the
+    aggregate); sums round to 2 (cent/integer-valued measures, so the
+    2-decimal true value is order-independent), min/max are exact."""
+    li = table(spark, "lineitem", sf_dir).select(
+        F.col("l_quantity").cast("double"),
+        F.col("l_extendedprice").cast("double"),
+        F.col("l_discount").cast("double"))
+    return (li.unpivot([], ["l_quantity", "l_extendedprice",
+                            "l_discount"], "measure", "val")
+            .groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("val"), 2).alias("total"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val")))
+
+
+@query("events_time_weighted_avg", oracle="""
+WITH seg AS (
+  SELECT user_id,
+         value AS v_prev,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dt_us) AS BIGINT) AS span_us,
+       round(sum(v_prev * dt_us) / sum(dt_us), 6) AS twa_value
+FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id
+""")
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Time-weighted average (left-constant interpolation): each
+    event's value holds until the user's next event; the average
+    weights each value by how long it held — the correct aggregate
+    for sampled gauges/sensors where plain avg() over-counts bursts
+    (TimescaleDB's ``time_weight``, re-expressed as one lead window +
+    one keyed aggregation). Weights are BIGINT microseconds (exact);
+    the weighted sum is double accumulation, defended by round-6 on
+    the final ratio; zero-length segments (equal timestamps) drop on
+    both sides."""
+    events = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = (events
+           .select("user_id", F.col("value").alias("v_prev"),
+                   (F.lead(us).over(w) - us).alias("dt_us"))
+           .where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)))
+    return (seg.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum("dt_us").alias("span_us"),
+                 F.round(F.sum(F.col("v_prev") * F.col("dt_us"))
+                         / F.sum("dt_us"), 6).alias("twa_value")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -5370,7 +5542,8 @@ _PRIORITY: list[str] = [
     "semantic_dedup_clusters", "dup_graph_pagerank",
     "events_interarrival", "containment_pairs", "lineitem_yoy_growth",
     "window_rank_functions", "skyline_parts", "bigram_lm_logprob",
-    "scd2_customer_update",
+    "scd2_customer_update", "market_basket_pairs", "doc_ngram_novelty",
+    "unpivot_measures", "events_time_weighted_avg",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
