@@ -5504,6 +5504,105 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str
                          / F.sum("dt_us"), 6).alias("twa_value")))
 
 
+@query("regexp_functions", oracle=r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT)
+         AS n_words,
+       regexp_extract_all(p_name, '[a-z]{6,}') AS long_words,
+       (p_name ~ '.*re.*') AS has_re
+FROM part
+""")
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function surface sweep: extract / replace-all / count /
+    extract-all / match over part names. Patterns stay inside the
+    character-class + quantifier subset where Java regex (Spark) and
+    RE2 (DuckDB) agree exactly — no backrefs, no lookaround (RE2
+    lacks them; a query needing them is Spark-only by contract). All
+    regex work is JVM-side codegen, no UDFs."""
+    p = table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"),
+                                    F.lit(0))).alias("n_words"),
+        F.regexp_extract_all("p_name", F.lit("[a-z]{6,}"),
+                             F.lit(0)).alias("long_words"),
+        F.col("p_name").rlike(".*re.*").alias("has_re"))
+
+
+@query("events_cdc_latest", oracle="""
+SELECT user_id, event_type, latest_value, latest_ts,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM (
+  SELECT user_id, event_type, value AS latest_value, ts AS latest_ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type)
+           AS n_versions
+  FROM events)
+WHERE rn = 1
+""")
+def q_events_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / changelog compaction: latest-record-wins per key — the
+    materialization step every change-capture pipeline runs to turn
+    an event log into current state (Kafka log compaction,
+    Delta MERGE-on-read, upsert sinks). Spark side uses ONE
+    ``max_by`` aggregation keyed by a (ts, event_id) struct — a
+    map-side-combinable agg, strictly cheaper at scale than the
+    sort-based window formulation the oracle uses (no per-partition
+    sort, no rn=1 filter pass; same deterministic winner because the
+    struct order is the window's total order)."""
+    events = table(spark, "events", sf_dir)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (events.groupBy("user_id", "event_type")
+            .agg(F.max_by("value", ordk).alias("latest_value"),
+                 F.max_by("ts", ordk).alias("latest_ts"),
+                 F.count(F.lit(1)).alias("n_versions")))
+
+
+@query("doc_token_entropy", oracle=r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+cnt AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n
+        FROM cnt GROUP BY 1)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       count(*) / any_value(t.n) AS type_token_ratio,
+       round(-sum((c / t.n) * ln(c / t.n)), 6) AS entropy
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id
+""")
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution diagnostics: Shannon entropy of
+    the doc's own word distribution and type-token ratio — the
+    information-density quality signals (template/spam pages score
+    low-entropy; keyword-stuffed pages score anomalous TTR) that
+    complement `doc_repetition`'s n-gram view. Two keyed aggregations
+    (word counts per doc, then the entropy fold); the per-term
+    p·ln p values are identical doubles in both engines, so only the
+    final sum needs the round-6 order defense; TTR is an exact-
+    integer/exact-double division, unrounded."""
+    from map_reduce_mongodb_spark.functions.text import words
+    docs = table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.explode(words(F.col("text")))
+                    .alias("word"))
+    cnt = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (cnt.join(tot, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_unique"),
+                 (F.count(F.lit(1)) / F.first("n"))
+                  .alias("type_token_ratio"),
+                 F.round(-F.sum(p * F.log(p)), 6).alias("entropy")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -5544,6 +5643,7 @@ _PRIORITY: list[str] = [
     "window_rank_functions", "skyline_parts", "bigram_lm_logprob",
     "scd2_customer_update", "market_basket_pairs", "doc_ngram_novelty",
     "unpivot_measures", "events_time_weighted_avg",
+    "regexp_functions", "events_cdc_latest", "doc_token_entropy",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
