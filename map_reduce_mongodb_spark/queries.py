@@ -5603,6 +5603,97 @@ def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(-F.sum(p * F.log(p)), 6).alias("entropy")))
 
 
+@query("funnel_time_to_convert", oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id)
+SELECT c.user_id,
+       epoch_us(c.first_click) - epoch_us(v.first_view)
+         AS view_to_click_us,
+       epoch_us(p.first_purchase) - epoch_us(c.first_click)
+         AS click_to_purchase_us
+FROM c JOIN v ON v.user_id = c.user_id
+LEFT JOIN p ON p.user_id = c.user_id
+""")
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Funnel LATENCY: per user, microsecond-exact time from first
+    view to first subsequent click, and from that click to first
+    subsequent purchase (NULL while un-converted) — the companion to
+    `funnel_conversion`'s stage counts: counts say how many drop off,
+    latencies say where the friction is. Same ordered stage-anchor
+    joins (all keyed by user_id); output is per-user BIGINT
+    microseconds, fully deterministic."""
+    events = table(spark, "events", sf_dir)
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("first_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_click")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c.select("user_id", "first_click"), "user_id")
+         .filter(F.col("ts") > F.col("first_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    return (c.join(v, "user_id").join(p, "user_id", "left")
+            .select("user_id",
+                    (us("first_click") - us("first_view"))
+                    .alias("view_to_click_us"),
+                    (us("first_purchase") - us("first_click"))
+                    .alias("click_to_purchase_us")))
+
+
+@query("lang_source_chi2", oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+cells AS (
+  SELECT obs.lang, obs.source, o, (r * c) / n.n AS e
+  FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
+SELECT lang, source, o AS observed, e AS expected,
+       ((o - e) * (o - e)) / e AS chi2_contrib
+FROM cells
+""")
+def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence diagnostics: the (lang × source)
+    observed counts, independence-expected counts row·col/N, and each
+    cell's χ² contribution — the drift/bias detector for corpus
+    composition (a cell with a large contribution means that source's
+    language mix deviates from the corpus — exactly what you audit
+    before blending sources into a training mixture). One count
+    aggregation + two tiny marginal re-aggregations broadcast back;
+    expected and χ² are single exact-integer-product divisions —
+    identical doubles in both engines, no rounding anywhere."""
+    docs = table(spark, "documents", sf_dir)
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").cast("double").alias("n"))
+    e = (F.col("r") * F.col("c")) / F.col("n")
+    return (obs.join(F.broadcast(rt), "lang")
+            .join(F.broadcast(ct), "source")
+            .crossJoin(F.broadcast(n))
+            .select("lang", "source", F.col("o").alias("observed"),
+                    e.alias("expected"),
+                    (((F.col("o") - e) * (F.col("o") - e)) / e)
+                    .alias("chi2_contrib")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -5644,6 +5735,7 @@ _PRIORITY: list[str] = [
     "scd2_customer_update", "market_basket_pairs", "doc_ngram_novelty",
     "unpivot_measures", "events_time_weighted_avg",
     "regexp_functions", "events_cdc_latest", "doc_token_entropy",
+    "funnel_time_to_convert", "lang_source_chi2",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
