@@ -135,7 +135,9 @@ def q_usgs_nearest_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to events, so the pair join broadcasts; at real scale the
     standard upgrade is a geohash/S2 cell bucket join feeding the
     same per-site ranking window — candidates from neighbouring
-    cells only, never all pairs."""
+    cells only, never all pairs (implemented:
+    operators/spatial.py:radius_pairs, oracle-proven lossless by
+    `usgs_sites_within_radius`)."""
     events = table(spark, "events", sf_dir)
     sites = (events.filter(F.col("event_id") % 17 != 0)
              .select(F.concat(F.lit("S"),
@@ -5694,6 +5696,45 @@ def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("chi2_contrib")))
 
 
+@query("usgs_sites_within_radius", oracle=_USGS_SITES_CTE + """
+SELECT site_a, site_b, dist2 FROM (
+  SELECT a.site AS site_a, b.site AS site_b,
+         (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+  FROM sites a JOIN sites b ON a.site < b.site)
+WHERE dist2 <= 9.0
+""")
+def q_usgs_sites_within_radius(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Spatial radius self-join, BUCKETED: all site pairs within 3
+    planar degrees via the grid-cell join (cells of side r; any pair
+    within r shares or neighbours a cell, so candidates come from a
+    cell-keyed equality join — the spatial analogue of LSH banding —
+    and the exact distance check verifies). This makes the scale path
+    `usgs_nearest_sites` only documents REAL: candidate volume is
+    cell-cohabitants, never |sites|². The oracle brute-forces all
+    pairs, so parity proves the bucketing loses nothing; distance
+    math is +/×/compare only — IEEE-identical in both engines,
+    unrounded. See operators/spatial.py for pair-once accounting and
+    the hot-cell skew dial."""
+    from map_reduce_mongodb_spark.operators.spatial import radius_pairs
+    events = table(spark, "events", sf_dir)
+    sites = (events.filter(F.col("event_id") % 17 != 0)
+             .select(F.concat(F.lit("S"),
+                              F.lpad(F.col("user_id").cast("string"),
+                                     6, "0")).alias("site"),
+                     (F.col("user_id") % 360 - 180).cast("double")
+                     .alias("_lon0"),
+                     (F.col("user_id") % 180 - 90).cast("double")
+                     .alias("_lat0"))
+             .select("site", (F.col("_lon0") + 0.5).alias("lon"),
+                     (F.col("_lat0") + 0.25).alias("lat"))
+             .distinct())
+    return (radius_pairs(sites, "site", "lon", "lat", 3.0)
+            .select(F.col("id_a").alias("site_a"),
+                    F.col("id_b").alias("site_b"), "dist2"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -5736,6 +5777,7 @@ _PRIORITY: list[str] = [
     "unpivot_measures", "events_time_weighted_avg",
     "regexp_functions", "events_cdc_latest", "doc_token_entropy",
     "funnel_time_to_convert", "lang_source_chi2",
+    "usgs_sites_within_radius",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
