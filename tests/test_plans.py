@@ -285,3 +285,41 @@ def test_knn_classify_broadcasts_queries_and_labels(spark):
     p = plan(QUERIES["knn_classify"](spark, SF_DIR), mode="simple")
     assert p.count("BroadcastNestedLoopJoin") == 1   # queries x corpus
     assert "BroadcastHashJoin" in p                  # label lookup
+
+
+def test_radius_join_is_cell_keyed_not_cross(spark):
+    """usgs_sites_within_radius must join on grid-cell keys — a
+    BroadcastNestedLoopJoin/CartesianProduct would mean the bucketing
+    regressed to all pairs."""
+    p = plan(QUERIES["usgs_sites_within_radius"](spark, SF_DIR))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "cx" in p and "cy" in p
+
+
+def test_market_basket_join_keyed_on_order(spark):
+    """The pair self-join must be keyed by the basket id (l_orderkey),
+    never a cartesian over parts. The single allowed nested-loop is
+    the 1-row scalar n_orders attach."""
+    p = plan(QUERIES["market_basket_pairs"](spark, SF_DIR),
+             mode="simple")
+    assert ("BroadcastHashJoin [l_orderkey" in p
+            or "SortMergeJoin [l_orderkey" in p
+            or "ShuffledHashJoin [l_orderkey" in p)
+    assert p.count("NestedLoopJoin") <= 1
+    assert "CartesianProduct" not in p
+
+
+def test_unpivot_is_single_expand(spark):
+    """Native unpivot plans as ONE Expand node (rows x measures), no
+    self-union of three scans."""
+    p = plan(QUERIES["unpivot_measures"](spark, SF_DIR), mode="simple")
+    assert p.count("Expand") == 1
+    assert p.count("Scan parquet") <= 1
+
+
+def test_cdc_latest_is_aggregate_not_window(spark):
+    """events_cdc_latest uses the map-side-combinable max_by agg, not
+    a sort-based window."""
+    p = plan(QUERIES["events_cdc_latest"](spark, SF_DIR), mode="simple")
+    assert "Window" not in p
+    assert "max_by" in p or "MaxBy" in p
