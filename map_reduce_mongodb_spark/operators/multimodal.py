@@ -471,3 +471,65 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=_VIDEO_STATS_SCHEMA)
+
+
+_AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("ahash", LongType()),
+])
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded pixels — the
+    classic image near-dup fingerprint: bucket the pixel grid into
+    8×8 cells (pixel (x, y) → cell (8y//h, 8x//w)), set bit
+    ci·8+cj when the cell's mean intensity is ≥ the image mean.
+    Everything stays EXACT INTEGERS — intensity is the channel SUM
+    (no /3), and the mean comparison cross-multiplies
+    (cell_sum·total_pixels ≥ total_sum·cell_pixels) — so the 64-bit
+    hash is bit-reproducible by the SQL oracle from the synthesis
+    formula alone.
+
+    Narrow Arrow stage (decode + two bincounts per image), no
+    shuffle; downstream Hamming pair search reuses
+    dedup.simhash_pairs(bits=64) — fingerprints feed the same
+    pigeonhole block-split machinery regardless of their modality."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in _AHASH_SCHEMA.fields}
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "image":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                geom = _decode_payload("image", payload)  # validates
+                w, h = geom["width"], geom["height"]
+                body_at = payload.index(b"255\n") + 4
+                px = np.frombuffer(payload, dtype=np.uint8,
+                                   offset=body_at).reshape(h, w, 3)
+                g = px.astype(np.int64).sum(axis=2)  # channel sum
+                ci = (8 * np.arange(h)) // h
+                cj = (8 * np.arange(w)) // w
+                cell = (ci[:, None] * 8 + cj[None, :]).ravel()
+                sums = np.bincount(cell, weights=g.ravel(),
+                                   minlength=64).astype(np.int64)
+                cnts = np.bincount(cell, minlength=64).astype(np.int64)
+                ts, tc = int(sums.sum()), int(cnts.sum())
+                bits = (sums * tc) >= (ts * cnts)
+                val = 0
+                for b in range(64):
+                    if bits[b]:
+                        val |= 1 << b
+                if val >= 1 << 63:
+                    val -= 1 << 64  # two's-complement into int64
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(val)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_AHASH_SCHEMA)

@@ -5735,6 +5735,77 @@ def q_usgs_sites_within_radius(spark: SparkSession, sf_dir: str
                     F.col("id_b").alias("site_b"), "dist2"))
 
 
+@query("image_ahash", oracle="""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + length(text) % 48 AS w,
+         16 + (length(text) // 7) % 48 AS h
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+body AS (
+  SELECT doc_id, w, h,
+         substring(repeat(text, CAST((w * h * 3 + n - 1) // n AS INT)),
+                   1, w * h * 3) AS px
+  FROM img),
+gray AS (
+  SELECT doc_id, w, h,
+         list_transform(generate_series(0, w * h - 1),
+             q -> ascii(substr(px, 3 * q + 1, 1))
+                  + ascii(substr(px, 3 * q + 2, 1))
+                  + ascii(substr(px, 3 * q + 3, 1))) AS gs
+  FROM body),
+pxg AS (
+  SELECT doc_id, w, h,
+         unnest(gs) AS g,
+         unnest(generate_series(0, w * h - 1)) AS q
+  FROM gray),
+cells AS (
+  SELECT doc_id, (8 * (q // w)) // h AS ci, (8 * (q % w)) // w AS cj,
+         CAST(sum(g) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn
+  FROM pxg GROUP BY 1, 2, 3),
+tot AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts,
+         CAST(sum(cn) AS BIGINT) AS tc
+  FROM cells GROUP BY 1),
+bits AS (
+  SELECT c.doc_id, ci * 8 + cj AS b,
+         CASE WHEN s * tc >= ts * cn THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot USING (doc_id)),
+hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit = 0 THEN 0
+                       WHEN b = 63
+                         THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                       ELSE CAST(1 AS BIGINT) << b END) AS BIGINT)
+           AS ahash
+  FROM bits GROUP BY doc_id)
+SELECT i.doc_id, CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+       hs.ahash
+FROM img i JOIN hashes hs USING (doc_id)
+""")
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded image pixels: each
+    PPM is parsed, its pixel grid bucketed into 8×8 cells, and bit
+    ci·8+cj set when the cell's mean intensity ≥ the image mean —
+    the classic image near-dup fingerprint (two images within small
+    Hamming distance are visual duplicates; the pair search reuses
+    dedup.simhash_pairs(bits=64) unchanged, because fingerprints are
+    modality-agnostic once computed). Every quantity is an exact
+    integer — intensity is the channel SUM and the threshold
+    comparison cross-multiplies instead of dividing — so the 64-bit
+    hash is bit-identical to the oracle, which re-derives EVERY pixel
+    arithmetically from the synthesis formula (repeat-truncated text
+    bytes) and assembles the same hash in SQL: the strongest
+    decode-correctness pin in the multimodal family (a single
+    misplaced pixel flips cells). Arrow-batched narrow decode stage,
+    no shuffle."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        image_ahash, media_from_documents)
+    docs = table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    fps = image_ahash(media_from_documents(docs))
+    return fps.select(F.col("media_id").alias("doc_id"),
+                      "width", "height", "ahash")
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -5777,7 +5848,7 @@ _PRIORITY: list[str] = [
     "unpivot_measures", "events_time_weighted_avg",
     "regexp_functions", "events_cdc_latest", "doc_token_entropy",
     "funnel_time_to_convert", "lang_source_chi2",
-    "usgs_sites_within_radius",
+    "usgs_sites_within_radius", "image_ahash",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
