@@ -533,3 +533,112 @@ def image_ahash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=_AHASH_SCHEMA)
+
+
+_AUDIO_FP_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("afp", LongType()),
+])
+
+
+def audio_fingerprint(media: DataFrame, n_windows: int = 32) -> DataFrame:
+    """Acoustic energy fingerprint over REAL decoded PCM samples: the
+    sample stream splits into ``n_windows`` time windows (sample k →
+    window n_windows·k // n_samples), bit w set when window w's mean
+    energy ≥ the clip mean — the Shazam-style coarse energy profile
+    reduced to the same exact-integer discipline as image_ahash
+    (energies are int64 sums of v², the threshold cross-multiplies),
+    so the 32-bit fingerprint is bit-reproducible in SQL. Hamming
+    pair search over clips reuses dedup.simhash_pairs unchanged."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in _AUDIO_FP_SCHEMA.fields}
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "audio":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                with wave.open(io.BytesIO(payload)) as wv:
+                    raw = wv.readframes(wv.getnframes())
+                v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                ns = len(v)
+                if ns == 0:
+                    continue
+                win = (n_windows * np.arange(ns)) // ns
+                e = np.bincount(win, weights=(v * v).astype(np.float64),
+                                minlength=n_windows).astype(np.int64)
+                c = np.bincount(win, minlength=n_windows).astype(np.int64)
+                te, tc = int(e.sum()), int(c.sum())
+                # empty windows (clips shorter than n_windows samples)
+                # carry no energy: bit 0, matching the oracle where an
+                # empty group simply produces no row
+                bits = (c > 0) & ((e * tc) >= (te * c))
+                val = 0
+                for b in range(n_windows):
+                    if bits[b]:
+                        val |= 1 << b
+                out["media_id"].append(mid)
+                out["n_samples"].append(ns)
+                out["afp"].append(val)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_AUDIO_FP_SCHEMA)
+
+
+_VIDEO_AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("f0_ahash", LongType()),
+])
+
+
+def video_frame_ahash(media: DataFrame) -> DataFrame:
+    """First-frame perceptual hash for video: decode the Y4M stream,
+    take frame 0's C444 plane block, intensity = Y+U+V at each
+    spatial position, then the same exact-integer 8×8 cell aHash as
+    image_ahash. One fingerprint per video keys scene-level dedup;
+    per-frame hashes (same code over sample_frames) extend it to
+    temporal alignment."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in _VIDEO_AHASH_SCHEMA.fields}
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "video":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                w, h, frames, nf = _iter_y4m(payload)
+                arr = np.frombuffer(frames[0], dtype=np.uint8) \
+                    .astype(np.int64)
+                wh = w * h
+                g = (arr[:wh] + arr[wh:2 * wh]
+                     + arr[2 * wh:3 * wh]).reshape(h, w)
+                ci = (8 * np.arange(h)) // h
+                cj = (8 * np.arange(w)) // w
+                cell = (ci[:, None] * 8 + cj[None, :]).ravel()
+                sums = np.bincount(cell, weights=g.ravel().astype(
+                    np.float64), minlength=64).astype(np.int64)
+                cnts = np.bincount(cell, minlength=64).astype(np.int64)
+                ts, tc = int(sums.sum()), int(cnts.sum())
+                bits = (sums * tc) >= (ts * cnts)
+                val = 0
+                for b in range(64):
+                    if bits[b]:
+                        val |= 1 << b
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["f0_ahash"].append(val)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_VIDEO_AHASH_SCHEMA)

@@ -5806,6 +5806,128 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "width", "height", "ahash")
 
 
+@query("audio_fingerprint", oracle="""
+WITH a AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 3 = 1),
+b AS (SELECT doc_id, text, n - (n % (2 * (1 + n % 2))) AS dsize FROM a),
+sv AS (
+  SELECT doc_id, dsize // 2 AS ns,
+         list_transform(generate_series(0, dsize // 2 - 1),
+             k -> ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+                  + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1)))
+           AS vs
+  FROM b WHERE dsize >= 2),
+sk AS (
+  SELECT doc_id, ns, unnest(vs) AS v,
+         unnest(generate_series(0, ns - 1)) AS k
+  FROM sv),
+win AS (
+  SELECT doc_id, (32 * k) // ns AS w_id,
+         CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e,
+         CAST(count(*) AS BIGINT) AS c
+  FROM sk GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, CAST(sum(e) AS BIGINT) AS te,
+         CAST(sum(c) AS BIGINT) AS tc
+  FROM win GROUP BY 1),
+bits AS (
+  SELECT w.doc_id, w_id,
+         CASE WHEN e * tc >= te * c THEN 1 ELSE 0 END AS bit
+  FROM win w JOIN tot USING (doc_id)),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << w_id
+                       ELSE 0 END) AS BIGINT) AS afp
+  FROM bits GROUP BY doc_id)
+SELECT sv.doc_id, CAST(sv.ns AS BIGINT) AS n_samples, fp.afp
+FROM sv JOIN fp USING (doc_id)
+""")
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic energy fingerprint over REAL decoded PCM: 32 time
+    windows over the sample stream, bit w set when window w's mean
+    energy ≥ the clip mean (cross-multiplied exact-integer threshold,
+    energies are int64 sums of v²) — the audio member of the
+    perceptual-fingerprint family (image_ahash / video_frame_ahash),
+    same bit-exact SQL reproducibility: the oracle reconstructs every
+    int16 sample from its little-endian text-byte pair and assembles
+    the identical 32-bit fingerprint. Near-dup clips = small Hamming
+    distance, searched with dedup.simhash_pairs(bits=32) unchanged."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        audio_fingerprint, media_from_documents)
+    docs = table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    fps = audio_fingerprint(media_from_documents(docs))
+    return fps.select(F.col("media_id").alias("doc_id"),
+                      "n_samples", "afp")
+
+
+@query("video_frame_ahash", oracle="""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + length(text) % 32 AS w,
+         16 + (length(text) // 5) % 32 AS h,
+         2 + length(text) % 7 AS nf
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+body AS (
+  SELECT doc_id, w, h, nf, w * h AS wh,
+         substring(repeat(text,
+                          CAST((w * h * 3 + nf + n - 1) // n AS INT)),
+                   1, w * h * 3) AS f0
+  FROM img),
+gray AS (
+  SELECT doc_id, w, h,
+         list_transform(generate_series(0, wh - 1),
+             q -> ascii(substr(f0, CAST(q + 1 AS INT), 1))
+                  + ascii(substr(f0, CAST(wh + q + 1 AS INT), 1))
+                  + ascii(substr(f0, CAST(2 * wh + q + 1 AS INT), 1)))
+           AS gs
+  FROM body),
+pxg AS (
+  SELECT doc_id, w, h, unnest(gs) AS g,
+         unnest(generate_series(0, w * h - 1)) AS q
+  FROM gray),
+cells AS (
+  SELECT doc_id, (8 * (q // w)) // h AS ci, (8 * (q % w)) // w AS cj,
+         CAST(sum(g) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn
+  FROM pxg GROUP BY 1, 2, 3),
+tot AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts,
+         CAST(sum(cn) AS BIGINT) AS tc
+  FROM cells GROUP BY 1),
+bits AS (
+  SELECT c.doc_id, ci * 8 + cj AS b,
+         CASE WHEN s * tc >= ts * cn THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot USING (doc_id)),
+hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit = 0 THEN 0
+                       WHEN b = 63
+                         THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                       ELSE CAST(1 AS BIGINT) << b END) AS BIGINT)
+           AS f0_ahash
+  FROM bits GROUP BY doc_id)
+SELECT i.doc_id, CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+       CAST(i.nf AS INT) AS n_frames, hs.f0_ahash
+FROM img i JOIN hashes hs USING (doc_id)
+""")
+def q_video_frame_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-frame perceptual hash for video: the Y4M stream's frame 0
+    (three C444 planes), intensity Y+U+V per spatial position, same
+    exact-integer 8×8 cell aHash as `image_ahash` — completing the
+    perceptual-fingerprint family across all three modalities, each
+    pinned bit-for-bit by a SQL oracle that re-derives the decoded
+    bytes from the synthesis formula (here: frame 0 is the
+    repeat-truncated text, planes at offsets 0 / w·h / 2·w·h). A
+    wrong plane offset, frame boundary, or cell map flips bits —
+    decode correctness is the thing under test."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        media_from_documents, video_frame_ahash)
+    docs = table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    fps = video_frame_ahash(media_from_documents(docs))
+    return fps.select(F.col("media_id").alias("doc_id"),
+                      "width", "height", "n_frames", "f0_ahash")
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -5848,7 +5970,8 @@ _PRIORITY: list[str] = [
     "unpivot_measures", "events_time_weighted_avg",
     "regexp_functions", "events_cdc_latest", "doc_token_entropy",
     "funnel_time_to_convert", "lang_source_chi2",
-    "usgs_sites_within_radius", "image_ahash",
+    "usgs_sites_within_radius", "image_ahash", "audio_fingerprint",
+    "video_frame_ahash",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
