@@ -5977,15 +5977,24 @@ _PRIORITY: list[str] = [
     "events_anomaly_zscore", "orders_rfm", "bpe_merge_candidates",
     "video_frame_stats", "usgs_nearest_sites",
     # --- tier 2: latest row is r01 (the 20 r1-only veterans; code
-    #     rewritten r2-r4 for several — multimodal first, per VERDICT)
+    #     rewritten r2-r4 for several — multimodal first, per VERDICT).
+    #     With 35 never-checked additions in tier 1, only 15 veteran
+    #     slots remain this round; the 5 deferred to round 5 are
+    #     exactly the ones the round-3 judge independently re-ran
+    #     green this cycle (salted_agg_skew, q3, q17, cube_agg,
+    #     mapreduce_wordcount), so every windowed veteran is the
+    #     weakest-evidence one available.
     "multimodal_inventory", "multimodal_decode_stats",
-    "embedding_dup_pairs", "ann_lsh_topk", "string_functions",
-    "stateful_user_profiles", "salted_agg_skew", "asof_join_purchases",
-    "range_join_error_context", "stats_aggregates",
-    "sql_surface_cte_exists", "cube_agg", "mapreduce_wordcount",
-    "events_sliding_window", "events_sessionization",
-    "embedding_norm_stats", "q3_shipping_priority",
-    "q16_supplier_variety", "q17_small_quantity", "q18_large_orders",
+    "embedding_dup_pairs", "ann_lsh_topk",
+    "stateful_user_profiles", "asof_join_purchases",
+    "range_join_error_context", "events_sliding_window",
+    "embedding_norm_stats", "q16_supplier_variety", "q18_large_orders",
+    "sql_surface_cte_exists", "string_functions", "stats_aggregates",
+    "events_sessionization",
+    # --- tier 2b: r1-only but judge-re-verified green in the r3
+    #     session — first in line for round 5's window
+    "salted_agg_skew", "q3_shipping_priority", "q17_small_quantity",
+    "cube_agg", "mapreduce_wordcount",
     # --- tier 3: latest row is r02, code path changed since (r3/r4
     #     rewrites: minhash lanes, IVF partition sizing + fused probe
     #     UDF, shared dedup materializations, norm hoist)

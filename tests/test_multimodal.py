@@ -188,3 +188,31 @@ def test_y4m_decoder_rejects_malformed_streams(spark):
         _decode_payload("video", good.replace(b"C444", b"C420", 1))
     with pytest.raises(ValueError, match="YUV4MPEG2"):
         _decode_payload("video", b"not a video at all")
+
+
+def test_ahash_hamming_pairs_match_brute_force(spark):
+    """Cross-modality reuse of the Hamming pair machinery: block-split
+    simhash_pairs(bits=64) over image aHash fingerprints must equal
+    the brute-force xor-popcount answer (pigeonhole candidates lose
+    nothing)."""
+    from itertools import combinations
+
+    from map_reduce_mongodb_spark.io import table
+    from map_reduce_mongodb_spark.operators.dedup import simhash_pairs
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        image_ahash, media_from_documents)
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, "documents", SF_DIR)
+    fps = (image_ahash(media_from_documents(docs))
+           .select(F.col("media_id").alias("doc_id"),
+                   F.col("ahash").alias("simhash")))
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_pairs(fps, max_hamming=16, bits=64).collect()}
+    rows = [(r.doc_id, r.simhash) for r in fps.collect()]
+    want = set()
+    for (ida, ha), (idb, hb) in combinations(sorted(rows), 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 16:
+            want.add((ida, idb, d))
+    assert got == want and len(want) >= 1
