@@ -5,7 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from map_reduce_mongodb_spark.operators.prefix import distributed_cumsum
+from map_reduce_mongodb_spark.operators.prefix import (
+    distributed_cummax_exclusive,
+    distributed_cumsum,
+)
 
 
 def _reference(rows, key=lambda r: (-r[1], r[0])):
@@ -66,3 +69,46 @@ def test_cumsum_range_exchange_is_reused(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+
+
+def test_cummax_exclusive_matches_sequential_reference(spark):
+    rows = [(i, (i * 53) % 71) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r.id: r.m for r in distributed_cummax_exclusive(
+        df, [F.col("v").asc(), F.col("id").asc()], F.col("v"), "m",
+        num_partitions=8).collect()}
+    best, want = None, {}
+    for rid, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        want[rid] = best
+        best = v if best is None or v > best else best
+    assert got == want
+    assert sum(1 for m in got.values() if m is None) == 1  # global first
+
+
+def _prefix_property_check(spark, values):
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r.id: r.cum for r in distributed_cumsum(
+        df, [F.col("v").desc(), F.col("id").asc()], F.col("v"), "cum",
+        num_partitions=5).collect()}
+    acc, want = 0, {}
+    for rid, v in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += v
+        want[rid] = acc
+    assert got == want
+
+
+def test_cumsum_property_sweep(spark):
+    """Batched hypothesis-style sweep: duplicates, negatives, single
+    row, all-equal keys — shapes where range boundaries and tiebreaks
+    matter."""
+    import random
+    rng = random.Random(7)
+    cases = [
+        [0], [5, 5, 5, 5], [-3, -1, -2, 0, 2, 1],
+        [rng.randrange(-10, 10) for _ in range(97)],
+        [rng.choice([1, 2]) for _ in range(64)],
+        list(range(50)) + list(range(50)),
+    ]
+    for values in cases:
+        _prefix_property_check(spark, values)
