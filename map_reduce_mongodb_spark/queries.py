@@ -4930,6 +4930,23 @@ FROM cc c JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
 """
 
 
+def _semantic_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(id, cc)`` connected-component labels of the 0.4-cosine
+    embedding pair graph — shared upstream of
+    ``semantic_dedup_clusters`` and ``semantic_dedup_survivors``
+    (mirror of `_cc_labels` for the lexical graph; same
+    materialize-once rationale)."""
+    from map_reduce_mongodb_spark.cache import shared_parquet
+
+    def build() -> DataFrame:
+        from map_reduce_mongodb_spark.operators.graph import (
+            connected_components)
+        pairs = _embedding_pairs_04(spark, sf_dir)
+        return connected_components(pairs, src="id_a", dst="id_b")
+
+    return shared_parquet(spark, f"emb_cc_labels_0.4_{sf_dir}", build)
+
+
 @query("semantic_dedup_clusters", oracle=_emb_cc_oracle())
 def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
@@ -4943,17 +4960,49 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     once-materialized pair table (`_embedding_pairs_04`); components
     via the same Kiveris large-star/small-star rounds; the oracle
     re-derives everything from exact all-pairs cosine + a recursive
-    transitive-closure CTE."""
-    from map_reduce_mongodb_spark.operators.graph import (
-        connected_components)
-    pairs = _embedding_pairs_04(spark, sf_dir)
-    labels = connected_components(pairs, src="id_a", dst="id_b")
+    transitive-closure CTE. Labels come from the once-materialized
+    `_semantic_cc_labels` (shared with `semantic_dedup_survivors`)."""
+    labels = _semantic_cc_labels(spark, sf_dir)
     sizes = labels.groupBy("cc").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(F.broadcast(sizes), "cc")
             .select(F.col("id").alias("vec_id"),
                     F.col("cc").alias("cluster_id"),
                     "cluster_size"))
+
+
+def _emb_survivors_oracle(dim: int = 64, threshold: float = 0.4) -> str:
+    """Keep-one-per-semantic-cluster accounting, re-derived from the
+    exact all-pairs closure (prefix = _emb_cc_oracle's CTE chain)."""
+    chain = _emb_cc_oracle(dim, threshold)
+    chain = chain[:chain.index("SELECT c.vec_id")]
+    return chain + """
+SELECT e.label,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id <> cluster_id)
+GROUP BY e.label
+"""
+
+
+@query("semantic_dedup_survivors", oracle=_emb_survivors_oracle())
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The APPLIED form of semantic dedup: drop every semantic-cluster
+    member except the canonical minimum and account for what survives
+    per label — the vector-space twin of `dedup_survivors` (what a
+    training run would actually consume after near-meaning dedup).
+    Non-canonical members broadcast-anti-join out of the embedding
+    table; reads the once-materialized component labels
+    (`_semantic_cc_labels`), so the pair join + CC never re-run per
+    consumer."""
+    emb = table(spark, "embeddings", sf_dir)
+    labels = _semantic_cc_labels(spark, sf_dir)
+    removed = (labels.where(F.col("id") != F.col("cc"))
+               .select(F.col("id").alias("vec_id")))
+    return (emb.join(F.broadcast(removed), "vec_id", "left_anti")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_kept")))
 
 
 def _pagerank_oracle(iters: int = 5) -> str:
@@ -5971,6 +6020,7 @@ _PRIORITY: list[str] = [
     "regexp_functions", "events_cdc_latest", "doc_token_entropy",
     "funnel_time_to_convert", "lang_source_chi2",
     "usgs_sites_within_radius", "image_ahash", "audio_fingerprint",
+    "semantic_dedup_survivors",
     "video_frame_ahash",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
