@@ -6028,8 +6028,8 @@ _PRIORITY: list[str] = [
     "video_frame_stats", "usgs_nearest_sites",
     # --- tier 2: latest row is r01 (the 20 r1-only veterans; code
     #     rewritten r2-r4 for several — multimodal first, per VERDICT).
-    #     With 35 never-checked additions in tier 1, only 15 veteran
-    #     slots remain this round; the 5 deferred to round 5 are
+    #     With 36 never-checked additions in tier 1, only 14 veteran
+    #     slots remain this round; those deferred to round 5 are
     #     exactly the ones the round-3 judge independently re-ran
     #     green this cycle (salted_agg_skew, q3, q17, cube_agg,
     #     mapreduce_wordcount), so every windowed veteran is the
