@@ -5977,6 +5977,38 @@ def q_video_frame_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "width", "height", "n_frames", "f0_ahash")
 
 
+@query("events_range_frame", oracle="""
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       round(sum(value) OVER w, 2) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) window frames: for every event, the count
+    and value sum of the same user's events in the PRECEDING HOUR —
+    the trailing-window feature (rate limiting, burst detection,
+    rolling exposure) that ROWS frames cannot express, because the
+    frame boundary is a timestamp delta, not a row count. RANGE
+    frames are also tiebreak-free by construction (peers at the same
+    ts are always in or out together), so the result is deterministic
+    without a unique ordering column. Spark expresses the interval as
+    microsecond offsets on a ``unix_micros`` ordering
+    (``rangeBetween(-3600·10⁶, 0)``) — exactly DuckDB's
+    ``RANGE INTERVAL 1 HOUR PRECEDING`` at microsecond precision.
+    One user-keyed shuffle; the frame scan is the standard sliding
+    aggregation within partition."""
+    events = table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    return events.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -6020,7 +6052,7 @@ _PRIORITY: list[str] = [
     "regexp_functions", "events_cdc_latest", "doc_token_entropy",
     "funnel_time_to_convert", "lang_source_chi2",
     "usgs_sites_within_radius", "image_ahash", "audio_fingerprint",
-    "semantic_dedup_survivors",
+    "semantic_dedup_survivors", "events_range_frame",
     "video_frame_ahash",
     "ivf_kmeans_probe_all", "minhash_estimate_accuracy",
     "dup_graph_stats", "rrf_fusion", "knn_classify",
