@@ -5067,17 +5067,28 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(1.0) / F.col("n_nodes")).alias("r0")))
     edges_deg = tracked_persist(sym.join(deg, "id_a"))
     ranks = base.select("id", F.col("r0").alias("r"))
+    # graph.py's checkpoint discipline: each round's blocks replace
+    # the previous round's (RDD-level release — DataFrame.unpersist
+    # can't), the final round's go to the cache registry
+    from map_reduce_mongodb_spark.cache import track_rdd
+    from map_reduce_mongodb_spark.operators.graph import _checkpoint
+    handles: list = []
     for _ in range(5):
         contrib = (edges_deg
                    .join(ranks.withColumnRenamed("id", "id_a"), "id_a")
                    .groupBy(F.col("id_b").alias("id"))
                    .agg(F.sum(F.col("r") / F.col("deg"))
                         .alias("contrib")))
-        ranks = (base.join(contrib, "id", "left")
-                 .select("id",
-                         (F.col("base") + F.lit(0.85)
-                          * F.coalesce("contrib", F.lit(0.0))).alias("r"))
-                 .localCheckpoint(eager=False))
+        ranks, nxt_handles = _checkpoint(
+            base.join(contrib, "id", "left")
+            .select("id",
+                    (F.col("base") + F.lit(0.85)
+                     * F.coalesce("contrib", F.lit(0.0))).alias("r")))
+        for h in handles:  # superseded iteration's blocks
+            h.unpersist(False)
+        handles = nxt_handles
+    for h in handles:
+        track_rdd(h)
     return ranks.select(F.col("id").alias("doc_id"),
                         F.round("r", 6).alias("pagerank"))
 

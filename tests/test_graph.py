@@ -118,3 +118,21 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     total = sum(r.pagerank for r in rows)
     assert abs(total - 1.0) < 1e-3, total
     assert all(r.pagerank > 0 for r in rows)
+
+
+def test_pagerank_releases_iteration_blocks(spark):
+    """Superseded power-iteration checkpoints must not accumulate;
+    only the final round's blocks (plus the two persisted loop
+    invariants) may remain live until release_caches()."""
+    from map_reduce_mongodb_spark.cache import release_caches
+    from map_reduce_mongodb_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    jsc = spark.sparkContext._jsc.sc()
+    release_caches()
+    base = jsc.getPersistentRDDs().size()
+    QUERIES["dup_graph_pagerank"](spark, SF_DIR).collect()
+    during = jsc.getPersistentRDDs().size()
+    assert during - base <= 4, f"{during - base} RDD/cache blocks live"
+    release_caches()
+    assert jsc.getPersistentRDDs().size() <= base
