@@ -5230,7 +5230,13 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNIQUE total order (price + key tiebreak — required, or those five
     are nondeterministic under ties). Two window specs, one pass, one
     shuffle per spec key; all eleven outputs are integers or exactly-
-    derived ratios, so the sweep hash-checks without tolerance."""
+    derived ratios, so the sweep hash-checks without tolerance.
+    Scale note: o_orderpriority has only 5 values, so each window
+    partition is ~20% of the table on one task — fine for this
+    surface-parity query, but a production global ranking over a
+    low-cardinality key should use the two-pass range-partitioned
+    scan family (operators/prefix.py) or rank within finer composite
+    keys."""
     o = table(spark, "orders", sf_dir)
     wt = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
     wu = (Window.partitionBy("o_orderpriority")
