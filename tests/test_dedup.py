@@ -251,3 +251,46 @@ def test_minhash_bucket_cap_bounds_hot_buckets(spark):
     assert not {p for p in cp if p[0] >= 100000 and p[1] >= 100000}
     # every non-boilerplate pair survives the cap
     assert cp >= (un - clone_pairs)
+
+
+def test_containment_finds_planted_excerpt(spark):
+    """A short quote embedded verbatim in a long page: Jaccard misses
+    it (J ≈ len_q/len_page), containment flags quote→page at ~1.0 —
+    the asymmetry the operator exists for. The page is NOT contained
+    in the quote (reverse direction absent)."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    quote = "the quick brown fox jumps over the lazy dog again"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    page = filler + " " + quote + " " + filler.replace("w", "z")
+    other = " ".join(f"q{i} r{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, other)], "doc_id long, text string")
+
+    got = {(r.contained_id, r.container_id)
+           for r in containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in got and (2, 1) not in got and len(got) == 1
+
+    jac = {(r.id_a, r.id_b)
+           for r in ngram_jaccard_pairs(df, threshold=0.5,
+                                        block_col=None).collect()}
+    assert (1, 2) not in jac  # symmetric Jaccard misses the excerpt
+
+
+def test_containment_df_cap_only_lowers_scores(spark):
+    """With a stop-shingle cap, pruned postings can only LOWER
+    containment — capped results are a subset of uncapped at the same
+    threshold."""
+    from map_reduce_mongodb_spark.operators.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(i, base + f" tail{i % 2}") for i in range(8)],
+        "doc_id long, text string")
+    full = {(r.contained_id, r.container_id)
+            for r in containment_pairs(df, threshold=0.5).collect()}
+    capped = {(r.contained_id, r.container_id)
+              for r in containment_pairs(df, threshold=0.5,
+                                         max_shingle_df=4).collect()}
+    assert capped <= full

@@ -129,3 +129,62 @@ def test_streaming_merge_into_store(spark, tmp_path):
     assert got == want
     # two micro-batches really ran: store advanced past the bootstrap
     assert int((tmp_path / "wc_store" / "_VERSION").read_text()) >= 1
+
+
+def test_streaming_scd2_upsert_pipeline(spark, tmp_path):
+    """Streaming CDC → versioned dimension: a file-source update
+    stream drained through foreach_batch, each micro-batch applying
+    scd2_apply to a persisted dimension snapshot — the streaming
+    composition of the batch SCD2 operator (MERGE-on-stream).
+    maxFilesPerTrigger=1 forces two real micro-batches, so a key
+    updated in BOTH batches must end at version 3 with a complete
+    closed-row chain."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_mongodb_spark.operators.scd import scd2_apply
+    from map_reduce_mongodb_spark.sinks import foreach_batch
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(k, f"seg{k % 2}") for k in range(6)], "k long, seg string") \
+        .select("k", "seg",
+                F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(1).alias("version")) \
+        .write.mode("overwrite").parquet(dim_path)
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    schema = "k long, seg string, effective_ts timestamp"
+    b1 = [(0, "NEW", "1998-01-01"), (2, "NEW", "1998-01-01")]
+    b2 = [(0, "NEWER", "1999-01-01"), (4, "NEW", "1999-01-01")]
+    for name, rows in (("f1", b1), ("f2", b2)):
+        spark.createDataFrame(rows, "k long, seg string, ts string") \
+            .select("k", "seg",
+                    F.col("ts").cast("timestamp").alias("effective_ts")) \
+            .coalesce(1).write.parquet(str(src / name))
+
+    def upsert(batch_df, epoch):
+        if batch_df.isEmpty():
+            return
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        merged = scd2_apply(dim, batch_df, "k", ["seg"]).localCheckpoint()
+        merged.write.mode("overwrite").parquet(dim_path)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = foreach_batch(stream, upsert,
+                      checkpoint=str(tmp_path / "ckpt"),
+                      query_name="stream_scd2_test", available_now=True)
+    q.awaitTermination(120)
+
+    final = spark.read.parquet(dim_path)
+    assert final.count() == 6 + 4          # append-only history
+    open_rows = final.where("valid_to IS NULL")
+    assert open_rows.count() == 6          # one open row per key
+    k0 = sorted((r.version, r.seg, r.valid_to is None)
+                for r in final.where("k = 0").collect())
+    assert k0 == [(1, "seg0", False), (2, "NEW", False),
+                  (3, "NEWER", True)]
