@@ -216,3 +216,40 @@ def test_ahash_hamming_pairs_match_brute_force(spark):
         if d <= 16:
             want.add((ida, idb, d))
     assert got == want and len(want) >= 1
+
+
+def test_video_ahash_consistent_with_sampled_frame_zero(spark):
+    """Cross-operator pin: recomputing the cell hash from
+    sample_frames' frame-0 bytes must reproduce video_frame_ahash's
+    f0_ahash exactly — the two operators must agree on frame
+    boundaries and plane layout."""
+    import numpy as np
+
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        media_from_documents, sample_frames, video_frame_ahash)
+
+    docs = table(spark, "documents", SF_DIR).limit(60)
+    media = media_from_documents(docs)
+    want = {r.media_id: (r.width, r.height, r.f0_ahash)
+            for r in video_frame_ahash(media).collect()}
+    f0 = {r.media_id: bytes(r.frame_data)
+          for r in sample_frames(media, every=1000).collect()
+          if r.frame_idx == 0}
+    assert set(f0) == set(want) and want
+
+    for mid, blob in f0.items():
+        w, h, expected = want[mid]
+        arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        wh = w * h
+        g = (arr[:wh] + arr[wh:2 * wh] + arr[2 * wh:]).reshape(h, w)
+        ci = (8 * np.arange(h)) // h
+        cj = (8 * np.arange(w)) // w
+        cell = (ci[:, None] * 8 + cj[None, :]).ravel()
+        s = np.bincount(cell, weights=g.ravel().astype(float),
+                        minlength=64).astype(np.int64)
+        c = np.bincount(cell, minlength=64).astype(np.int64)
+        bits = (s * int(c.sum())) >= (int(s.sum()) * c)
+        val = sum(1 << b for b in range(64) if bits[b])
+        if val >= 1 << 63:
+            val -= 1 << 64
+        assert val == expected, mid
