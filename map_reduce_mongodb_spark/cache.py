@@ -35,6 +35,10 @@ _LIVE_RDDS: list = []  # py4j handles of localCheckpoint-persisted RDDs
 # -- shared materializations (cross-query, process-scoped) -------------
 _SHARED: dict[str, str] = {}   # key -> parquet path
 _SHARED_DIR: str | None = None
+# key -> wall seconds spent materializing it (first build only).
+# bench.py reads this to attribute family build cost to the shared
+# artifact instead of smearing it into whichever consumer ran first.
+_BUILD_SECONDS: dict[str, float] = {}
 
 
 def _shared_dir() -> str:
@@ -69,11 +73,20 @@ def shared_parquet(spark: SparkSession, key: str,
     """
     if key not in _SHARED:
         import re
+        import time
         fname = re.sub(r"[^A-Za-z0-9_.-]+", "_", key)
         path = f"{_shared_dir()}/{fname}"
+        t0 = time.perf_counter()
         build().write.mode("overwrite").parquet(path)
+        _BUILD_SECONDS[key] = round(time.perf_counter() - t0, 3)
         _SHARED[key] = path
     return spark.read.parquet(_SHARED[key])
+
+
+def shared_build_seconds() -> dict[str, float]:
+    """Per-key wall seconds spent on first-build materializations this
+    process (empty for keys served from the process cache)."""
+    return dict(_BUILD_SECONDS)
 
 
 def clear_shared() -> None:

@@ -323,3 +323,35 @@ def test_cdc_latest_is_aggregate_not_window(spark):
     p = plan(QUERIES["events_cdc_latest"](spark, SF_DIR), mode="simple")
     assert "Window" not in p
     assert "max_by" in p or "MaxBy" in p
+
+
+def test_seq_packing_window_is_partitioned(spark):
+    """The corpus-wide running token sum must come from the two-pass
+    distributed scan (windows keyed by _pid), never a SinglePartition
+    window over every document; only the O(#partitions) offsets
+    branch may collapse to one partition (VERDICT r4 #4)."""
+    p = plan(QUERIES["seq_packing"](spark, SF_DIR), mode="simple")
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 1, p
+
+
+def test_orders_rfm_has_no_global_ntile_window(spark):
+    """The spend quintile derives from distributed rank + broadcast
+    count arithmetic, not an ntile window sorting every customer
+    through one task (VERDICT r4 #5)."""
+    p = plan(QUERIES["orders_rfm"](spark, SF_DIR), mode="simple")
+    assert "ntile(" not in p.lower(), p  # the window FUNCTION, not
+    # the value_quintile output column name
+    # data-sized window is keyed by _pid; the only SinglePartition
+    # exchanges are the O(#partitions) offsets and the 1-row count
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 2, p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row count scalar
+
+
+def test_vocab_coverage_topk_avoids_global_sort(spark):
+    """Top-30 words cut with per-partition heaps
+    (TakeOrderedAndProject); the window only ever sees 30 rows
+    (VERDICT r4 #6)."""
+    p = plan(QUERIES["vocab_coverage"](spark, SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in p, p
