@@ -65,3 +65,62 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
                     .select(*dim.columns))
     return closed_rows.unionByName(untouched) \
         .unionByName(closed_out).unionByName(new_versions)
+
+
+def scd2_replay_stream(dim: DataFrame, update_batches: list[DataFrame],
+                       key: str, attrs: list[str],
+                       work_dir: str) -> DataFrame:
+    """Replay a sequence of CDC update batches through Structured
+    Streaming, applying :func:`scd2_apply` once per micro-batch, and
+    return the final versioned dimension.
+
+    Each ``update_batches[i]`` (≤1 row per key — pre-compact with a
+    max_by if needed) is written as one file-source input file with
+    strictly increasing mtimes; ``maxFilesPerTrigger=1`` then yields
+    exactly one micro-batch per input batch, oldest first (the file
+    source orders by modification time), so the replay is
+    deterministic. The foreachBatch sink reads the current dimension
+    snapshot, applies the SCD2 merge, and atomically replaces the
+    snapshot — the same read-merge-write loop a table-format MERGE
+    INTO runs per epoch, with the snapshot store standing in for the
+    Delta/Iceberg commit (jar-gated, see NOTES).
+
+    Scale: per-epoch work is one broadcast join of the dimension
+    against the micro-batch plus a three-branch union — no window, no
+    driver state; the streaming engine only tracks file-source
+    offsets. ``work_dir`` must be a fresh directory (input files,
+    checkpoint, and dimension snapshots live under it)."""
+    import os
+
+    spark = dim.sparkSession
+    src = os.path.join(work_dir, "updates")
+    dim_path = os.path.join(work_dir, "dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    schema = update_batches[0].schema
+    for i, batch in enumerate(update_batches):
+        p = os.path.join(src, f"b{i:04d}")
+        batch.coalesce(1).write.parquet(p)
+        # strictly increasing mtimes pin the micro-batch order
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (1_000_000 + i, 1_000_000 + i))
+
+    def upsert(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = batch_df.sparkSession.read.parquet(dim_path)
+        merged = scd2_apply(cur, batch_df, key, attrs).localCheckpoint()
+        merged.write.mode("overwrite").parquet(dim_path)
+
+    from map_reduce_mongodb_spark.sinks import foreach_batch
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    q = foreach_batch(stream, upsert,
+                      checkpoint=os.path.join(work_dir, "ckpt"),
+                      query_name="scd2_replay", available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(dim_path)

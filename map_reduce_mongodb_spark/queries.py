@@ -5426,6 +5426,89 @@ def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
 
 
+@query("scd2_events_replay", oracle="""
+WITH p AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN day(ts) <= 10 THEN 1
+              WHEN day(ts) <= 20 THEN 2 ELSE 3 END AS b
+  FROM events WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, b, value, eff FROM (
+    SELECT user_id, b, value, ts AS eff,
+           row_number() OVER (PARTITION BY user_id, b
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM p) WHERE rn = 1),
+seq AS (
+  SELECT user_id, value, eff,
+         row_number() OVER (PARTITION BY user_id ORDER BY b) AS k,
+         lead(eff) OVER (PARTITION BY user_id ORDER BY b) AS nxt
+  FROM u),
+base AS (SELECT DISTINCT user_id FROM events),
+fe AS (SELECT user_id, min(eff) AS first_eff FROM u GROUP BY user_id)
+SELECT base.user_id, CAST(NULL AS DOUBLE) AS tier,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       fe.first_eff AS valid_to, 1 AS version
+FROM base LEFT JOIN fe ON base.user_id = fe.user_id
+UNION ALL
+SELECT user_id, value AS tier, eff AS valid_from, nxt AS valid_to,
+       CAST(k + 1 AS INT) AS version
+FROM seq
+""")
+def q_scd2_events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 upsert, end to end: the events table is treated
+    as a CDC purchase stream, compacted to one update per user per
+    10-day window (latest by ts with event_id tiebreak), and REPLAYED
+    through Structured Streaming — one micro-batch per window via a
+    mtime-ordered file source, each epoch's foreachBatch applying the
+    scd2_apply MERGE to a dimension snapshot store
+    (operators/scd.py:scd2_replay_stream). Output is the final
+    versioned dimension; the oracle reconstructs the whole version
+    chain relationally (lead() gives each version's close-out stamp),
+    so a wrong merge in ANY epoch — missed close, double-apply, wrong
+    version number — breaks the hash. Not SQL-expressible as a single
+    query on the Spark side: this exercises the streaming engine; the
+    oracle only has a closed form because the replay is deterministic.
+    The replayed dimension is built once per process
+    (cache.shared_parquet) — repeat callers read the materialization,
+    matching how a streaming pipeline's consumers read its sink."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from map_reduce_mongodb_spark.cache import shared_parquet
+    from map_reduce_mongodb_spark.operators.scd import scd2_replay_stream
+
+    def build() -> DataFrame:
+        work = tempfile.mkdtemp(prefix="scd2_replay_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        e = table(spark, "events", sf_dir)
+        dim = (e.select("user_id").distinct()
+               .select("user_id",
+                       F.lit(None).cast("double").alias("tier"),
+                       F.lit("2024-01-01").cast("timestamp")
+                        .alias("valid_from"),
+                       F.lit(None).cast("timestamp").alias("valid_to"),
+                       F.lit(1).alias("version")))
+        p = (e.where(F.col("event_type") == "purchase")
+             .select("user_id", F.col("value").alias("tier"),
+                     F.col("ts").cast("timestamp").alias("effective_ts"),
+                     "event_id",
+                     F.when(F.dayofmonth("ts") <= 10, 1)
+                      .when(F.dayofmonth("ts") <= 20, 2)
+                      .otherwise(3).alias("b")))
+        w = Window.partitionBy("user_id", "b").orderBy(
+            F.desc("effective_ts"), F.desc("event_id"))
+        latest = (p.withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") == 1)
+                   .select("user_id", "tier", "effective_ts", "b"))
+        batches = [latest.where(F.col("b") == i).drop("b")
+                   for i in (1, 2, 3)]
+        return scd2_replay_stream(dim, batches, "user_id", ["tier"],
+                                  work)
+
+    return shared_parquet(spark, f"scd2_replay_{sf_dir}", build)
+
+
 @query("market_basket_pairs", oracle="""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
@@ -6101,6 +6184,7 @@ _PRIORITY: list[str] = [
     "regexp_functions", "seq_packing", "orders_rfm", "vocab_coverage",
     # --- tier 1b: round-5 additions (no driver row yet; names are
     #     appended here as each query is registered)
+    "scd2_events_replay",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
