@@ -3258,6 +3258,93 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_chars").alias("kept_chars")))
 
 
+@query("weighted_sample", oracle="""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         sum(n_chars) OVER () AS tot
+  FROM documents),
+s AS (SELECT doc_id, n_chars, cum, tot // 200 AS w FROM c)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(cum // w - (cum - n_chars) // w AS BIGINT) AS n_hits
+FROM s
+WHERE cum // w > (cum - n_chars) // w
+""")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance (weight-proportional) sampling via SYSTEMATIC PPS:
+    lay documents end-to-end on the cumulative-weight axis (weight =
+    n_chars), drop a grid of ~200 equally-spaced points (stride W =
+    total weight div 200), and keep every document whose weight
+    interval contains a grid point — each doc's selection probability
+    is proportional to its weight, the textbook probability-
+    proportional-to-size design, and the draw is fully deterministic
+    (integer arithmetic only, no RNG, no cross-engine libm). n_hits
+    counts grid points landing in the interval (heavy docs spanning
+    multiple strides surface with multiplicity, as importance
+    sampling requires). The cumulative axis comes from
+    operators/prefix.py:distributed_cumsum — range-partitioned
+    two-pass scan, no single-partition window — and the total-weight
+    stride is a broadcast 1-row scalar, so the whole plan is
+    shuffle-bounded by one range exchange at any corpus size."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cumsum)
+    docs = table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    cum = distributed_cumsum(docs, [F.col("doc_id")],
+                             F.col("n_chars").cast("long"), "cum")
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("_tot"))
+    s = (cum.crossJoin(F.broadcast(tot))
+            .withColumn("_w", F.expr("_tot div 200")))
+    hits = F.expr("cum div _w - (cum - n_chars) div _w")
+    return (s.where(F.expr("cum div _w > (cum - n_chars) div _w"))
+             .select("doc_id",
+                     F.col("n_chars").cast("long").alias("weight"),
+                     hits.cast("long").alias("n_hits")))
+
+
+@query("orders_running_quantile", oracle="""
+WITH n AS (SELECT count(*) AS n FROM orders),
+r AS (SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS rnk
+      FROM orders),
+q AS (SELECT unnest(generate_series(1, 9)) AS decile)
+SELECT CAST(decile AS BIGINT) AS decile, o_totalprice AS value
+FROM r, n, q
+WHERE rnk = (decile * n + 9) // 10
+""")
+def q_orders_running_quantile(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """EXACT order-statistic deciles of order value at any scale —
+    the selection-by-global-rank pattern: every row's global rank
+    comes from operators/prefix.py:distributed_cumsum of 1s over the
+    (o_totalprice, o_orderkey) total order (range-partitioned
+    two-pass scan — no sort through one task, unlike a naive
+    row_number() OVER (ORDER BY ...)), and the nine decile targets
+    ceil(q·n/10) join back as a 9-row broadcast. Exact integer rank
+    arithmetic; the quantile VALUE at a rank is tiebreak-independent,
+    so both engines agree bit-for-bit. This is the exact complement
+    to the mergeable-sketch approximate quantiles in
+    approx_sketches."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cumsum)
+    o = table(spark, "orders", sf_dir).select("o_orderkey",
+                                              "o_totalprice")
+    ranked = distributed_cumsum(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")],
+        F.lit(1).cast("long"), "rnk")
+    n = o.agg(F.count(F.lit(1)).alias("_n"))
+    targets = (spark.range(1, 10).select(F.col("id").alias("decile"))
+               .crossJoin(F.broadcast(n))
+               .select("decile",
+                       F.expr("(decile * _n + 9) div 10")
+                        .alias("_target")))
+    return (ranked.join(F.broadcast(targets),
+                        ranked["rnk"] == targets["_target"])
+            .select(F.col("decile").cast("long").alias("decile"),
+                    F.col("o_totalprice").alias("value")))
+
+
 def _embedding_dup_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     from map_reduce_mongodb_spark.functions.vectors import (
         dot_unrolled_sql, norm_sq_unrolled_sql)
@@ -6184,7 +6271,7 @@ _PRIORITY: list[str] = [
     "regexp_functions", "seq_packing", "orders_rfm", "vocab_coverage",
     # --- tier 1b: round-5 additions (no driver row yet; names are
     #     appended here as each query is registered)
-    "scd2_events_replay",
+    "scd2_events_replay", "weighted_sample", "orders_running_quantile",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
