@@ -6228,6 +6228,179 @@ def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("value_last_hour"))
 
 
+@query("events_ewma", oracle="""
+SELECT user_id, event_id,
+       coalesce(value, 0.0) * 0.5
+       + coalesce(lag(value, 1) OVER w, 0.0) * 0.25
+       + coalesce(lag(value, 2) OVER w, 0.0) * 0.125
+       + coalesce(lag(value, 3) OVER w, 0.0) * 0.0625
+       + coalesce(lag(value, 4) OVER w, 0.0) * 0.03125
+       + coalesce(lag(value, 5) OVER w, 0.0) * 0.015625
+       + coalesce(lag(value, 6) OVER w, 0.0) * 0.0078125
+       + coalesce(lag(value, 7) OVER w, 0.0) * 0.00390625
+         AS ewma8
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values — the online smoothing primitive behind rate estimators and
+    drift monitors — as a DEPTH-8 truncated EWMA with alpha = 1/2:
+    weight for the k-th previous value is (1/2)^(k+1), so every
+    coefficient is an exact binary fraction and each product is an
+    exact IEEE halving (no cross-engine libm, no pow). The infinite
+    recurrence can't be a distributed window (each row depends on an
+    unbounded prefix through one running state); the depth-8
+    truncation caps the absolute error at 2^-8·max|value| while
+    turning the operator into eight LAG terms inside one user-keyed
+    window — embarrassingly parallel across users at any scale, one
+    shuffle. The sum is written in the SAME left-associated order in
+    both engines, so the doubles agree bit-for-bit unrounded."""
+    events = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    term = F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(0.5)
+    for k in range(1, 8):
+        term = term + (F.coalesce(F.lag("value", k).over(w),
+                                  F.lit(0.0))
+                       * F.lit(0.5 ** (k + 1)))
+    return events.select("user_id", "event_id", term.alias("ewma8"))
+
+
+@query("doc_template_clusters", oracle="""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+  FROM documents)
+SELECT prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS exemplar_doc,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM p GROUP BY prefix HAVING count(*) > 1
+""")
+def q_doc_template_clusters(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Template / boilerplate detection: cluster documents by their
+    opening 5-word prefix and surface every prefix shared by more
+    than one document — the cheap first pass that catches templated
+    pages (scraped headers, license preambles, form letters) before
+    the expensive near-dup machinery runs. One hash aggregate keyed
+    by the prefix string — a single shuffle whose key cardinality is
+    bounded by the template count, not the corpus; at 100 TB the
+    same plan holds because map-side partial aggregation collapses
+    each partition's repeats before the exchange. The exemplar is
+    min(doc_id) (deterministic, not first())."""
+    docs = table(spark, "documents", sf_dir)
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5),
+                          " ")
+    return (docs.select(prefix.alias("prefix"), "doc_id", "n_chars")
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("exemplar_doc"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+            .where(F.col("n_docs") > 1))
+
+
+@query("fuzzy_name_match", oracle="""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         string_split(p_name, ' ')[-1] AS blk
+  FROM part GROUP BY p_name)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""")
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: candidate
+    name-pairs within an edit distance of 3, the record-linkage
+    primitive behind catalog/vendor/author dedup. The design is the
+    standard two-level cut that makes ER tractable at scale: (1)
+    collapse rows to DISTINCT entity names first (one hash aggregate
+    — pair generation then scales with the entity vocabulary, not
+    the row count), (2) BLOCK on a cheap deterministic key (here the
+    head noun = last token) so the quadratic levenshtein join runs
+    within blocks only — O(sum of block^2), never all-pairs. At 100 TB
+    the same plan holds: the name aggregate is map-side-combined, the
+    block join shuffles both sides on the block key, and a hot block
+    gets the same cap/salt treatment as an LSH hot bucket
+    (operators/dedup.py max_bucket_size). Both engines implement
+    unit-cost Levenshtein identically, so the pair SET is exact."""
+    p = table(spark, "part", sf_dir)
+    names = (p.groupBy("p_name")
+             .agg(F.count(F.lit(1)).alias("n_parts"))
+             .withColumn("blk", F.element_at(
+                 F.split(F.col("p_name"), " "), -1)))
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.p_name") < F.col("b.p_name")))
+            .where(dist <= 3)
+            .select(F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"),
+                    dist.cast("int").alias("edit_dist"),
+                    F.col("a.n_parts").alias("n_parts_a"),
+                    F.col("b.n_parts").alias("n_parts_b")))
+
+
+def _morton16_sql(x: str, y: str) -> str:
+    """16-bit Morton (Z-order) code: interleave the low 8 bits of x
+    (even positions) and y (odd positions). Pure integer shift/mask
+    SQL, identical text in both engines."""
+    return " + ".join(
+        f"(((({x} >> {b}) & 1) << {2 * b})"
+        f" + ((({y} >> {b}) & 1) << {2 * b + 1}))"
+        for b in range(8))
+
+
+@query("zorder_layout", oracle=f"""
+WITH pts AS (
+  SELECT o_custkey % 256 AS x,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(o_orderdate AS DATE)) % 256 AS y
+  FROM orders),
+z AS (
+  SELECT x, y, {_morton16_sql('x', 'y')} AS zcode FROM pts)
+SELECT CAST(zcode >> 10 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+""")
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: interleave the bits of two
+    clustering dimensions (customer bucket x, order-day bucket y)
+    into one sort key and bucket rows by its high bits — the
+    multi-dimensional clustering scheme behind Delta/Iceberg OPTIMIZE
+    ZORDER. The payoff shows in the output itself: every Z-bucket's
+    (x_min..x_max, y_min..y_max) spans a small aligned tile of BOTH
+    dimensions at once (here ≤32×32 out of 256×256), so file-level
+    min/max statistics prune selective predicates on EITHER column —
+    a 1-D sort only prunes its leading column. The code is pure
+    integer shift/mask arithmetic (exact in both engines, no UDF),
+    and the layout pass at scale is a single range-partition-by-zcode
+    write; this query materializes the bucket→tile statistics a
+    data-skipping reader would consult."""
+    o = table(spark, "orders", sf_dir)
+    pts = o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.datediff(F.to_date("o_orderdate"),
+                    F.lit("1992-01-01").cast("date")) % 256
+         ).cast("long").alias("y"))
+    z = pts.withColumn("zcode", F.expr(_morton16_sql("x", "y")))
+    return (z.groupBy(F.expr("zcode >> 10").cast("long")
+                      .alias("zbucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("x").cast("long").alias("x_min"),
+                 F.max("x").cast("long").alias("x_max"),
+                 F.min("y").cast("long").alias("y_min"),
+                 F.max("y").cast("long").alias("y_max")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -6272,6 +6445,8 @@ _PRIORITY: list[str] = [
     # --- tier 1b: round-5 additions (no driver row yet; names are
     #     appended here as each query is registered)
     "scd2_events_replay", "weighted_sample", "orders_running_quantile",
+    "events_ewma", "doc_template_clusters", "fuzzy_name_match",
+    "zorder_layout",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
