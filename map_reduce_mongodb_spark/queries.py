@@ -6401,6 +6401,116 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("y").cast("long").alias("y_max")))
 
 
+def _hard_negative_oracle(dim: int = 64, k: int = 5, nq: int = 10
+                          ) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import (
+        cosine_unrolled_sql)
+    cos = cosine_unrolled_sql("qv", "cv", dim)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  label AS qlabel
+           FROM embeddings WHERE vec_id < {nq}),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  label AS nlabel
+           FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id, nlabel, {cos} AS cosine
+       FROM c, q WHERE nlabel <> qlabel)
+SELECT query_id, neighbor_id, CAST(nlabel AS INT) AS neighbor_label,
+       cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, nlabel, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@query("hard_negative_mining", oracle=_hard_negative_oracle())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-5 most-similar vectors with a DIFFERENT label —
+    the highest-value negatives (near the decision boundary) that
+    make triplet/InfoNCE training converge. Same scale shape as
+    cosine_topk_bruteforce: anchors (with their labels) broadcast,
+    the corpus streams without shuffling, the label-mismatch
+    predicate prunes pairs BEFORE the dot product, and the per-anchor
+    window ranks |anchors|-bounded groups. At index scale the
+    candidate stage swaps for IVF/LSH retrieval with the label filter
+    pushed into the bucket probe — the mining semantics are
+    index-agnostic."""
+    from map_reduce_mongodb_spark.functions.vectors import (
+        dot_unrolled, norm_sq_unrolled)
+    emb = table(spark, "embeddings", sf_dir)
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("label").alias("qlabel"),
+                 norm_sq_unrolled("embedding", 64).alias("qn")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv"),
+                   F.col("label").alias("nlabel"),
+                   norm_sq_unrolled("embedding", 64).alias("cn"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("nlabel") != F.col("qlabel"))
+    cos = (dot_unrolled("qv", "cv", 64)
+           / F.sqrt(F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (pairs.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("nlabel").cast("int").alias("neighbor_label"),
+                    "cosine", "rank"))
+
+
+@query("token_budget_allocator", oracle="""
+WITH avail AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS available
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, available,
+         CAST(floor(sqrt(CAST(available AS DOUBLE))) AS BIGINT) AS isq
+  FROM avail),
+d AS (SELECT CAST(sum(isq) AS BIGINT) AS denom FROM w)
+SELECT source, available,
+       CAST(1000000 * isq // denom AS BIGINT) AS target_tokens,
+       CAST(1000000 * isq // denom AS DOUBLE) / available AS epochs
+FROM w, d
+""")
+def q_token_budget_allocator(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Training-mixture budget allocation with temperature-scaled
+    (alpha = 1/2) source weights: each source's share of a 1M-token
+    budget is proportional to sqrt(available tokens) — the standard
+    up-weighting of small sources used in multilingual / multi-corpus
+    pre-training mixes — and `epochs` is the resulting repeat factor
+    (>1 means the source is oversampled). All share arithmetic is
+    EXACT integers: the weight is floor(sqrt(available)) (IEEE sqrt
+    is correctly-rounded, so both engines floor the same double), the
+    denominator is an integer sum, and the target is integer
+    `div` — no cross-engine float accumulation anywhere. Scale shape:
+    one map-side-combined aggregate keyed by source (mixture
+    cardinality, not corpus), a broadcast 1-row denominator, and a
+    per-source scalar expression; the allocation table then drives
+    `mixture_sampling`-style per-source sampling rates."""
+    docs = table(spark, "documents", sf_dir)
+    avail = (docs.groupBy("source")
+             .agg(F.sum("n_chars").alias("available"))
+             .withColumn("isq", F.floor(F.sqrt(
+                 F.col("available").cast("double"))).cast("long")))
+    denom = avail.agg(F.sum("isq").alias("denom"))
+    return (avail.crossJoin(F.broadcast(denom))
+            .select("source", "available",
+                    F.expr("1000000 * isq div denom")
+                     .alias("target_tokens"),
+                    (F.expr("1000000 * isq div denom").cast("double")
+                     / F.col("available")).alias("epochs")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -6446,7 +6556,7 @@ _PRIORITY: list[str] = [
     #     appended here as each query is registered)
     "scd2_events_replay", "weighted_sample", "orders_running_quantile",
     "events_ewma", "doc_template_clusters", "fuzzy_name_match",
-    "zorder_layout",
+    "zorder_layout", "hard_negative_mining", "token_budget_allocator",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
