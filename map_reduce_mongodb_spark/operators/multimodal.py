@@ -642,3 +642,63 @@ def video_frame_ahash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=_VIDEO_AHASH_SCHEMA)
+
+
+_FRAME_AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_id", IntegerType()),
+    StructField("ahash", LongType()),
+])
+
+
+def video_frame_ahashes(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes for EVERY frame of every video —
+    the temporal-alignment primitive: consecutive-frame Hamming
+    distance locates shot boundaries, and cross-video frame-hash
+    joins align near-duplicate clips at frame granularity. Same
+    exact-integer 8x8 cell aHash as :func:`video_frame_ahash`
+    (intensity = Y+U+V per spatial position over the C444 planes), so
+    frame 0 here is bit-identical to that operator's ``f0_ahash`` —
+    the cross-operator pin the tests assert. Arrow-batched
+    mapInPandas; the per-frame numpy work is vectorized over the
+    whole frame stack (one bincount per video, frames as a leading
+    axis), so cost scales with decoded bytes, not frame count."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fids, hashes = [], [], []
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "video":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                w, h, frames, nf = _iter_y4m(payload)
+                wh = w * h
+                # frames -> (nf, 3, wh) stack, intensity (nf, wh)
+                arr = np.frombuffer(b"".join(frames), dtype=np.uint8) \
+                    .astype(np.int64).reshape(nf, 3, wh)
+                g = arr.sum(axis=1)
+                ci = (8 * (np.arange(wh) // w)) // h
+                cj = (8 * (np.arange(wh) % w)) // w
+                cell = ci * 8 + cj
+                # one bincount over (frame, cell) composite keys
+                comp = (np.arange(nf)[:, None] * 64 + cell[None, :])
+                sums = np.bincount(comp.ravel(),
+                                   weights=g.ravel().astype(np.float64),
+                                   minlength=nf * 64) \
+                    .astype(np.int64).reshape(nf, 64)
+                cnts = np.bincount(cell, minlength=64).astype(np.int64)
+                ts = sums.sum(axis=1)          # (nf,)
+                tc = int(cnts.sum())
+                bits = (sums * tc) >= (ts[:, None] * cnts[None, :])
+                vals = (bits.astype(np.uint64)
+                        << np.arange(64, dtype=np.uint64)[None, :]) \
+                    .sum(axis=1).astype(np.int64)
+                mids.extend([mid] * nf)
+                fids.extend(range(nf))
+                hashes.extend(int(v) for v in vals)
+            yield pd.DataFrame({"media_id": mids, "frame_id": fids,
+                                "ahash": hashes})
+
+    return media.mapInPandas(batches, schema=_FRAME_AHASH_SCHEMA)

@@ -6511,6 +6511,91 @@ def q_token_budget_allocator(spark: SparkSession, sf_dir: str
                      / F.col("available")).alias("epochs")))
 
 
+@query("video_shot_boundaries", oracle="""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + length(text) % 32 AS w,
+         16 + (length(text) // 5) % 32 AS h,
+         2 + length(text) % 7 AS nf
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+fr AS (
+  SELECT doc_id, w, h, w * h AS wh,
+         unnest(generate_series(0, nf - 1)) AS f,
+         repeat(text,
+                CAST((w * h * 3 + nf + n - 1) // n AS INT)) AS rep
+  FROM img),
+body AS (
+  SELECT doc_id, w, h, wh, f,
+         substring(rep, CAST(f + 1 AS INT), wh * 3) AS fb
+  FROM fr),
+pxg AS (
+  SELECT doc_id, w, h, f,
+         unnest(list_transform(generate_series(0, wh - 1),
+             q -> ascii(substr(fb, CAST(q + 1 AS INT), 1))
+                  + ascii(substr(fb, CAST(wh + q + 1 AS INT), 1))
+                  + ascii(substr(fb, CAST(2 * wh + q + 1 AS INT), 1))))
+           AS g,
+         unnest(generate_series(0, wh - 1)) AS q
+  FROM body),
+cells AS (
+  SELECT doc_id, f, (8 * (q // w)) // h AS ci, (8 * (q % w)) // w AS cj,
+         CAST(sum(g) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn
+  FROM pxg GROUP BY 1, 2, 3, 4),
+tot AS (
+  SELECT doc_id, f, CAST(sum(s) AS BIGINT) AS ts,
+         CAST(sum(cn) AS BIGINT) AS tc
+  FROM cells GROUP BY 1, 2),
+bits AS (
+  SELECT c.doc_id, c.f, ci * 8 + cj AS b,
+         CASE WHEN s * tc >= ts * cn THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot USING (doc_id, f)),
+hashes AS (
+  SELECT doc_id, f,
+         CAST(sum(CASE WHEN bit = 0 THEN 0
+                       WHEN b = 63
+                         THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                       ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS ah
+  FROM bits GROUP BY 1, 2),
+lagd AS (
+  SELECT doc_id, f, ah,
+         lag(ah) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+  FROM hashes)
+SELECT doc_id, CAST(f AS INT) AS frame_id, ah AS ahash,
+       CAST(coalesce(bit_count(xor(ah, prev)), -1) AS INT)
+         AS hamming_prev,
+       coalesce(bit_count(xor(ah, prev)) >= 8, FALSE) AS is_cut
+FROM lagd
+""")
+def q_video_shot_boundaries(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Temporal video analysis: perceptual hash of EVERY frame, then
+    shot-boundary detection as the Hamming distance between
+    consecutive frame hashes (a cut = the 8x8 intensity structure
+    jumps — here >= 8 of 64 bits flip). This is the per-frame
+    extension of `video_frame_ahash` (frame 0 is bit-identical by
+    construction) and the alignment substrate for clip-level dedup:
+    two videos sharing a run of frame hashes are the same shot. The
+    oracle re-derives every frame's hash arithmetically from the Y4M
+    synthesis formula (frame f's plane block = the repeated text at
+    byte offset f), so a wrong frame boundary, plane offset, or cell
+    map flips bits. Scale shape: decode is Arrow-batched mapInPandas
+    (one vectorized bincount per video, cost ~ decoded bytes); the
+    lag window partitions by video (frames per video is a format
+    constant, never data-sized)."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        media_from_documents, video_frame_ahashes)
+    docs = table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    fps = video_frame_ahashes(media_from_documents(docs))
+    w = Window.partitionBy("media_id").orderBy("frame_id")
+    prev = F.lag("ahash").over(w)
+    ham = F.bit_count(F.col("ahash").bitwiseXOR(prev))
+    return (fps.withColumn("hamming_prev",
+                           F.coalesce(ham, F.lit(-1)).cast("int"))
+            .withColumn("is_cut", F.coalesce(ham >= 8, F.lit(False)))
+            .select(F.col("media_id").alias("doc_id"), "frame_id",
+                    "ahash", "hamming_prev", "is_cut"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -6557,6 +6642,7 @@ _PRIORITY: list[str] = [
     "scd2_events_replay", "weighted_sample", "orders_running_quantile",
     "events_ewma", "doc_template_clusters", "fuzzy_name_match",
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
+    "video_shot_boundaries",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

@@ -253,3 +253,27 @@ def test_video_ahash_consistent_with_sampled_frame_zero(spark):
         if val >= 1 << 63:
             val -= 1 << 64
         assert val == expected, mid
+
+
+def test_video_frame_ahashes_frame0_pins_single_frame_op(spark):
+    """Cross-operator pin: the all-frames hasher's frame 0 must be
+    bit-identical to video_frame_ahash's f0_ahash, and every video
+    emits exactly n_frames rows with frame ids 0..n_frames-1."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        video_frame_ahash, video_frame_ahashes)
+
+    media = _media(spark)
+    per_frame = video_frame_ahashes(media)
+    single = video_frame_ahash(media)
+    f0 = per_frame.filter(F.col("frame_id") == 0).select(
+        "media_id", F.col("ahash").alias("f0"))
+    joined = single.join(f0, "media_id", "full_outer").collect()
+    assert joined and all(r.f0 == r.f0_ahash for r in joined)
+    counts = (per_frame.groupBy("media_id")
+              .agg(F.count("*").alias("n"),
+                   F.min("frame_id").alias("lo"),
+                   F.max("frame_id").alias("hi"))
+              .join(single.select("media_id", "n_frames"), "media_id")
+              .collect())
+    assert all(r.n == r.n_frames and r.lo == 0 and r.hi == r.n_frames - 1
+               for r in counts)
