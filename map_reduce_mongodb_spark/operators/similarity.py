@@ -695,3 +695,187 @@ def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m sub-codes, search
+# with asymmetric distance computation (ADC) + exact re-rank.
+# ---------------------------------------------------------------------
+
+def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
+             n_iters: int = 3, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             ) -> np.ndarray:
+    """Train PQ codebooks: split the L2-NORMALIZED vector into ``m``
+    contiguous subspaces of dim/m components and run Lloyd k-means
+    (Euclidean — on unit vectors L2 order is cosine order) per
+    subspace with ``ks`` centroids each. ALL subspaces train in the
+    same distributed pass: one mapInPandas per iteration emits
+    per-(subspace, centroid) partial sufficient statistics
+    (count, component sum — m·ks tiny rows per partition), merged on
+    the driver. Codebooks are INDEX METADATA (m·ks·dsub floats, a few
+    KB) — the corpus itself is only scanned. Init = subvectors of the
+    first ``ks`` ids (deterministic). Returns an (m, ks, dsub) array.
+    """
+    dsub = dim // m
+    init = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(F.col(id_col) < ks)
+        .select(id_col, vec_col).collect())
+    books = np.zeros((m, ks, dsub))
+    for cid, vec in init:
+        v = np.asarray(vec, dtype=np.float64)
+        n = np.linalg.norm(v)
+        v = v / n if n else v
+        books[:, cid, :] = v.reshape(m, dsub)
+    corpus = tracked_persist(
+        embeddings.select(F.col(vec_col).alias("vv"))
+        .repartition(_data_sized_partitions(embeddings)))
+    for _ in range(n_iters):
+        parts = corpus.mapInPandas(
+            _pq_partials_fn(books),
+            schema="sub int, cid int, n long, s array<double>"
+        ).collect()
+        counts = np.zeros((m, ks), dtype=np.int64)
+        sums = np.zeros((m, ks, dsub))
+        for r in parts:
+            counts[int(r["sub"]), int(r["cid"])] += int(r["n"])
+            sums[int(r["sub"]), int(r["cid"])] += np.asarray(r["s"])
+        nz = counts > 0
+        books = np.where(nz[:, :, None],
+                         sums / np.maximum(counts, 1)[:, :, None],
+                         books)
+    return books
+
+
+def _pq_partials_fn(books: np.ndarray):
+    m, ks, dsub = books.shape
+
+    def fn(batches):
+        counts = np.zeros((m, ks), dtype=np.int64)
+        sums = np.zeros((m, ks, dsub))
+        for pdf in batches:
+            X = np.array(pdf["vv"].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            X = (X / nrm).reshape(len(X), m, dsub)
+            for s in range(m):
+                # argmin ||x_s - c||² = argmax (x·c - ||c||²/2)
+                B = books[s]
+                score = X[:, s, :] @ B.T - 0.5 * (B * B).sum(axis=1)
+                a = np.argmax(score, axis=1)
+                np.add.at(counts[s], a, 1)
+                np.add.at(sums[s], a, X[:, s, :])
+        out = [(s, c, int(counts[s, c]), sums[s, c].tolist())
+               for s in range(m) for c in range(ks)]
+        yield pd.DataFrame(out, columns=["sub", "cid", "n", "s"])
+
+    return fn
+
+
+def pq_encode(embeddings: DataFrame, books: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> DataFrame:
+    """Encode every vector to its m-byte PQ code (array<int>): per
+    subspace, the nearest codebook centroid of the L2-normalized
+    subvector. Arrow-batched mapInPandas, one numpy matmul per
+    subspace per batch; output is (id, code) — the 8-byte-per-vector
+    representation that makes billion-scale ANN memory-resident."""
+    m, ks, dsub = books.shape
+
+    def fn(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if not len(X):
+                yield pd.DataFrame({"vec_id": [], "code": []})
+                continue
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            Xs = (X / nrm).reshape(len(X), m, dsub)
+            codes = np.stack(
+                [np.argmax(Xs[:, s, :] @ books[s].T
+                           - 0.5 * (books[s] * books[s]).sum(axis=1),
+                           axis=1)
+                 for s in range(m)], axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf[id_col].values,
+                                "code": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        fn, schema="vec_id long, code array<int>")
+
+
+def pq_adc_topk(embeddings: DataFrame, query_ids: list[int],
+                k: int = 5, m: int = 8, ks: int = 16,
+                rerank: int = 50, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """PQ search with ADC + exact re-rank — the standard two-stage
+    ANN: (1) each query precomputes an (m × ks) distance table
+    (driver-side — |Q|·m·ks floats); every corpus CODE then scores in
+    m table lookups, and each partition emits only its local
+    top-``rerank`` per query (mapInPandas heap cut — the corpus never
+    shuffles); (2) the ≤ |Q|·partitions·rerank survivors re-rank by
+    EXACT cosine against the broadcast query vectors, cutting to
+    top-k. Approximation error lives only in stage-1 candidate
+    selection — reported cosines are exact. Rows-only under the
+    driver (approximate by design); recall gates live in
+    tests/test_similarity.py."""
+    books = pq_train(embeddings, m=m, ks=ks, dim=dim,
+                     id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(embeddings, books, id_col=id_col,
+                      vec_col=vec_col)
+    qrows = sorted(
+        (int(r[0]), np.asarray([float(x) for x in r[1]]))
+        for r in embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col).collect())
+    qids = np.array([q for q, _ in qrows], dtype=np.int64)
+    dsub = dim // m
+    tables = []
+    for _, v in qrows:
+        n = np.linalg.norm(v)
+        vs = (v / n if n else v).reshape(m, dsub)
+        tables.append(np.stack(
+            [((books[s] - vs[s][None, :]) ** 2).sum(axis=1)
+             for s in range(m)]))
+    T = np.stack(tables)  # (|Q|, m, ks)
+
+    def score_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["code"].values).astype(np.int64)  # (n, m)
+            ids = pdf["vec_id"].values
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                d = T[qi][np.arange(m)[None, :], C].sum(axis=1)
+                sel = ~np.equal(ids, qids[qi])
+                idx = np.nonzero(sel)[0]
+                if not len(idx):
+                    continue
+                top = idx[np.argsort(d[idx], kind="stable")[:rerank]]
+                out_q.extend([int(qids[qi])] * len(top))
+                out_n.extend(int(ids[t]) for t in top)
+                out_d.extend(float(d[t]) for t in top)
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "adist": out_d})
+
+    cands = codes.mapInPandas(
+        score_fn, schema="query_id long, neighbor_id long, adist double")
+    qdf = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_sq_unrolled(vec_col, dim).alias("qn"))
+    cdf = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cv"),
+                            norm_sq_unrolled(vec_col, dim).alias("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (cands.join(cdf, "neighbor_id").join(F.broadcast(qdf),
+                                                "query_id")
+            .withColumn("cosine", dot_unrolled("qv", "cv", dim)
+                        / F.sqrt(F.col("qn") * F.col("cn")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

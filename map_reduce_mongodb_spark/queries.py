@@ -6596,6 +6596,23 @@ def q_video_shot_boundaries(spark: SparkSession, sf_dir: str
                     "ahash", "hamming_prev", "is_cut"))
 
 
+@query("pq_adc_topk")  # no oracle: PQ candidates approximate by design
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: codebooks k-means-trained per
+    subspace (8 subspaces × 16 centroids over the 64-dim unit
+    sphere), every corpus vector compressed to an 8-byte code, ADC
+    lookup-table scoring with per-partition top-50 candidate cuts,
+    exact-cosine re-rank to top-5. The billion-scale path: codes are
+    ~8 bytes/vector (RAM-resident at 10⁹ vectors), the corpus never
+    shuffles during scoring, and only candidates reach the re-rank
+    join. Approximate by design → rows-only under the driver; recall
+    vs the exact brute force is gated in tests/test_similarity.py."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        pq_adc_topk)
+    emb = table(spark, "embeddings", sf_dir)
+    return pq_adc_topk(emb, query_ids=list(range(10)), k=5)
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -6642,7 +6659,7 @@ _PRIORITY: list[str] = [
     "scd2_events_replay", "weighted_sample", "orders_running_quantile",
     "events_ewma", "doc_template_clusters", "fuzzy_name_match",
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
-    "video_shot_boundaries",
+    "video_shot_boundaries", "pq_adc_topk",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

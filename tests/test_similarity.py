@@ -249,3 +249,30 @@ def test_estimate_rows_from_footers(spark):
     assert _estimate_rows(emb) == emb.count()
     mem = spark.createDataFrame([(1,)], "x long")
     assert _estimate_rows(mem) is None
+
+
+def test_pq_adc_rerank_recall_vs_bruteforce(spark):
+    """PQ correctness gates: (1) codes are valid m-length arrays over
+    [0, ks); (2) ADC+rerank top-5 recall vs the exact brute force —
+    the re-rank stage reports EXACT cosines, so any overlap with the
+    exact set must agree on the cosine value too."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        cosine_topk_bruteforce, pq_adc_topk, pq_encode, pq_train)
+
+    emb = table(spark, "embeddings", SF_DIR)
+    books = pq_train(emb, m=8, ks=16)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books).collect()
+    assert codes and all(
+        len(r.code) == 8 and all(0 <= c < 16 for c in r.code)
+        for r in codes)
+
+    qids = list(range(10))
+    approx = pq_adc_topk(emb, query_ids=qids, k=5)
+    exact = cosine_topk_bruteforce(emb, query_ids=qids, k=5)
+    a = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    recall = len(set(a) & set(e)) / len(e)
+    assert recall >= 0.5, f"PQ rerank recall collapsed: {recall}"
+    for key in set(a) & set(e):
+        assert a[key] == e[key]
