@@ -87,3 +87,32 @@ def dot_fold(a: Column, b: Column) -> Column:
 
 def norm(a: Column) -> Column:
     return F.sqrt(dot_fold(a, a))
+
+
+def jl_sign_matrix(dim: int = 64, k: int = 16) -> list[list[int]]:
+    """Deterministic ±1 projection matrix for the sparse-free
+    Achlioptas/JL random projection: sign (i, j) is derived from
+    md5(f"{i}_{j}") at BUILD time, so both engines receive the same
+    literal constants — no cross-engine hashing at query time."""
+    import hashlib
+    return [[1 if hashlib.md5(f"{i}_{j}".encode()).digest()[0] % 2 == 0
+             else -1 for i in range(dim)] for j in range(k)]
+
+
+def jl_component_sql(a: str, signs: list[int], scale: str) -> str:
+    """One projected component as left-associated SQL: scale * (±a[1]
+    ±a[2] ...). Identical text for Spark (element_at) and DuckDB when
+    ``a``-indexing is routed through :func:`_el` below."""
+    terms = []
+    for i, s in enumerate(signs, start=1):
+        op = "+" if s > 0 else "-"
+        terms.append(f"{op} CAST(element_at({a}, {i}) AS DOUBLE)")
+    return f"{scale} * (0 {' '.join(terms)})"
+
+
+def jl_component_duck_sql(a: str, signs: list[int], scale: str) -> str:
+    terms = []
+    for i, s in enumerate(signs, start=1):
+        op = "+" if s > 0 else "-"
+        terms.append(f"{op} CAST({a}[{i}] AS DOUBLE)")
+    return f"{scale} * (0 {' '.join(terms)})"

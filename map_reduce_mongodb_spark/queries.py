@@ -6613,6 +6613,101 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def _jl_projection_oracle(dim: int = 64, k: int = 8) -> str:
+    from map_reduce_mongodb_spark.functions.vectors import (
+        jl_component_duck_sql, jl_sign_matrix)
+    signs = jl_sign_matrix(dim, k)
+    comps = ", ".join(
+        jl_component_duck_sql("embedding", signs[j], "0.25")
+        + f" AS p{j}" for j in range(k))
+    return f"SELECT vec_id, {comps} FROM embeddings"
+
+
+@query("jl_projection", oracle=_jl_projection_oracle())
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas ±1 variant):
+    project each 64-dim embedding onto 8 components p_j =
+    (1/sqrt(16))·Σ_i s_ij·v_i with a DETERMINISTIC sign matrix (signs
+    derived from md5(i_j) at build time and inlined as literals in
+    both engines) — the cheap dimensionality reduction that front-ends
+    clustering/dedup when the native dimension is large. Everything is
+    a per-row JVM expression: left-associated ±sums in the identical
+    order both engines, scaled by the exact binary fraction 0.25, so
+    the doubles agree bit-for-bit unrounded. No shuffle at all — the
+    projection is map-only at any corpus size; the distance-
+    preservation property (the reason JL works) is gated in
+    tests/test_similarity.py over the full 16-component projection."""
+    from map_reduce_mongodb_spark.functions.vectors import (
+        jl_component_sql, jl_sign_matrix)
+    signs = jl_sign_matrix(64, 8)
+    emb = table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        *[F.expr(jl_component_sql("embedding", signs[j], "0.25"))
+          .alias(f"p{j}") for j in range(8)])
+
+
+def _bfs_oracle(iters: int = 4) -> str:
+    steps = []
+    for s in range(1, iters + 1):
+        steps.append(f"""
+d{s} AS (
+  SELECT id, min(d) AS d FROM (
+    SELECT id, d FROM d{s - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.d + 1 AS d
+    FROM edges e JOIN d{s - 1} p ON e.src = p.id) GROUP BY id)""")
+    return _CC_CTE + f"""
+, d0 AS (SELECT DISTINCT src AS id, 0 AS d FROM edges
+         WHERE src % 10 = 0),
+{','.join(steps)}
+SELECT id AS doc_id, CAST(d AS INT) AS hops FROM d{iters}
+"""
+
+
+@query("dup_graph_bfs", oracle=_bfs_oracle())
+def q_dup_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: hop distance from the
+    audited seed set (every 10th doc id) to everything reachable in
+    ≤4 hops — the provenance question "how far is this document from
+    a known-bad cluster?". Classic frontier iteration expressed as 4
+    rounds of (edges ⋈ current distances → candidate distances,
+    min-aggregate) — O(edges) per round, shuffle-keyed by node id, NO
+    driver-side state, lineage cut per round with the graph.py
+    checkpoint discipline. The oracle unrolls the same 4 relaxation
+    steps as chained CTEs over the identical edge set, so hop counts
+    match exactly. Reads the once-materialized 0.7-Jaccard pair
+    table; at 100 TB each round is one shuffle bounded by the
+    frontier, and 4 rounds is the fixed probe depth (not data-
+    dependent)."""
+    from map_reduce_mongodb_spark.cache import track_rdd
+    from map_reduce_mongodb_spark.operators.graph import _checkpoint
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    edges = sym.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst"))
+    dist = (edges.select("src").distinct()
+            .where(F.col("src") % 10 == 0)
+            .select(F.col("src").alias("id"), F.lit(0).alias("d")))
+    handles: list = []
+    for _ in range(4):
+        relaxed = (edges.join(dist.withColumnRenamed("id", "src"),
+                              "src")
+                   .select(F.col("dst").alias("id"),
+                           (F.col("d") + 1).alias("d")))
+        dist, nxt = _checkpoint(
+            dist.unionByName(relaxed).groupBy("id")
+            .agg(F.min("d").alias("d")))
+        for h in handles:
+            h.unpersist(False)
+        handles = nxt
+    for h in handles:
+        track_rdd(h)
+    return dist.select(F.col("id").alias("doc_id"),
+                       F.col("d").cast("int").alias("hops"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -6659,7 +6754,8 @@ _PRIORITY: list[str] = [
     "scd2_events_replay", "weighted_sample", "orders_running_quantile",
     "events_ewma", "doc_template_clusters", "fuzzy_name_match",
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
-    "video_shot_boundaries", "pq_adc_topk",
+    "video_shot_boundaries", "pq_adc_topk", "jl_projection",
+    "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

