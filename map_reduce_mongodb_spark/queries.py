@@ -6708,6 +6708,49 @@ def q_dup_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("d").cast("int").alias("hops"))
 
 
+@query("inflight_sweepline", oracle="""
+WITH ev AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS day, 1 AS delta
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT CAST(l_shipdate AS DATE) + 1 AS day, -1 AS delta
+  FROM lineitem),
+d AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+      FROM ev GROUP BY day)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(sum(delta) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_lineitems
+FROM d
+""")
+def q_inflight_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency via sweep-line: how many lineitems are
+    IN FLIGHT (ordered but not yet shipped) on each calendar day. The
+    naive plan explodes every interval into its covered days
+    (O(rows × interval length) — a scale killer); the sweep-line
+    instead emits two DELTA events per interval (+1 at order day, -1
+    the day after ship), aggregates deltas per day (map-side
+    combined, one shuffle keyed by day), and prefix-sums the deltas.
+    The running sum operates on the DAY-AGGREGATED table — calendar-
+    bounded (~2.5k rows at any corpus size), so the window is over an
+    aggregate, never the fact table; the only fact-sized operations
+    are the orderkey equi-join and the delta aggregation."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    starts = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .select(F.to_date("o_orderdate").alias("day"),
+                      F.lit(1).alias("delta")))
+    ends = li.select(F.date_add(F.to_date("l_shipdate"), 1)
+                     .alias("day"), F.lit(-1).alias("delta"))
+    d = (starts.unionByName(ends)
+         .groupBy("day").agg(F.sum("delta").alias("delta")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return d.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.sum("delta").over(w).cast("long").alias("open_lineitems"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -6755,6 +6798,7 @@ _PRIORITY: list[str] = [
     "events_ewma", "doc_template_clusters", "fuzzy_name_match",
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
+    "inflight_sweepline",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
