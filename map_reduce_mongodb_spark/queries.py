@@ -6708,6 +6708,79 @@ def q_dup_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("d").cast("int").alias("hops"))
 
 
+def _label_prop_oracle(iters: int = 3) -> str:
+    steps = []
+    for r in range(1, iters + 1):
+        steps.append(f"""
+cnt{r} AS (
+  SELECT e.dst AS id, p.lbl, count(*) AS c
+  FROM edges e JOIN l{r - 1} p ON e.src = p.id
+  GROUP BY 1, 2),
+win{r} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY c DESC, lbl) AS rn
+    FROM cnt{r}) WHERE rn = 1),
+l{r} AS (
+  SELECT id, lbl FROM seeds
+  UNION ALL
+  SELECT w.id, w.lbl FROM win{r} w
+  WHERE w.id NOT IN (SELECT id FROM seeds))""")
+    return _CC_CTE + f"""
+, seeds AS (SELECT DISTINCT src AS id, src % 5 AS lbl FROM edges
+            WHERE src % 10 = 0),
+l0 AS (SELECT id, lbl FROM seeds),
+{','.join(steps)}
+SELECT id AS doc_id, CAST(lbl AS INT) AS label FROM l{iters}
+"""
+
+
+@query("label_propagation", oracle=_label_prop_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the near-dup graph:
+    seed documents (every 10th id) carry a fixed class, and 3
+    synchronous rounds spread labels to neighbours by majority vote
+    (ties → lowest label; seeds never flip) — the auto-labeling /
+    contamination-spread pattern: one reviewed document labels its
+    whole duplication neighbourhood. Each round is one edge⋈labels
+    join + a (node, label) count aggregate + a per-node argmax —
+    all shuffle-keyed by node id, O(edges) per round, no driver
+    state, lineage cut per round. The oracle unrolls the same 3
+    rounds; vote counts and tiebreaks are integer-exact so labels
+    match exactly. Reads the shared 0.7-Jaccard pair table."""
+    from map_reduce_mongodb_spark.cache import track_rdd
+    from map_reduce_mongodb_spark.operators.graph import _checkpoint
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    edges = sym.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst"))
+    seeds = (edges.select("src").distinct()
+             .where(F.col("src") % 10 == 0)
+             .select(F.col("src").alias("id"),
+                     (F.col("src") % 5).alias("lbl")))
+    labels = seeds
+    handles: list = []
+    for _ in range(3):
+        cnt = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+               .groupBy(F.col("dst").alias("id"), "lbl")
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+        win = (cnt.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).select("id", "lbl"))
+        labels, nxt = _checkpoint(
+            seeds.unionByName(
+                win.join(seeds.select("id"), "id", "left_anti")))
+        for h in handles:
+            h.unpersist(False)
+        handles = nxt
+    for h in handles:
+        track_rdd(h)
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").cast("int").alias("label"))
+
+
 @query("inflight_sweepline", oracle="""
 WITH ev AS (
   SELECT CAST(o.o_orderdate AS DATE) AS day, 1 AS delta
@@ -6798,7 +6871,7 @@ _PRIORITY: list[str] = [
     "events_ewma", "doc_template_clusters", "fuzzy_name_match",
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
-    "inflight_sweepline",
+    "inflight_sweepline", "label_propagation",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
