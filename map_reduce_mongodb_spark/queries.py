@@ -6613,6 +6613,24 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, query_ids=list(range(10)), k=5)
 
 
+@query("pq_rerank_all", oracle=_cosine_topk_oracle())
+def q_pq_rerank_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ family's exactness gate (the `ivf_kmeans_probe_all`
+    pattern): run the FULL PQ machinery — codebook training, 8-byte
+    encoding, ADC lookup-table scoring — with the candidate cut
+    widened to the whole corpus. The exact-cosine re-rank then sees
+    every vector, so the final top-k is PROVABLY the brute-force
+    answer for ANY trained codebooks — which makes the entire
+    train/encode/score/re-rank pipeline hash-checkable against the
+    same SQL oracle as `cosine_topk`. Complements the production-
+    shaped `pq_adc_topk` (tight cuts, rows-only + recall gates)."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        pq_adc_topk)
+    emb = table(spark, "embeddings", sf_dir)
+    return pq_adc_topk(emb, query_ids=list(range(10)), k=5,
+                       rerank=1 << 31)  # cut wider than any partition
+
+
 def _jl_projection_oracle(dim: int = 64, k: int = 8) -> str:
     from map_reduce_mongodb_spark.functions.vectors import (
         jl_component_duck_sql, jl_sign_matrix)
@@ -6871,7 +6889,7 @@ _PRIORITY: list[str] = [
     "events_ewma", "doc_template_clusters", "fuzzy_name_match",
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
-    "inflight_sweepline", "label_propagation",
+    "inflight_sweepline", "label_propagation", "pq_rerank_all",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
