@@ -6799,6 +6799,118 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+@query("revenue_gini", oracle="""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+  FROM m),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS tot,
+         CAST(sum(rnk * cents) AS BIGINT) AS wsum
+  FROM r)
+SELECT n AS n_customers,
+       round((2.0 * wsum) / (CAST(n AS DOUBLE) * tot)
+             - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+FROM s
+""")
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer lifetime spend — the
+    inequality/concentration metric behind "how head-heavy is this
+    corpus/revenue base" (same math scores token-count concentration
+    across sources). Uses the rank formula G = 2·Σ(rank·x)/(n·Σx) −
+    (n+1)/n, which needs every customer's GLOBAL rank by spend: that
+    rank is `distributed_cumsum` of 1s over the (cents, custkey)
+    total order — the range-partitioned two-pass scan, so no
+    single-partition sort over the customer base. Spend is summed in
+    exact integer cents (no float accumulation); the two final
+    divisions are the only doubles and round to 6dp. Output is one
+    row — the aggregate shuffles collapse to a scalar."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cumsum)
+    o = table(spark, "orders", sf_dir)
+    m = (o.groupBy("o_custkey")
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                    .cast("long")).alias("cents")))
+    ranked = distributed_cumsum(
+        m, [F.asc("cents"), F.asc("o_custkey")],
+        F.lit(1).cast("long"), "rnk")
+    s = ranked.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("cents").alias("tot"),
+                   F.sum(F.col("rnk") * F.col("cents")).alias("wsum"))
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round((2.0 * F.col("wsum"))
+                / (F.col("n").cast("double") * F.col("tot"))
+                - (F.col("n").cast("double") + 1.0) / F.col("n"), 6)
+         .alias("gini"))
+
+
+@query("source_quality_ttest", oracle="""
+WITH d AS (
+  SELECT source, n_chars FROM documents),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+  FROM d GROUP BY source),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts,
+         CAST(sum(ss) AS BIGINT) AS tss
+  FROM per)
+SELECT source, n AS n_docs,
+       round(CAST(s AS DOUBLE) / n, 4) AS mean_chars,
+       round((CAST(s AS DOUBLE) / n
+              - CAST(ts - s AS DOUBLE) / (tn - n))
+             / sqrt((CAST(ss AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n)
+                       * (CAST(s AS DOUBLE) / n)) / (n - 1)
+                    + (CAST(tss - ss AS DOUBLE) / (tn - n)
+                       - (CAST(ts - s AS DOUBLE) / (tn - n))
+                         * (CAST(ts - s AS DOUBLE) / (tn - n)))
+                      / (tn - n - 1)), 4) AS welch_t
+FROM per, tot
+""")
+def q_source_quality_ttest(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Per-source Welch t-statistic of document length against the
+    REST of the corpus — the two-sample test behind "is this source's
+    quality distribution drifting?" (the continuous-metric sibling of
+    `lang_source_chi2`'s categorical test). One map-side-combined
+    aggregate collects exact integer moments (n, Σx, Σx²) per source;
+    the complement's moments come from the broadcast corpus totals by
+    subtraction — no second scan, no per-pair shuffle. All float math
+    happens on identical integer inputs in the identical expression
+    order, rounded at 4dp. Output cardinality = |sources|."""
+    d = table(spark, "documents", sf_dir)
+    per = (d.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("s"),
+                F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss")))
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"),
+                  F.sum("ss").alias("tss"))
+    j = per.crossJoin(F.broadcast(tot))
+    mean = F.col("s").cast("double") / F.col("n")
+    rmean = (F.col("ts") - F.col("s")).cast("double") \
+        / (F.col("tn") - F.col("n"))
+    var = (F.col("ss").cast("double") / F.col("n") - mean * mean) \
+        / (F.col("n") - 1)
+    rvar = ((F.col("tss") - F.col("ss")).cast("double")
+            / (F.col("tn") - F.col("n")) - rmean * rmean) \
+        / (F.col("tn") - F.col("n") - 1)
+    return j.select(
+        "source", F.col("n").alias("n_docs"),
+        F.round(mean, 4).alias("mean_chars"),
+        F.round((mean - rmean) / F.sqrt(var + rvar), 4)
+         .alias("welch_t"))
+
+
 @query("inflight_sweepline", oracle="""
 WITH ev AS (
   SELECT CAST(o.o_orderdate AS DATE) AS day, 1 AS delta
@@ -6890,6 +7002,7 @@ _PRIORITY: list[str] = [
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
     "inflight_sweepline", "label_propagation", "pq_rerank_all",
+    "revenue_gini", "source_quality_ttest",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
