@@ -6799,6 +6799,119 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+@query("lang_median_doclen", oracle=r"""
+WITH wc AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS words
+  FROM documents),
+vc AS (
+  SELECT lang, words, CAST(count(*) AS BIGINT) AS c
+  FROM wc GROUP BY 1, 2),
+cum AS (
+  SELECT lang, words, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY words
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM vc)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(min(words) AS BIGINT) AS median_words
+FROM cum
+WHERE cw >= (n + 1) // 2
+GROUP BY lang, n
+""")
+def q_lang_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (lower median) of document word count
+    by language — grouped order statistics WITHOUT a data-sized
+    per-group sort: collapse docs to (lang, words, count) first (the
+    value-histogram aggregate — cardinality bounded by |langs| ×
+    distinct lengths, not the corpus), then a cumulative count over
+    that AGGREGATE finds the first value whose running count reaches
+    rank ceil(n/2). At 100 TB the only fact-sized operation is the
+    map-side-combined histogram aggregate; the windows run over the
+    bounded histogram. (The global-exact sibling is
+    `orders_running_quantile`'s rank-selection scan.)"""
+    from map_reduce_mongodb_spark.functions import text as T
+    d = table(spark, "documents", sf_dir)
+    vc = (d.select("lang", T.word_count(F.col("text")).alias("words"))
+          .groupBy("lang", "words")
+          .agg(F.count(F.lit(1)).alias("c")))
+    wcum = (Window.partitionBy("lang").orderBy("words")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("lang")
+    cum = (vc.withColumn("cw", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(wall)))
+    return (cum.where(F.col("cw") >= F.expr("(n + 1) div 2"))
+            .groupBy("lang", "n")
+            .agg(F.min("words").cast("long").alias("median_words"))
+            .select("lang", F.col("n").cast("long").alias("n_docs"),
+                    "median_words"))
+
+
+@query("dq_violations", oracle="""
+SELECT 'ship_before_order' AS rule,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+UNION ALL
+SELECT 'nonpositive_price',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'discount_out_of_range',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+UNION ALL
+SELECT 'orphan_lineitem',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'duplicate_lineitem_key',
+       CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM lineitem
+      GROUP BY l_orderkey, l_linenumber) WHERE c > 1
+""")
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one pass of rule-violation counts —
+    referential integrity (orphan lineitems via ANTI JOIN), temporal
+    sanity (shipped before ordered), domain ranges (price, discount),
+    and key uniqueness (duplicate (orderkey, linenumber)) — the
+    contract-check gate a production pipeline runs before publishing
+    a table. Each rule is its own aggregate branch unioned into a
+    tall report; Spark shares the lineitem scan across branches and
+    every branch is map-side-combinable. The temporal rule's join and
+    the orphan anti-join shuffle on the same orderkey, so AQE plans
+    them off one exchange at scale."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    r1 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .where(F.col("l_shipdate") < F.col("o_orderdate"))
+          .agg(F.count(F.lit(1)).alias("n_violations"))
+          .select(F.lit("ship_before_order").alias("rule"),
+                  "n_violations"))
+    r2 = (li.where(F.col("l_extendedprice") <= 0)
+          .agg(F.count(F.lit(1)).alias("n_violations"))
+          .select(F.lit("nonpositive_price").alias("rule"),
+                  "n_violations"))
+    r3 = (li.where((F.col("l_discount") < 0)
+                   | (F.col("l_discount") > 0.5))
+          .agg(F.count(F.lit(1)).alias("n_violations"))
+          .select(F.lit("discount_out_of_range").alias("rule"),
+                  "n_violations"))
+    r4 = (li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+          .agg(F.count(F.lit(1)).alias("n_violations"))
+          .select(F.lit("orphan_lineitem").alias("rule"),
+                  "n_violations"))
+    r5 = (li.groupBy("l_orderkey", "l_linenumber")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .where(F.col("c") > 1)
+          .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+               .cast("long").alias("n_violations"))
+          .select(F.lit("duplicate_lineitem_key").alias("rule"),
+                  "n_violations"))
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4) \
+        .unionByName(r5)
+
+
 @query("revenue_gini", oracle="""
 WITH m AS (
   SELECT o_custkey,
@@ -7002,7 +7115,8 @@ _PRIORITY: list[str] = [
     "zorder_layout", "hard_negative_mining", "token_budget_allocator",
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
     "inflight_sweepline", "label_propagation", "pq_rerank_all",
-    "revenue_gini", "source_quality_ttest",
+    "revenue_gini", "source_quality_ttest", "lang_median_doclen",
+    "dq_violations",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
