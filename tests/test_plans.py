@@ -355,3 +355,67 @@ def test_vocab_coverage_topk_avoids_global_sort(spark):
     (VERDICT r4 #6)."""
     p = plan(QUERIES["vocab_coverage"](spark, SF_DIR), mode="simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_jl_projection_is_map_only(spark):
+    """The JL projection is a pure per-row expression — zero
+    exchanges of any kind in the plan."""
+    p = plan(QUERIES["jl_projection"](spark, SF_DIR), mode="simple")
+    assert "Exchange" not in p, p
+
+
+def test_fuzzy_match_blocks_before_quadratic_join(spark):
+    """Entity resolution must aggregate to distinct names first
+    (partial_count present) and join within blocks — never a
+    cartesian over rows."""
+    p = plan(QUERIES["fuzzy_name_match"](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "partial_count" in p, p
+
+
+def test_revenue_gini_rank_is_distributed(spark):
+    """Global spend rank comes from the two-pass range-partitioned
+    scan (windows keyed by _pid), not one global sort window."""
+    p = plan(QUERIES["revenue_gini"](spark, SF_DIR), mode="simple")
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 2, p
+
+
+def test_weighted_sample_cumsum_is_distributed(spark):
+    p = plan(QUERIES["weighted_sample"](spark, SF_DIR), mode="simple")
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 2, p
+
+
+def test_running_quantile_rank_is_distributed(spark):
+    p = plan(QUERIES["orders_running_quantile"](spark, SF_DIR),
+             mode="simple")
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 2, p
+
+
+def test_lang_median_windows_run_over_histogram(spark):
+    """The per-lang cumulative windows must consume the (lang, words)
+    HISTOGRAM aggregate (partial_count before the window shuffle),
+    never raw documents."""
+    p = plan(QUERIES["lang_median_doclen"](spark, SF_DIR),
+             mode="simple")
+    assert "partial_count" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_hard_negatives_broadcast_anchors(spark):
+    """Anchor set broadcasts; the corpus side never shuffles before
+    scoring."""
+    p = plan(QUERIES["hard_negative_mining"](spark, SF_DIR),
+             mode="simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_sweepline_single_partition_only_on_day_aggregate(spark):
+    """The ±1 delta aggregation shuffles by day; only the calendar-
+    bounded day table may pass through a SinglePartition window."""
+    p = plan(QUERIES["inflight_sweepline"](spark, SF_DIR),
+             mode="simple")
+    assert "partial_sum" in p, p
+    assert p.count("Exchange SinglePartition") <= 1, p
