@@ -6799,6 +6799,53 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+@query("ivm_event_totals", oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS s_e4,
+       CAST(max(event_id % 4) AS INT) AS last_batch
+FROM events GROUP BY event_type
+""")
+def q_ivm_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, end to end: the events table is
+    split into 4 CDC batches (event_id mod 4) and REPLAYED through
+    Structured Streaming, each micro-batch folding its per-type
+    partial aggregates (count, exact-integer e4 value sum, max batch
+    id) into the state store via one full-outer combine join
+    (streaming/ivm.py:additive_replay_stream). The oracle is the
+    direct one-shot aggregate over everything — the IVM invariant:
+    incremental state after replay ≡ batch recompute, exactly (sums
+    are integers, so no accumulation-order drift). Per-epoch cost is
+    O(|keys|) regardless of history; this is the streaming
+    materialized-view pattern next to scd2_events_replay's
+    latest-wins merge. Built once per process (cache.shared_parquet)
+    like any streaming sink its consumers read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from map_reduce_mongodb_spark.cache import shared_parquet
+    from map_reduce_mongodb_spark.streaming.ivm import (
+        additive_replay_stream)
+
+    def build() -> DataFrame:
+        work = tempfile.mkdtemp(prefix="ivm_replay_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        e = table(spark, "events", sf_dir)
+        parts = e.select(
+            "event_type",
+            F.lit(1).cast("long").alias("n"),
+            F.round(F.col("value") * 10000).cast("long").alias("s_e4"),
+            (F.col("event_id") % 4).cast("int").alias("b"))
+        batches = [parts.where(F.col("b") == i) for i in range(4)]
+        return additive_replay_stream(batches, "event_type", work)
+
+    out = shared_parquet(spark, f"ivm_totals_{sf_dir}", build)
+    return out.select("event_type", "n", "s_e4",
+                      F.col("b").alias("last_batch"))
+
+
 @query("lang_median_doclen", oracle=r"""
 WITH wc AS (
   SELECT lang,
@@ -7116,6 +7163,7 @@ _PRIORITY: list[str] = [
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
     "inflight_sweepline", "label_propagation", "pq_rerank_all",
     "revenue_gini", "source_quality_ttest", "lang_median_doclen",
+    "ivm_event_totals",
     "dq_violations",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
