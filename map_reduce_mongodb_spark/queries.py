@@ -6799,6 +6799,50 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+@query("events_decayed_engagement", oracle="""
+WITH a AS (
+  SELECT user_id,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4,
+         least(12, greatest(0,
+             24301 - (year(ts) * 12 + month(ts)))) AS age_m
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_e4 * (CAST(1 AS BIGINT) << (12 - age_m)))
+            AS BIGINT) AS decayed_units
+FROM a GROUP BY user_id
+""")
+def q_events_decayed_engagement(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Recency-weighted engagement score per user — time-decayed
+    aggregation with a one-month half-life, the freshness weighting a
+    training-data sampler applies to interaction logs. The decay
+    weight 2^-age_months is EXACT integer arithmetic: values go to e4
+    units, the weight becomes a left shift of (12 - clamped age), and
+    the weighted sum is a plain BIGINT aggregate — so the result is
+    order-independent and bit-identical (the float-decay pitfall —
+    Σ v·exp(-λt) drifting with accumulation order — designed out).
+    One map-side-combined aggregate keyed by user; the clamp bounds
+    the shift so the per-row product fits int64 with 5 decimal
+    orders to spare."""
+    e = table(spark, "events", sf_dir)
+    # month-boundary age (24301 = 2025*12 + 1, the reference month) —
+    # explicit integer form because months_between is day-fractional
+    # in Spark while DuckDB's date_diff counts boundary crossings
+    age = F.least(
+        F.lit(12), F.greatest(F.lit(0), F.expr(
+            "24301 - (year(ts) * 12 + month(ts))").cast("int")))
+    a = e.select(
+        "user_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+        age.alias("age_m"))
+    return (a.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("v_e4")
+                       * F.expr("CAST(1 AS BIGINT) << (12 - age_m)"))
+                 .cast("long").alias("decayed_units")))
+
+
 @query("ivm_event_totals", oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -7163,7 +7207,7 @@ _PRIORITY: list[str] = [
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
     "inflight_sweepline", "label_propagation", "pq_rerank_all",
     "revenue_gini", "source_quality_ttest", "lang_median_doclen",
-    "ivm_event_totals",
+    "ivm_event_totals", "events_decayed_engagement",
     "dq_violations",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
