@@ -6799,6 +6799,141 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+@query("stream_static_enrich", oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(e.value * 10000) AS BIGINT)) AS BIGINT)
+         AS value_e4
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Stream-static enrichment join EXECUTED AS A STREAM: the events
+    stream joins the static customer dimension (market segment) on
+    every micro-batch — Structured Streaming's stream-static join,
+    the standard enrich-then-aggregate topology (no state needed for
+    the join side: the static table is just re-broadcast per batch).
+    The running (segment, event_type) totals then live in the
+    streaming aggregation state store (complete mode), and the final
+    table must equal the batch join+aggregate (the oracle) — sums in
+    exact e4 integer units so replay order can't drift. Scale: the
+    dimension broadcasts (never shuffles the stream); aggregate state
+    is O(|segments × types|)."""
+    from map_reduce_mongodb_spark.streaming.windows import (
+        run_to_memory_sink)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (sess.readStream
+              .schema("event_id long, ts timestamp, user_id long,"
+                      " event_type string, value double, props string")
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    dim = (table(sess, "customer", sf_dir)
+           .select("c_custkey",
+                   F.col("c_mktsegment").alias("segment")))
+    enriched = stream.join(F.broadcast(dim),
+                           stream.user_id == dim.c_custkey)
+    agg = (enriched.groupBy("segment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                 .alias("value_e4")))
+    run_to_memory_sink(agg, "stream_static_enrich_sink",
+                       output_mode="complete")
+    return sess.table("stream_static_enrich_sink")
+
+
+@query("cdc_chunks", oracle=r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+b AS (
+  SELECT doc_id, w, len(w) AS n,
+         list_filter(generate_series(1, len(w) - 2),
+             i -> substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                         1, 1) = '0') AS bpos
+  FROM d),
+ch AS (
+  SELECT doc_id, w, n,
+         list_concat([1], list_transform(bpos, x -> x + 1)) AS starts,
+         list_concat(bpos, [n]) AS ends
+  FROM b),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(starts))) AS chunk_idx,
+         unnest(list_transform(generate_series(1, len(starts)),
+             k -> ends[k] - starts[k] + 1)) AS n_words,
+         unnest(list_transform(generate_series(1, len(starts)),
+             k -> substr(md5(array_to_string(w[starts[k]:ends[k]],
+                                             ' ')), 1, 8)))
+           AS chunk_hash
+  FROM ch),
+shared AS (
+  SELECT chunk_hash,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS shared_docs
+  FROM chunks GROUP BY chunk_hash)
+SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+       CAST(c.n_words AS BIGINT) AS n_words, c.chunk_hash,
+       s.shared_docs
+FROM chunks c JOIN shared s USING (chunk_hash)
+""")
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS boundary scheme
+    behind storage-level dedup and long-document shingle packing):
+    a chunk boundary falls wherever the rolling 3-gram hash starts
+    with hex '0' (P=1/16 → ~16-word mean chunks), so chunk
+    boundaries RESYNCHRONIZE after edits — an insertion early in a
+    document only perturbs its own chunk, and every other chunk
+    hash still matches across near-identical docs (fixed-width
+    chunking would shift every downstream chunk). Output is each
+    chunk's hash + how many documents share it (the dedup-ratio
+    signal). The whole chunker is JVM higher-order functions
+    (filter/transform/slice over the word array — no Python, no
+    per-word explode); the only shuffle is the chunk-hash count
+    aggregate + its join back, both map-side combinable. The md5
+    boundary predicate and chunk hashes are identical in both
+    engines, so every boundary decision is hash-checked."""
+    docs = table(spark, "documents", sf_dir) \
+        .where(F.length(F.trim(F.col("text"))) > 0)
+    d = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    b = d.select(
+        "doc_id", "w", F.size("w").alias("n"),
+        F.expr(
+            # sequence(1, 0) throws in Spark (DuckDB returns empty) —
+            # guard docs shorter than one 3-gram
+            "CASE WHEN size(w) < 3 THEN array() ELSE "
+            "filter(sequence(1, size(w) - 2), i -> "
+            "substr(md5(concat(element_at(w, i), ' ', "
+            "element_at(w, i + 1), ' ', element_at(w, i + 2))), 1, 1)"
+            " = '0') END").alias("bpos"))
+    ch = b.select(
+        "doc_id", "w", "n",
+        F.expr("concat(array(1), transform(bpos, x -> x + 1))")
+         .alias("starts"),
+        F.expr("concat(bpos, array(n))").alias("ends"))
+    chunks = (ch.select(
+        "doc_id", "w", "starts", "ends",
+        F.posexplode(F.expr("sequence(1, size(starts))"))
+         .alias("_p", "chunk_idx"))
+        .select(
+            "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr("element_at(ends, chunk_idx)"
+                   " - element_at(starts, chunk_idx) + 1")
+             .cast("long").alias("n_words"),
+            F.expr(
+                "substr(md5(array_join(slice(w, "
+                "element_at(starts, chunk_idx), "
+                "element_at(ends, chunk_idx)"
+                " - element_at(starts, chunk_idx) + 1), ' ')), 1, 8)")
+             .alias("chunk_hash")))
+    shared = (chunks.groupBy("chunk_hash")
+              .agg(F.countDistinct("doc_id").alias("shared_docs")))
+    return chunks.join(shared, "chunk_hash").select(
+        "doc_id", "chunk_idx", "n_words", "chunk_hash", "shared_docs")
+
+
 @query("events_decayed_engagement", oracle="""
 WITH a AS (
   SELECT user_id,
@@ -7207,7 +7342,8 @@ _PRIORITY: list[str] = [
     "video_shot_boundaries", "pq_adc_topk", "jl_projection",
     "inflight_sweepline", "label_propagation", "pq_rerank_all",
     "revenue_gini", "source_quality_ttest", "lang_median_doclen",
-    "ivm_event_totals", "events_decayed_engagement",
+    "ivm_event_totals", "events_decayed_engagement", "cdc_chunks",
+    "stream_static_enrich",
     "dq_violations",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
