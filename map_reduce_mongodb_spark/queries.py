@@ -6799,6 +6799,83 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+def _hilbert_level_sql(s: int) -> tuple[str, str, str]:
+    """One xy→d Hilbert level (order-8 curve, side s): returns
+    (d_increment, x', y') as engine-neutral SQL over columns x, y, d —
+    pure integer CASE/mask arithmetic, identical text both engines."""
+    rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+    ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+    quad = (f"CASE WHEN ({rx}) = 1 AND ({ry}) = 1 THEN 2 "
+            f"WHEN ({rx}) = 1 THEN 3 ELSE ({ry}) END")
+    d_expr = f"d + {s * s} * ({quad})"
+    x_expr = (f"CASE WHEN ({ry}) = 0 THEN "
+              f"(CASE WHEN ({rx}) = 1 THEN {s} - 1 - y ELSE y END) "
+              f"ELSE x END")
+    y_expr = (f"CASE WHEN ({ry}) = 0 THEN "
+              f"(CASE WHEN ({rx}) = 1 THEN {s} - 1 - x ELSE x END) "
+              f"ELSE y END")
+    return d_expr, x_expr, y_expr
+
+
+def _hilbert_oracle() -> str:
+    ctes = ["h256 AS (SELECT x0 AS x, y0 AS y, 0 AS d, x0, y0"
+            " FROM pts)"]
+    prev = 256
+    for s in [128, 64, 32, 16, 8, 4, 2, 1]:
+        d_e, x_e, y_e = _hilbert_level_sql(s)
+        ctes.append(
+            f"h{s} AS (SELECT {x_e} AS x, {y_e} AS y, {d_e} AS d, "
+            f"x0, y0 FROM h{prev})")
+        prev = s
+    return (
+        "WITH pts AS (\n"
+        "  SELECT o_custkey % 256 AS x0,\n"
+        "         date_diff('day', DATE '1992-01-01',\n"
+        "                   CAST(o_orderdate AS DATE)) % 256 AS y0\n"
+        "  FROM orders),\n" + ",\n".join(ctes) + """
+SELECT CAST(d >> 10 AS BIGINT) AS hbucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(x0) AS BIGINT) AS x_min, CAST(max(x0) AS BIGINT) AS x_max,
+       CAST(min(y0) AS BIGINT) AS y_min, CAST(max(y0) AS BIGINT) AS y_max
+FROM h1 GROUP BY 1
+""")
+
+
+@query("hilbert_layout", oracle=_hilbert_oracle())
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve data layout — the stronger sibling of
+    `zorder_layout`: the order-8 Hilbert index visits every cell of
+    the 256×256 grid along a CONTINUOUS path (adjacent indexes are
+    always adjacent cells). At power-of-4-aligned bucket granularity
+    both curves tile perfectly (the stats here show identical 32×32
+    tiles); Hilbert's edge is at ARBITRARY key ranges — consecutive
+    buckets are spatially adjacent, so a range of buckets stays one
+    compact region where Morton's seam jumps span the grid — which is
+    why table formats added it after ZORDER. The xy→d transform is the standard 8-level rotate/reflect
+    recurrence, unrolled into pure integer CASE/mask expressions
+    (identical SQL text in both engines — every level's quadrant
+    choice, reflection, and swap is hash-checked). Layout pass at
+    scale = range-partition by the Hilbert key; this query
+    materializes the bucket→tile statistics a pruning reader uses."""
+    o = table(spark, "orders", sf_dir)
+    df = o.select(
+        (F.col("o_custkey") % 256).alias("x0"),
+        (F.datediff(F.to_date("o_orderdate"),
+                    F.lit("1992-01-01").cast("date")) % 256
+         ).cast("long").alias("y0"))
+    df = df.selectExpr("x0 AS x", "y0 AS y", "0 AS d", "x0", "y0")
+    for s in [128, 64, 32, 16, 8, 4, 2, 1]:
+        d_e, x_e, y_e = _hilbert_level_sql(s)
+        df = df.selectExpr(f"{x_e} AS x", f"{y_e} AS y",
+                           f"{d_e} AS d", "x0", "y0")
+    return (df.groupBy(F.expr("d >> 10").cast("long").alias("hbucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("x0").cast("long").alias("x_min"),
+                 F.max("x0").cast("long").alias("x_max"),
+                 F.min("y0").cast("long").alias("y_min"),
+                 F.max("y0").cast("long").alias("y_max")))
+
+
 @query("stream_static_enrich", oracle="""
 SELECT c.c_mktsegment AS segment, e.event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -7343,7 +7420,7 @@ _PRIORITY: list[str] = [
     "inflight_sweepline", "label_propagation", "pq_rerank_all",
     "revenue_gini", "source_quality_ttest", "lang_median_doclen",
     "ivm_event_totals", "events_decayed_engagement", "cdc_chunks",
-    "stream_static_enrich",
+    "stream_static_enrich", "hilbert_layout",
     "dq_violations",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
