@@ -109,3 +109,71 @@ def test_union_group_equals_full_outer_join(spark, rows):
         .filter(F.col("flow").isNotNull() & F.col("gage").isNotNull())
     got_join = {r.site: (r.flow, r.gage) for r in joined.collect()}
     assert got_join == _merge_spark(spark, rows)
+
+
+def test_hilbert_transform_is_bijective_and_continuous(spark):
+    """The unrolled xy→d Hilbert levels (queries._hilbert_level_sql)
+    must (1) hit every d in [0, 65536) exactly once over the full
+    256×256 grid and (2) map consecutive d to ADJACENT cells
+    (|dx|+|dy| = 1) — the continuity property that distinguishes
+    Hilbert from Morton. Runs the exact SQL the registered query
+    uses, over a generated grid."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_mongodb_spark.queries import _hilbert_level_sql
+
+    grid = (spark.range(256 * 256)
+            .selectExpr("CAST(id % 256 AS BIGINT) AS x0",
+                        "CAST(id DIV 256 AS BIGINT) AS y0")
+            .selectExpr("x0 AS x", "y0 AS y", "0 AS d", "x0", "y0"))
+    for s in [128, 64, 32, 16, 8, 4, 2, 1]:
+        d_e, x_e, y_e = _hilbert_level_sql(s)
+        grid = grid.selectExpr(f"{x_e} AS x", f"{y_e} AS y",
+                               f"{d_e} AS d", "x0", "y0")
+    cur = grid.select("d", "x0", "y0")
+    stats = cur.agg(F.countDistinct("d").alias("nd"),
+                    F.min("d").alias("lo"),
+                    F.max("d").alias("hi")).collect()[0]
+    assert (stats.nd, stats.lo, stats.hi) == (65536, 0, 65535)
+    nxt = cur.selectExpr("d - 1 AS d", "x0 AS x1", "y0 AS y1")
+    steps = (cur.join(nxt, "d")
+             .selectExpr("abs(x0 - x1) + abs(y0 - y1) AS step"))
+    bad = steps.filter("step <> 1").count()
+    assert bad == 0
+
+
+def test_cdc_chunks_resynchronize_after_prefix_edit(spark):
+    """The content-defined-chunking claim: inserting words at the
+    FRONT of a document only perturbs the leading chunk(s) — the
+    chunk-hash multiset of the edited doc still shares almost every
+    hash with the original (fixed-width chunking would shift and
+    break every chunk). Runs the registered query's plan over a
+     2-doc corpus built from a real document."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_mongodb_spark.io import table
+    from map_reduce_mongodb_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    base = (table(spark, "documents", SF_DIR)
+            .where(F.size(F.split(F.trim("text"), r"\s+")) > 60)
+            .orderBy("doc_id").limit(1).collect()[0])
+    text = base.text
+    assert len(text.split()) > 60
+    import tempfile
+
+    import pandas as pd
+    two = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [text, "zz yy xx qq " + text],
+        "lang": ["en", "en"], "source": ["t", "t"],
+        "n_chars": [len(text), len(text) + 12]}))
+    with tempfile.TemporaryDirectory() as tmp:
+        two.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = QUERIES["cdc_chunks"](spark, tmp).collect()
+    h0 = {r.chunk_hash for r in out if r.doc_id == 0}
+    h1 = {r.chunk_hash for r in out if r.doc_id == 1}
+    shared = h0 & h1
+    # everything but the perturbed leading chunk(s) must re-align
+    assert len(shared) >= len(h0) - 2, (len(shared), len(h0))
+    assert any(r.shared_docs == 2 for r in out)
