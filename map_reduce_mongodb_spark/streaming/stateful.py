@@ -105,3 +105,67 @@ def user_profiles_stateful(events: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """The SAME running-profile operator on Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor + typed
+    ValueState on the RocksDB state store) — the successor API to
+    applyInPandasWithState: state is named and schema-typed per
+    handle (value/list/map states, timers, TTL) instead of one
+    implicit tuple, and the store provider must be RocksDB (set
+    ``spark.sql.streaming.stateStore.providerClass`` on the session).
+    Semantics here are identical to :func:`user_profiles_stateful`,
+    so stream-vs-batch equivalence pins BOTH APIs against the same
+    oracle. The processor class is defined in-function so cloudpickle
+    ships it by value (bare-sys.path drivers).
+
+    ENVIRONMENT-GATED: the transformWithState driver worker needs
+    ``google.protobuf`` (its state-server protocol), which this
+    sandbox does not ship — the test skips when the import is
+    missing, the same discipline as the MongoDB connector path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor)
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("profile", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues
+                            ) -> Iterator[pd.DataFrame]:
+            import pandas as _pd
+            (user_id,) = key
+            prev = self._state.get()
+            if prev is not None:
+                n, total, first_ts, last_ts = prev
+                first_ts = _pd.Timestamp(first_ts).as_unit("ns")
+                last_ts = _pd.Timestamp(last_ts).as_unit("ns")
+            else:
+                n, total, first_ts, last_ts = 0, 0.0, None, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                ts = pdf["ts"].astype("datetime64[ns]")
+                lo, hi = ts.min(), ts.max()
+                first_ts = lo if first_ts is None else min(first_ts, lo)
+                last_ts = hi if last_ts is None else max(last_ts, hi)
+            self._state.update((n, total, first_ts, last_ts))
+            out = _pd.DataFrame({
+                "user_id": [user_id], "n_events": [n],
+                "total_value": [round(total, 2)],
+                "first_ts": [first_ts], "last_ts": [last_ts],
+            })
+            out["first_ts"] = out["first_ts"].astype("datetime64[ns]")
+            out["last_ts"] = out["last_ts"].astype("datetime64[ns]")
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return (events.select("user_id", "ts", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=ProfileProcessor(),
+                outputStructType=PROFILE_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

@@ -188,3 +188,44 @@ def test_streaming_scd2_upsert_pipeline(spark, tmp_path):
                 for r in final.where("k = 0").collect())
     assert k0 == [(1, "seg0", False), (2, "NEW", False),
                   (3, "NEWER", True)]
+
+
+def test_transform_with_state_profiles_match_batch(spark):
+    """Spark 4 transformWithStateInPandas twin of the
+    applyInPandasWithState profile operator — gated on the
+    google.protobuf dependency its driver worker needs."""
+    import pytest
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available:"
+                    " transformWithState driver worker needs it")
+    from pyspark.sql import functions as F
+
+    from map_reduce_mongodb_spark.streaming.stateful import (
+        user_profiles_stateful, user_profiles_tws)
+    from map_reduce_mongodb_spark.streaming.windows import (
+        run_to_memory_sink)
+    from tests.conftest import SF_DIR
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    sess.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    stream = (sess.readStream
+              .schema("event_id long, ts timestamp, user_id long,"
+                      " event_type string, value double, props string")
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(SF_DIR))
+    run_to_memory_sink(user_profiles_tws(stream), "tws_sink",
+                       output_mode="update")
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in sess.table("tws_sink").collect()}
+    want = {r.user_id: (r.n_events, r.total_value)
+            for r in user_profiles_stateful(
+                sess.read.option("pathGlobFilter", "events.parquet")
+                .schema("event_id long, ts timestamp, user_id long,"
+                        " event_type string, value double,"
+                        " props string").parquet(SF_DIR)).collect()}
+    assert got == want
