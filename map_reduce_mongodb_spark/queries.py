@@ -6799,6 +6799,148 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+@query("events_sliding_distinct_users", oracle="""
+WITH uh AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour, user_id
+  FROM events),
+w AS (
+  SELECT a.event_type, a.hour, b.user_id
+  FROM (SELECT DISTINCT event_type, hour FROM uh) a
+  JOIN uh b
+    ON a.event_type = b.event_type
+   AND b.hour BETWEEN a.hour - INTERVAL 2 HOUR AND a.hour)
+SELECT event_type, hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM w GROUP BY 1, 2
+""")
+def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """Rolling ACTIVE-USER count (the DAU/WAU shape): per event type,
+    distinct users over the trailing 3-hour window ending at each
+    hour. Exact rolling distinct is the classic can't-window problem
+    — COUNT(DISTINCT) isn't decomposable over sliding frames — so the
+    scale-correct plan is TWO-LEVEL: (1) dedupe to (type, hour, user)
+    once — the fact-sized map-side-combinable aggregate; (2) expand
+    each deduped row into the ≤3 windows it serves (bounded
+    fan-out = window span, not data) and count distinct per window
+    over the MUCH smaller hourly-cohort table. Spark expresses stage
+    2 with the same hour-spine join the oracle uses; HLL sketches
+    (`approx_sketches`) are the documented approximate fallback when
+    even the deduped cohort table is too hot."""
+    e = table(spark, "events", sf_dir)
+    uh = (e.select("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hour"),
+                   "user_id")
+          .distinct())
+    spine = uh.select("event_type", "hour").distinct()
+    j = (spine.alias("a")
+         .join(uh.alias("b"),
+               (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("b.hour")
+                  >= F.col("a.hour") - F.expr("INTERVAL 2 HOURS"))
+               & (F.col("b.hour") <= F.col("a.hour"))))
+    return (j.groupBy(F.col("a.event_type").alias("event_type"),
+                      F.col("a.hour").alias("hour"))
+            .agg(F.countDistinct("b.user_id").alias("active_users")))
+
+
+@query("audience_overlap", oracle="""
+WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM au GROUP BY 1),
+ov AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM au a JOIN au b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       round(CAST(n_shared AS DOUBLE)
+             / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM ov
+JOIN sz sa ON sa.event_type = type_a
+JOIN sz sb ON sb.event_type = type_b
+""")
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    shared-user count and Jaccard similarity of their audiences — the
+    segmentation/cannibalization readout (same math scores corpus
+    overlap between data sources by shared document fingerprints).
+    Scale shape: dedupe to (type, user) first (fact-sized,
+    map-side-combined), then the pair expansion is a self-join keyed
+    by USER — each user contributes only |their types|² pairs
+    (bounded by the type vocabulary, never a cross join) — and the
+    per-type sizes broadcast back onto the tiny pair table."""
+    e = table(spark, "events", sf_dir)
+    au = e.select("event_type", "user_id").distinct()
+    sz = (au.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n")))
+    ov = (au.alias("a")
+          .join(au.alias("b"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_type") < F.col("b.event_type")))
+          .groupBy(F.col("a.event_type").alias("type_a"),
+                   F.col("b.event_type").alias("type_b"))
+          .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (ov.join(F.broadcast(sz.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n").alias("n_a"))), "type_a")
+            .join(F.broadcast(sz.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n").alias("n_b"))), "type_b")
+            .select("type_a", "type_b", "n_shared", "n_a", "n_b",
+                    F.round(F.col("n_shared").cast("double")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_shared")), 6)
+                     .alias("jaccard")))
+
+
+@query("lang_char_trigram_profile", oracle="""
+WITH tg AS (
+  SELECT lang,
+         unnest(list_transform(
+             generate_series(1, length(text) - 2),
+             i -> substr(text, CAST(i AS INT), 3))) AS tri
+  FROM documents),
+cnt AS (
+  SELECT lang, tri, CAST(count(*) AS BIGINT) AS n
+  FROM tg GROUP BY 1, 2),
+rk AS (
+  SELECT lang, tri, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, tri) AS rnk
+  FROM cnt)
+SELECT lang, CAST(rnk AS INT) AS rnk, tri, n
+FROM rk WHERE rnk <= 10
+""")
+def q_lang_char_trigram_profile(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The TRAINING side of language identification: per language,
+    the top-10 character trigrams by corpus frequency — exactly the
+    profile table the `lang_id` n-gram classifier scores against
+    (Cavnar-Trenkle out-of-place method). The trigram explode is the
+    only fact-sized stage and feeds one map-side-combined (lang,
+    trigram) count; the ranking window then runs over the
+    vocabulary-bounded count table (|langs| × |observed trigrams|),
+    never the corpus, with a deterministic (count DESC, trigram)
+    tiebreak so the profile SET is engine-exact."""
+    d = table(spark, "documents", sf_dir)
+    tg = d.select(
+        "lang",
+        F.explode(F.expr(
+            "CASE WHEN length(text) < 3 THEN array() ELSE "
+            "transform(sequence(1, length(text) - 2), "
+            "i -> substr(text, i, 3)) END")).alias("tri"))
+    cnt = (tg.groupBy("lang", "tri")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    return (cnt.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 10)
+            .select("lang", F.col("rnk").cast("int").alias("rnk"),
+                    "tri", "n"))
+
+
 def _hilbert_level_sql(s: int) -> tuple[str, str, str]:
     """One xy→d Hilbert level (order-8 curve, side s): returns
     (d_increment, x', y') as engine-neutral SQL over columns x, y, d —
@@ -7421,6 +7563,8 @@ _PRIORITY: list[str] = [
     "revenue_gini", "source_quality_ttest", "lang_median_doclen",
     "ivm_event_totals", "events_decayed_engagement", "cdc_chunks",
     "stream_static_enrich", "hilbert_layout",
+    "events_sliding_distinct_users", "audience_overlap",
+    "lang_char_trigram_profile",
     "dq_violations",
     "dup_graph_bfs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
