@@ -7575,7 +7575,11 @@ _PRIORITY: list[str] = [
     # --- tier 3: newest row is r02 but code changed in r3/r4
     #     (minhash lanes, IVF fused probe, shared dedup
     #     materializations, norm hoist) — judge spot-check green,
-    #     driver artifact should show it
+    #     driver artifact should show it. With 29 r5 additions ahead
+    #     of them, the tier-3 tail (winnow_dup_pairs,
+    #     ngram_jaccard_pairs) now sits just outside the 50-slot
+    #     window — they carry r2-green rows + r4 judge re-runs and
+    #     lead the r6 carryover rotation.
     "minhash_dedup_pairs", "approx_sketches", "ivf_kmeans_topk",
     "ivf_topk", "cosine_topk", "hybrid_search", "dedup_clusters",
     "dedup_survivors", "jaccard_prefix_pairs", "dup_provenance",
