@@ -6799,6 +6799,71 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").cast("int").alias("label"))
 
 
+@query("brand_qty_price_corr", oracle="""
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pe2
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+m AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(q) AS sq,
+         sum(pe2) AS sp,
+         sum(q * q) AS sqq,
+         sum(pe2 * pe2) AS spp,
+         sum(q * pe2) AS sqp
+  FROM j GROUP BY p_brand)
+SELECT p_brand, n,
+       round((CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+             / sqrt((CAST(n AS DOUBLE) * sqq
+                     - CAST(sq AS DOUBLE) * sq)
+                    * (CAST(n AS DOUBLE) * spp
+                       - CAST(sp AS DOUBLE) * sp)), 6) AS corr_qty_price
+FROM m
+WHERE n > 1
+  AND CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq > 0
+  AND CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp > 0
+""")
+def q_brand_qty_price_corr(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Per-brand Pearson correlation of order quantity vs line price —
+    the feature-interaction profiling step (price elasticity shape)
+    done with EXACT integer sufficient statistics: quantities are
+    integral, prices go to cent units, and all six moments (n, Σq,
+    Σp, Σq², Σp², Σqp) are BIGINT sums, so the only doubles are the
+    final three-term formula evaluated identically in both engines
+    and rounded at 6dp. One fact-sized equi-join (partkey) feeding
+    one map-side-combined aggregate keyed by brand — the builtin
+    `corr()` aggregate would accumulate doubles partition-order-
+    dependently; the moment form is the distributed-exact way."""
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir)
+    j = (li.join(p, li.l_partkey == p.p_partkey)
+         .select("p_brand",
+                 F.col("l_quantity").cast("long").alias("q"),
+                 F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("pe2")))
+    dec = "decimal(38,0)"
+    m = (j.groupBy("p_brand")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("q").cast(dec)).alias("sq"),
+              F.sum(F.col("pe2").cast(dec)).alias("sp"),
+              F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sqq"),
+              F.sum((F.col("pe2") * F.col("pe2")).cast(dec))
+               .alias("spp"),
+              F.sum((F.col("q") * F.col("pe2")).cast(dec))
+               .alias("sqp")))
+    nd = F.col("n").cast("double")
+    vq = nd * F.col("sqq") - F.col("sq").cast("double") * F.col("sq")
+    vp = nd * F.col("spp") - F.col("sp").cast("double") * F.col("sp")
+    cov = nd * F.col("sqp") - F.col("sq").cast("double") * F.col("sp")
+    return (m.where((F.col("n") > 1) & (vq > 0) & (vp > 0))
+            .select("p_brand", "n",
+                    F.round(cov / F.sqrt(vq * vp), 6)
+                     .alias("corr_qty_price")))
+
+
 @query("events_sliding_distinct_users", oracle="""
 WITH uh AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour, user_id
@@ -7564,6 +7629,7 @@ _PRIORITY: list[str] = [
     "ivm_event_totals", "events_decayed_engagement", "cdc_chunks",
     "stream_static_enrich", "hilbert_layout",
     "events_sliding_distinct_users", "audience_overlap",
+    "brand_qty_price_corr",
     "lang_char_trigram_profile",
     "dq_violations",
     "dup_graph_bfs",
