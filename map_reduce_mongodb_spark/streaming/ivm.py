@@ -62,8 +62,16 @@ def additive_replay_stream(update_batches: list[DataFrame],
                           F.greatest(F.coalesce("b", F.lit(-1)),
                                      F.coalesce("bb", F.lit(-1)))
                           .alias("b"))
-                  .localCheckpoint())
+                  )
+        from map_reduce_mongodb_spark.operators.graph import (
+            _checkpoint)
+        # lineage cut across the state overwrite; blocks are dead once
+        # written — release at the RDD level (session-lifetime leak
+        # otherwise)
+        merged, handles = _checkpoint(merged)
         merged.write.mode("overwrite").parquet(state_path)
+        for h in handles:
+            h.unpersist(False)
 
     from map_reduce_mongodb_spark.sinks import foreach_batch
     stream = (spark.readStream.schema(schema)
