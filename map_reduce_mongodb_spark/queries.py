@@ -7578,6 +7578,470 @@ def q_inflight_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-5 continuation: grouped quantiles, equi-depth histograms,
+# graph-centrality variants, sorted-neighborhood ER, passage-level
+# dedup, watermark lateness accounting, cohort retention
+# =====================================================================
+
+
+@query("lang_doclen_deciles", oracle=r"""
+WITH wc AS (
+  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS words
+  FROM documents),
+vc AS (SELECT lang, words, CAST(count(*) AS BIGINT) AS c
+       FROM wc GROUP BY 1, 2),
+cum AS (
+  SELECT lang, words, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY words
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM vc),
+ks AS (SELECT unnest(range(1, 10)) AS k)
+SELECT lang, CAST(k AS INT) AS decile,
+       CAST(min(words) AS BIGINT) AS words
+FROM cum CROSS JOIN ks
+WHERE cw >= (k * n + 9) // 10
+GROUP BY lang, k
+""")
+def q_lang_doclen_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group decile profile (d1..d9) of document word count
+    by language — the full-CDF generalization of
+    `lang_median_doclen`'s single order statistic, same scale shape:
+    collapse docs to a (lang, words, count) histogram first (the only
+    fact-sized operation, map-side combined), run the cumulative
+    windows over that BOUNDED aggregate, then broadcast-cross the
+    9-row decile table and pick each decile as the first value whose
+    running count reaches rank ceil(k·n/10) (integer arithmetic in
+    both engines — see NOTES_r5 on div)."""
+    from map_reduce_mongodb_spark.functions import text as T
+    d = table(spark, "documents", sf_dir)
+    vc = (d.select("lang", T.word_count(F.col("text")).alias("words"))
+          .groupBy("lang", "words").agg(F.count(F.lit(1)).alias("c")))
+    wcum = (Window.partitionBy("lang").orderBy("words")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("lang")
+    cum = (vc.withColumn("cw", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(wall)))
+    ks = spark.range(1, 10).select(F.col("id").cast("int").alias("k"))
+    return (cum.crossJoin(F.broadcast(ks))
+            .where(F.col("cw") >= F.expr("(k * n + 9) div 10"))
+            .groupBy("lang", "k")
+            .agg(F.min("words").cast("long").alias("words"))
+            .select("lang", F.col("k").alias("decile"), "words"))
+
+
+@query("equidepth_histogram", oracle="""
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM orders)
+SELECT CAST(((rk - 1) * 10) // n + 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM r GROUP BY 1
+""")
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equal-count) 10-bucket histogram of order value —
+    the statistic optimizers and range-partitioners actually want
+    (equi-width histograms mislead on skew). Bucket membership needs
+    each row's GLOBAL rank; the oracle's row_number window would be a
+    single-partition sort in Spark, so the rank comes from
+    `operators/prefix.py:distributed_cumsum` of 1s over the
+    (price, orderkey) total order — two shuffles, no serial stage —
+    and bucket = ((rank-1)·10) div n with the row count joined in as
+    a broadcast scalar. Bucket edges (min/max per bucket) are exact
+    per-row doubles, so no rounding is needed."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cumsum)
+    o = table(spark, "orders", sf_dir).select(
+        "o_totalprice", "o_orderkey")
+    rk = distributed_cumsum(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")],
+        F.lit(1).cast("bigint"), "rk")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    return (rk.crossJoin(F.broadcast(n))
+            .withColumn("bucket",
+                        F.expr("((rk - 1) * 10) div n + 1").cast("int"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+def _ppr_oracle(iters: int = 4) -> str:
+    """Unrolled personalized PageRank over the _CC_CTE edge set:
+    teleport mass goes ONLY to the seed set (every 10th doc id), so
+    rank measures proximity to the seeds rather than global
+    centrality. Same chained-CTE unrolling as _pagerank_oracle."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+pr{k} AS (
+  SELECT e.dst AS id,
+         CASE WHEN e.dst % 10 = 0 THEN 0.15 / ns.n ELSE 0.0 END
+         + 0.85 * sum(p.r / d.d) AS r
+  FROM edges e
+  JOIN pr{k - 1} p ON e.src = p.id
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN ns
+  GROUP BY e.dst, ns.n)""")
+    return _CC_CTE + f"""
+, deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+          FROM edges GROUP BY src),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+       WHERE src % 10 = 0),
+pr0 AS (SELECT src AS id,
+               CASE WHEN src % 10 = 0 THEN 1.0 / ns.n ELSE 0.0 END AS r
+        FROM deg CROSS JOIN ns),
+{','.join(steps)}
+SELECT id AS doc_id, round(r, 6) AS ppr FROM pr{iters}
+"""
+
+
+@query("dup_graph_ppr", oracle=_ppr_oracle())
+def q_dup_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from the audited seed set (every 10th
+    doc id) over the near-dup graph — the probabilistic sibling of
+    `dup_graph_bfs`: instead of hop counts, a stationary score of
+    "how much of a random surfer's time (restarting at known-bad
+    seeds) lands on this document". Same shuffle-based power
+    iteration as `dup_graph_pagerank` (join ranks to edges, keyed
+    sum, 4 fixed rounds, lineage cut per round, no driver state);
+    only the teleport vector changes — base mass is 0.15/|S| on
+    seeds and 0 elsewhere, with |S| a broadcast scalar. Reads the
+    once-materialized 0.7-Jaccard pair table; the oracle unrolls the
+    identical 4 iterations, and 6dp rounding absorbs the ~1e-13
+    cross-engine float drift (measured for the pagerank twin)."""
+    from map_reduce_mongodb_spark.cache import track_rdd, tracked_persist
+    from map_reduce_mongodb_spark.operators.graph import _checkpoint
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("double").alias("deg"))
+    nodes = deg.select(F.col("id_a").alias("id"))
+    ns = (nodes.where(F.col("id") % 10 == 0)
+          .agg(F.count(F.lit(1)).cast("double").alias("n_seeds")))
+    seed = F.col("id") % 10 == 0
+    base = tracked_persist(
+        nodes.crossJoin(F.broadcast(ns))
+        .select("id",
+                F.when(seed, F.lit(0.15) / F.col("n_seeds"))
+                 .otherwise(F.lit(0.0)).alias("base"),
+                F.when(seed, F.lit(1.0) / F.col("n_seeds"))
+                 .otherwise(F.lit(0.0)).alias("r0")))
+    edges_deg = tracked_persist(sym.join(deg, "id_a"))
+    ranks = base.select("id", F.col("r0").alias("r"))
+    handles: list = []
+    for _ in range(4):
+        contrib = (edges_deg
+                   .join(ranks.withColumnRenamed("id", "id_a"), "id_a")
+                   .groupBy(F.col("id_b").alias("id"))
+                   .agg(F.sum(F.col("r") / F.col("deg"))
+                        .alias("contrib")))
+        ranks, nxt = _checkpoint(
+            base.join(contrib, "id", "left")
+            .select("id",
+                    (F.col("base") + F.lit(0.85)
+                     * F.coalesce("contrib", F.lit(0.0))).alias("r")))
+        for h in handles:
+            h.unpersist(False)
+        handles = nxt
+    for h in handles:
+        track_rdd(h)
+    return ranks.select(F.col("id").alias("doc_id"),
+                        F.round("r", 6).alias("ppr"))
+
+
+@query("dup_graph_degree_hist", oracle=_CC_CTE + """
+, deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+          FROM edges GROUP BY src)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""")
+def q_dup_graph_degree_hist(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Degree distribution of the near-dup graph — the one-glance
+    shape diagnostic (a heavy tail means template/boilerplate hubs;
+    a flat histogram means isolated near-pairs) that decides whether
+    hub-handling (skew salting, hub capping) is needed before the
+    heavier graph passes. Two map-side-combined aggregates over the
+    shared 0.7-Jaccard pair table; output is bounded by the max
+    degree."""
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
+@query("sorted_neighborhood_pairs", oracle="""
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""")
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández–Stolfo): sort
+    records by the match key, compare each record only to its w=2
+    successors in the sorted order — the linear-candidate alternative
+    to `fuzzy_name_match`'s hash blocking (sorted-neighborhood
+    catches near-misses that straddle block boundaries; blocking
+    catches pairs far apart in sort order — production ER runs both
+    passes). The global rank comes from `distributed_cumsum` (no
+    single-partition row_number), and the neighbor join is a
+    grid-style bucket equi-join: bucket = rank div w, probe side
+    explodes to (bucket, bucket+1) — the 1-D version of the spatial
+    grid join's probe×neighbors pattern — then the exact rank-
+    distance and edit-distance filters run inside hash-join
+    partitions. The oracle's self-join over row_number yields the
+    identical pair set."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cumsum)
+    w = 2
+    p = table(spark, "part", sf_dir).select("p_partkey", "p_name")
+    r = distributed_cumsum(
+        p, [F.col("p_name"), F.col("p_partkey")],
+        F.lit(1).cast("bigint"), "rk")
+    r = r.withColumn("b", F.expr(f"rk div {w}"))
+    a = r.select(F.col("p_partkey").alias("key_a"),
+                 F.col("p_name").alias("name_a"),
+                 F.col("rk").alias("rk_a"),
+                 F.explode(F.array(F.col("b"), F.col("b") + 1))
+                  .alias("pb"))
+    b = r.select(F.col("p_partkey").alias("key_b"),
+                 F.col("p_name").alias("name_b"),
+                 F.col("rk").alias("rk_b"),
+                 F.col("b").alias("pb"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (a.join(b, "pb")
+            .where((F.col("rk_b") - F.col("rk_a")).between(1, w))
+            .where(dist <= 3)
+            .select("key_a", "key_b", "name_a", "name_b",
+                    dist.cast("int").alias("edit_dist")))
+
+
+@query("dup_passages", oracle=r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+c AS (SELECT doc_id,
+             unnest(range(0, CAST(len(ws) // 10 AS BIGINT))) AS ci,
+             ws
+      FROM w),
+ch AS (SELECT doc_id,
+              array_to_string(ws[ci*10+1 : ci*10+10], ' ') AS passage
+       FROM c)
+SELECT passage,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM ch GROUP BY passage
+HAVING count(DISTINCT doc_id) >= 2
+""")
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication: split every document into
+    non-overlapping 10-word passages and surface passages that recur
+    across ≥2 documents — the sub-document granularity the whole-doc
+    dedup family (exact/minhash/simhash) can't see, and the standard
+    pre-training leak check for boilerplate/quotation spans. One
+    explode (array slice per chunk index — no per-row Python), one
+    hash aggregate keyed by passage text; at 100 TB the group key
+    would be the passage's 128-bit hash instead of the string
+    (identical plan shape, already proven by the xxhash64 dedup
+    twins), and the aggregate is map-side combined. Short documents
+    (<10 words) produce no passages in either engine."""
+    from map_reduce_mongodb_spark.functions import text as T
+    d = table(spark, "documents", sf_dir)
+    ws = (d.select("doc_id", T.words(F.col("text")).alias("ws"))
+          .where(F.size("ws") >= 10))
+    ch = (ws.select(
+            "doc_id",
+            F.explode(F.sequence(
+                F.lit(0),
+                (F.floor(F.size("ws") / 10) - 1).cast("int")))
+             .alias("ci"),
+            "ws")
+          .select("doc_id",
+                  F.array_join(
+                      F.slice(F.col("ws"), F.col("ci") * 10 + 1, 10),
+                      " ").alias("passage")))
+    return (ch.groupBy("passage")
+            .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("doc_id").alias("first_doc"))
+            .where(F.col("n_docs") >= 2))
+
+
+@query("watermark_late_events", oracle="""
+WITH a AS (
+  SELECT event_id, ts, event_type,
+         max(ts) OVER (ORDER BY (event_id * 48271) % 100003, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_late,
+       CAST(min(event_id) AS BIGINT) AS first_late_event
+FROM a
+WHERE ts < wm - INTERVAL 10 MINUTE
+GROUP BY event_type
+""")
+def q_watermark_late_events(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Watermark-lateness audit: how many events WOULD be dropped by
+    a 10-minute event-time watermark — the capacity-planning question
+    behind every `withWatermark` threshold choice, answered in batch
+    over the historical log. Arrival order is simulated by a
+    deterministic multiplicative permutation of event_id (the log
+    itself is stored in event-time order, so its physical order has
+    no lateness; the LCG-style shuffle (id·48271 mod 100003, id)
+    reproduces network reordering identically in both engines with
+    pure integer arithmetic). The running watermark = max event time
+    over all STRICTLY EARLIER arrivals is `distributed_cummax_
+    exclusive` — the prefix-scan operator, not a single-partition
+    window — and an event is late iff its time precedes the
+    watermark minus the threshold."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cummax_exclusive)
+    e = (table(spark, "events", sf_dir)
+         .select("event_id", "ts", "event_type",
+                 ((F.col("event_id") * 48271) % 100003).alias("arr")))
+    wm = distributed_cummax_exclusive(
+        e, [F.col("arr"), F.col("event_id")], F.col("ts"), "wm")
+    late = wm.where(
+        F.col("ts") < F.col("wm") - F.expr("INTERVAL 10 MINUTE"))
+    return (late.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_late"),
+                 F.min("event_id").alias("first_late_event")))
+
+
+@query("user_retention_weekly", oracle="""
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      FROM events)
+SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', CAST(f.cohort AS DATE),
+                      CAST(a.wk AS DATE)) // 7 AS INT) AS weeks_later,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM f JOIN a USING (user_id)
+GROUP BY 1, 2
+""")
+def q_user_retention_weekly(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each subsequent week they return — the
+    product-analytics triangle chart. Two fact-sized aggregates
+    (first-event per user, distinct user-weeks — both map-side
+    combined, shuffled on user_id) and one equi-join on user_id that
+    AQE can plan off the same exchange; output is |cohorts| ×
+    |weeks|. Week arithmetic stays integer (day difference div 7 of
+    Monday-truncated dates — both engines truncate weeks to ISO
+    Monday; NEVER months_between, see NOTES_r5)."""
+    e = table(spark, "events", sf_dir)
+    f = (e.groupBy("user_id")
+         .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    a = (e.select("user_id",
+                  F.date_trunc("week", F.col("ts")).alias("wk"))
+         .distinct())
+    return (f.join(a, "user_id")
+            .groupBy(
+                F.col("cohort").cast("timestamp").alias("cohort_week"),
+                F.expr("datediff(cast(wk as date), "
+                       "cast(cohort as date)) div 7")
+                 .cast("int").alias("weeks_later"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query("lang_token_fertility", oracle=r"""
+WITH w AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS tokens,
+         CAST(count(DISTINCT word) AS BIGINT) AS types,
+         CAST(sum(len(word)) AS BIGINT) AS chars
+  FROM w GROUP BY lang),
+d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang)
+SELECT lang, n_docs, tokens, types,
+       round(CAST(chars AS DOUBLE) / tokens, 6) AS avg_word_len,
+       round(CAST(types AS DOUBLE) / tokens, 6) AS type_token_ratio,
+       round(CAST(tokens AS DOUBLE) / n_docs, 6) AS tokens_per_doc
+FROM per JOIN d USING (lang)
+""")
+def q_lang_token_fertility(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Per-language tokenizer-planning profile: token counts, type
+    counts (exact distinct), mean word length, type-token ratio, and
+    tokens per document — the aggregate table a tokenizer-training
+    run reads to set per-language vocab budgets (the upstream of
+    `token_budget_allocator`). One explode + two map-side-combined
+    aggregates; the per-language join is broadcast-sized (|langs|
+    rows). All ratios are double divisions of exact integer moments
+    in identical operand order, rounded 6dp."""
+    from map_reduce_mongodb_spark.functions import text as T
+    d = table(spark, "documents", sf_dir)
+    w = d.select("lang", F.explode(T.words(F.col("text"))).alias("word"))
+    per = (w.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("tokens"),
+                F.count_distinct(F.col("word")).alias("types"),
+                F.sum(F.length("word")).alias("chars")))
+    nd = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (per.join(F.broadcast(nd), "lang")
+            .select("lang", "n_docs", "tokens", "types",
+                    F.round(F.col("chars").cast("double")
+                            / F.col("tokens"), 6).alias("avg_word_len"),
+                    F.round(F.col("types").cast("double")
+                            / F.col("tokens"), 6)
+                     .alias("type_token_ratio"),
+                    F.round(F.col("tokens").cast("double")
+                            / F.col("n_docs"), 6)
+                     .alias("tokens_per_doc")))
+
+
+@query("heavy_hitters_mg", oracle=r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w)
+SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       round(CAST(count(*) AS DOUBLE) / n, 6) AS share
+FROM w, tot
+GROUP BY word, n
+HAVING count(*) * 51 > n
+""")
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with frequency > n/51)
+    through a space-bounded two-phase plan: per-partition Misra-Gries
+    summaries (k=50 counters, Arrow-batched — a provable SUPERSET of
+    the true heavy hitters, see operators/sketches.py) produce a tiny
+    candidate set; candidates broadcast-semi-join back and are
+    recounted exactly, so the final integer filter freq·51 > n gives
+    the same answer as a full hash aggregate — but the aggregate's
+    key space is bounded by #partitions·k instead of the vocabulary,
+    the property that matters when the item universe (URLs, n-grams,
+    user ids) dwarfs memory at 100 TB. The oracle is the direct
+    HAVING-threshold aggregate."""
+    from map_reduce_mongodb_spark.functions import text as T
+    from map_reduce_mongodb_spark.operators.sketches import (
+        exact_heavy_hitters)
+    d = table(spark, "documents", sf_dir)
+    tokens = d.select(F.explode(T.words(F.col("text"))).alias("word"))
+    return exact_heavy_hitters(tokens, "word", k=50)
+
+
+# =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
 # The grading driver records at most the FIRST 50 entries of
@@ -7633,6 +8097,12 @@ _PRIORITY: list[str] = [
     "lang_char_trigram_profile",
     "dq_violations",
     "dup_graph_bfs",
+    # --- tier 1c: round-5 continuation-session additions (no driver
+    #     row yet)
+    "lang_doclen_deciles", "equidepth_histogram", "dup_graph_ppr",
+    "dup_graph_degree_hist", "sorted_neighborhood_pairs",
+    "dup_passages", "watermark_late_events", "user_retention_weekly",
+    "lang_token_fertility", "heavy_hitters_mg",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

@@ -419,3 +419,46 @@ def test_sweepline_single_partition_only_on_day_aggregate(spark):
              mode="simple")
     assert "partial_sum" in p, p
     assert p.count("Exchange SinglePartition") <= 1, p
+
+
+def test_equidepth_histogram_rank_is_distributed(spark):
+    """Global rank from the two-pass range-partitioned scan (windows
+    keyed by _pid); only the O(#partitions) offsets and the 1-row
+    count may collapse to one partition."""
+    p = plan(QUERIES["equidepth_histogram"](spark, SF_DIR),
+             mode="simple")
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 2, p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row count scalar
+
+
+def test_sorted_neighborhood_uses_bucket_hash_join(spark):
+    """Neighbor candidates come from the 1-D grid bucket equi-join —
+    a hash join on the bucket key — never a cartesian / nested-loop
+    pair expansion; the rank windows are _pid-keyed."""
+    p = plan(QUERIES["sorted_neighborhood_pairs"](spark, SF_DIR),
+             mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 2, p
+
+
+def test_watermark_lateness_scan_is_distributed(spark):
+    """The running watermark (prefix max over arrival order) comes
+    from distributed_cummax_exclusive, not a SinglePartition window
+    over the whole event log."""
+    p = plan(QUERIES["watermark_late_events"](spark, SF_DIR),
+             mode="simple")
+    assert "windowspecdefinition(_pid" in p, p
+    assert p.count("Exchange SinglePartition") <= 1, p
+
+
+def test_lang_deciles_windows_run_over_histogram(spark):
+    """Decile selection consumes the (lang, words) histogram
+    aggregate (partial_count before the window shuffle) and the
+    9-row decile table joins as a broadcast."""
+    p = plan(QUERIES["lang_doclen_deciles"](spark, SF_DIR),
+             mode="simple")
+    assert "partial_count" in p, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
