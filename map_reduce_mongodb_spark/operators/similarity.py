@@ -879,3 +879,193 @@ def pq_adc_topk(embeddings: DataFrame, query_ids: list[int],
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------
+# Graph ANN (NSW): per-shard navigable-small-world graphs + beam
+# search — the graph-index family (HNSW et al.), distributed the way
+# production vector stores shard it: each partition owns an
+# independent graph over its vectors, queries fan out to every shard,
+# per-shard candidates merge through one exact global re-rank.
+# ---------------------------------------------------------------------
+
+def _nsw_search(adj: list, X: "np.ndarray", q: "np.ndarray",
+                entry: int, ef: int) -> list:
+    """Deterministic best-first beam search over graph ``adj`` from
+    ``entry``: maintain the ef best nodes seen; expand the most
+    promising frontier node until it can no longer improve the beam.
+    Ties break on node index (heap tuples carry the index), so the
+    walk is reproducible regardless of dict/set iteration order.
+    Returns the beam as (similarity, node) sorted best-first."""
+    import heapq
+    sims: dict = {}
+
+    def sim(i: int) -> float:
+        s = sims.get(i)
+        if s is None:
+            s = float(X[i] @ q)
+            sims[i] = s
+        return s
+
+    visited = {entry}
+    frontier = [(-sim(entry), entry)]
+    beam = [(sim(entry), entry)]  # min-heap of the ef best
+    while frontier:
+        neg_s, u = heapq.heappop(frontier)
+        if len(beam) >= ef and -neg_s < beam[0][0]:
+            break  # best frontier node can't beat the beam's worst
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            sv = sim(v)
+            if len(beam) < ef or sv > beam[0][0]:
+                heapq.heappush(frontier, (-sv, v))
+                heapq.heappush(beam, (sv, v))
+                if len(beam) > ef:
+                    heapq.heappop(beam)
+    return sorted(beam, key=lambda t: (-t[0], t[1]))
+
+
+def _nsw_component(adj: list, entry: int) -> list:
+    """Every node reachable from ``entry`` (plain BFS)."""
+    seen = {entry}
+    stack = [entry]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    return sorted(seen)
+
+
+def _build_nsw(X: "np.ndarray", max_degree: int, ef_construction: int
+               ) -> list:
+    """Incremental NSW construction (Malkov et al.'s navigable small
+    world, single-layer): insert vectors in index order; each new node
+    beam-searches the EXISTING graph for its ef_construction nearest,
+    links bidirectionally to the best ``max_degree``, and any
+    neighbour whose degree overflows 2·max_degree prunes back to its
+    most-similar links — EXCEPT spanning-tree edges.
+
+    Connectivity invariant (load-bearing for probe_all exactness):
+    node i's FIRST link at insertion is marked a spanning edge and is
+    never pruned, so by induction every node stays connected to node
+    0's component — a beam search with ef ≥ n therefore visits the
+    entire shard."""
+    n = len(X)
+    adj: list = [[] for _ in range(n)]
+    span: set = set()  # undirected spanning edges, never pruned
+    for i in range(1, n):
+        res = _nsw_search(adj, X, X[i], 0, ef_construction)
+        nbrs = [j for _, j in res[:max_degree]]
+        span.add((min(i, nbrs[0]), max(i, nbrs[0])))
+        for j in nbrs:
+            adj[i].append(j)
+            adj[j].append(i)
+            if len(adj[j]) > 2 * max_degree:
+                keep = sorted(
+                    ((float(X[j] @ X[v]), v) for v in set(adj[j])),
+                    key=lambda t: (-t[0], t[1]))
+                kept = {v for _, v in keep[:2 * max_degree]}
+                kept |= {v for v in adj[j]
+                         if (min(j, v), max(j, v)) in span}
+                adj[j] = sorted(kept)
+    return adj
+
+
+def nsw_candidates(embeddings: DataFrame, query_ids: list[int],
+                   dim: int = 64, max_degree: int = 8,
+                   ef_search: int = 48, ef_construction: int = 32,
+                   shard_rows: int = 4096, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   probe_all: bool = False) -> DataFrame:
+    """(query_id, neighbor_id) ANN candidates from per-shard NSW
+    graphs. Shards are LOGICAL (vec_id mod P with P sized from the
+    data) so results don't depend on physical partitioning; each
+    applyInPandas group sorts by id, L2-normalizes, builds its graph,
+    and beam-searches every query from entry node 0. With
+    ``probe_all`` the search is replaced by the full reachable
+    component — which the connectivity invariant makes the WHOLE
+    shard (self-checked with an assert), so the candidate union is
+    provably the entire corpus and the downstream exact re-rank is
+    provably brute force, independent of any float detail here (the
+    ivf_kmeans_probe_all closed-loop pattern).
+
+    At 100 TB: shard count grows with the data (fixed shard_rows), so
+    per-shard build cost and memory are constant; queries broadcast
+    in the closure; the candidate table is |Q|·P·ef rows — the only
+    data-sized stages are the one shuffle onto shards and the
+    re-rank join."""
+    rows = _estimate_rows(embeddings)
+    n_shards = max(1, -(-rows // shard_rows)) if rows else 1
+    qrows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col).collect())
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        X = X / norms[:, None]
+        adj = _build_nsw(X, max_degree, ef_construction)
+        out_q, out_n = [], []
+        if probe_all:
+            comp = _nsw_component(adj, 0) if len(X) else []
+            assert len(comp) == len(X), (
+                "NSW spanning invariant violated: graph disconnected")
+            for qid, _ in qrows:
+                out_q.extend([qid] * len(comp))
+                out_n.extend(int(ids[c]) for c in comp)
+        else:
+            for qid, qv in qrows:
+                q = np.asarray(qv, dtype=np.float64)
+                nq = np.linalg.norm(q)
+                q = q / nq if nq else q
+                beam = _nsw_search(adj, X, q, 0, ef_search) \
+                    if len(X) else []
+                out_q.extend([qid] * len(beam))
+                out_n.extend(int(ids[i]) for _, i in beam)
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    shards = embeddings.select(
+        id_col, vec_col,
+        (F.col(id_col) % n_shards).alias("_shard"))
+    return (shards.groupBy("_shard")
+            .applyInPandas(run_shard,
+                           schema="query_id long, neighbor_id long"))
+
+
+def nsw_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             dim: int = 64, max_degree: int = 8, ef_search: int = 48,
+             ef_construction: int = 32, shard_rows: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_all: bool = False) -> DataFrame:
+    """Graph-ANN top-k: per-shard NSW beam candidates, then ONE exact
+    global re-rank with the same unrolled-SQL cosine the oracle uses
+    (all float-sensitive math stays JVM-side — the Python stage only
+    nominates ids). Returns (query_id, neighbor_id, cosine, rank)."""
+    cands = nsw_candidates(
+        embeddings, query_ids, dim=dim, max_degree=max_degree,
+        ef_search=ef_search, ef_construction=ef_construction,
+        shard_rows=shard_rows, id_col=id_col, vec_col=vec_col,
+        probe_all=probe_all).distinct()
+    qdf = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_sq_unrolled(vec_col, dim).alias("qn"))
+    cdf = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cv"),
+                            norm_sq_unrolled(vec_col, dim).alias("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (cands.filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(cdf, "neighbor_id").join(F.broadcast(qdf), "query_id")
+            .withColumn("cosine", dot_unrolled("qv", "cv", dim)
+                        / F.sqrt(F.col("qn") * F.col("cn")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

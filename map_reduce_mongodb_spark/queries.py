@@ -8041,6 +8041,41 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(tokens, "word", k=50)
 
 
+@query("nsw_topk")  # no oracle: beam search over an incrementally
+# built graph isn't SQL-reproducible; gated closed-loop instead —
+# nsw_probe_all (below) is hash-checked ≡ brute force, and recall /
+# determinism / connectivity gates live in tests/test_similarity.py.
+def q_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-5 (navigable-small-world, Malkov et al.): each
+    logical shard builds an NSW graph over its vectors (incremental
+    insertion, beam-searched links, degree-bounded with protected
+    spanning edges), queries beam-search every shard from a fixed
+    entry, and one exact JVM-side cosine re-rank merges the shard
+    candidates — the graph-index member of the ANN family (brute
+    force → LSH → IVF → IVF+k-means → PQ/ADC → graph), sharded the
+    way production vector stores scale HNSW. The Python stage only
+    NOMINATES candidate ids; every reported cosine comes from the
+    same unrolled SQL expression the oracle family uses."""
+    from map_reduce_mongodb_spark.operators.similarity import nsw_topk
+    return nsw_topk(table(spark, "embeddings", sf_dir),
+                    query_ids=list(range(10)), k=5)
+
+
+@query("nsw_probe_all", oracle=_cosine_topk_oracle())
+def q_nsw_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NSW exactness gate: beam search widened to the full
+    reachable component, which the builder's never-pruned spanning
+    edges make the ENTIRE shard (self-checked by an assert inside
+    the UDF) — so the candidate union is provably the whole corpus
+    and the exact re-rank is provably brute-force top-k for ANY
+    graph parameters; hash-checked against the brute-force cosine
+    oracle (the ivf_kmeans_probe_all / pq_rerank_all closed-loop
+    pattern applied to the graph index)."""
+    from map_reduce_mongodb_spark.operators.similarity import nsw_topk
+    return nsw_topk(table(spark, "embeddings", sf_dir),
+                    query_ids=list(range(10)), k=5, probe_all=True)
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8102,7 +8137,8 @@ _PRIORITY: list[str] = [
     "lang_doclen_deciles", "equidepth_histogram", "dup_graph_ppr",
     "dup_graph_degree_hist", "sorted_neighborhood_pairs",
     "dup_passages", "watermark_late_events", "user_retention_weekly",
-    "lang_token_fertility", "heavy_hitters_mg",
+    "lang_token_fertility", "heavy_hitters_mg", "nsw_probe_all",
+    "nsw_topk",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

@@ -308,3 +308,72 @@ def test_jl_projection_preserves_pairwise_distances(spark):
     assert 0.8 <= ratios.mean() <= 1.2, ratios.mean()
     assert (ratios > 0.2).all() and (ratios < 3.5).all(), (
         ratios.min(), ratios.max())
+
+
+def test_nsw_finds_planted_neighbors(spark):
+    """The NSW beam must find planted near-duplicates (cosine ≈ 1) —
+    the regime a graph index exists for. Small shards force several
+    independent graphs."""
+    import numpy as np
+    from map_reduce_mongodb_spark.operators.similarity import nsw_topk
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((60, 64))
+    rows = []
+    for i, v in enumerate(base):
+        near = v + 0.05 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v], 0))
+        rows.append((i + 1000, [float(x) for x in near], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qids = list(range(60))
+    res = nsw_topk(emb, qids, k=1, shard_rows=64)
+    found = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    hits = sum((q, q + 1000) in found for q in qids)
+    assert hits >= 58, f"NSW missed planted near-dups: {hits}/60"
+
+
+def test_nsw_recall_and_determinism_on_corpus(spark):
+    """Approximate-path recall on the (near-random) driver corpus must
+    clear a floor, the probe-all path must equal brute force exactly,
+    and repeated runs must agree row-for-row (graph build + search are
+    deterministic by construction)."""
+    from map_reduce_mongodb_spark.operators.similarity import nsw_topk
+    emb = table(spark, "embeddings", SF_DIR)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(emb, QUERY_IDS, k=5)
+             .collect()}
+    a = sorted(map(tuple,
+                   nsw_topk(emb, QUERY_IDS, k=5, shard_rows=128)
+                   .collect()))
+    b = sorted(map(tuple,
+                   nsw_topk(emb, QUERY_IDS, k=5, shard_rows=128)
+                   .collect()))
+    assert a == b, "NSW result not deterministic"
+    got = {(q, n) for q, n, _, _ in a}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"NSW recall collapsed: {recall}"
+    full = sorted(map(tuple,
+                      nsw_topk(emb, QUERY_IDS, k=5, shard_rows=128,
+                               probe_all=True).collect()))
+    brute = sorted(map(tuple,
+                       cosine_topk_bruteforce(emb, QUERY_IDS, k=5)
+                       .collect()))
+    assert full == brute
+
+
+def test_nsw_graph_stays_connected_under_pruning(spark):
+    """The spanning-edge protection must keep every shard graph
+    connected even under aggressive degree pruning (max_degree=2 on
+    clustered data drives heavy prune pressure) — the invariant the
+    probe-all exactness proof rests on."""
+    import numpy as np
+    from map_reduce_mongodb_spark.operators.similarity import (
+        _build_nsw, _nsw_component)
+    rng = np.random.RandomState(9)
+    # two tight clusters far apart: pruning wants to drop the bridge
+    a = rng.standard_normal((40, 16)) * 0.01 + np.eye(16)[0]
+    b = rng.standard_normal((40, 16)) * 0.01 - np.eye(16)[0]
+    X = np.vstack([a, b])
+    X = X / np.linalg.norm(X, axis=1)[:, None]
+    adj = _build_nsw(X, max_degree=2, ef_construction=4)
+    assert len(_nsw_component(adj, 0)) == len(X)
