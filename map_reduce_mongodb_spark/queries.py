@@ -5513,7 +5513,10 @@ def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
 
 
-@query("scd2_events_replay", oracle="""
+#: Relational reconstruction of the SCD2 replay's final dimension
+#: (version chain with close-out stamps) — shared by the replay
+#: oracle and its time-travel consumers.
+_SCD2_DIM_CTE = """
 WITH p AS (
   SELECT user_id, value, ts, event_id,
          CASE WHEN day(ts) <= 10 THEN 1
@@ -5531,15 +5534,21 @@ seq AS (
          lead(eff) OVER (PARTITION BY user_id ORDER BY b) AS nxt
   FROM u),
 base AS (SELECT DISTINCT user_id FROM events),
-fe AS (SELECT user_id, min(eff) AS first_eff FROM u GROUP BY user_id)
-SELECT base.user_id, CAST(NULL AS DOUBLE) AS tier,
-       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
-       fe.first_eff AS valid_to, 1 AS version
-FROM base LEFT JOIN fe ON base.user_id = fe.user_id
-UNION ALL
-SELECT user_id, value AS tier, eff AS valid_from, nxt AS valid_to,
-       CAST(k + 1 AS INT) AS version
-FROM seq
+fe AS (SELECT user_id, min(eff) AS first_eff FROM u GROUP BY user_id),
+dim AS (
+  SELECT base.user_id, CAST(NULL AS DOUBLE) AS tier,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         fe.first_eff AS valid_to, 1 AS version
+  FROM base LEFT JOIN fe ON base.user_id = fe.user_id
+  UNION ALL
+  SELECT user_id, value AS tier, eff AS valid_from, nxt AS valid_to,
+         CAST(k + 1 AS INT) AS version
+  FROM seq)
+"""
+
+
+@query("scd2_events_replay", oracle=_SCD2_DIM_CTE + """
+SELECT user_id, tier, valid_from, valid_to, version FROM dim
 """)
 def q_scd2_events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 upsert, end to end: the events table is treated
@@ -6885,11 +6894,16 @@ def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str
     hour. Exact rolling distinct is the classic can't-window problem
     — COUNT(DISTINCT) isn't decomposable over sliding frames — so the
     scale-correct plan is TWO-LEVEL: (1) dedupe to (type, hour, user)
-    once — the fact-sized map-side-combinable aggregate; (2) expand
-    each deduped row into the ≤3 windows it serves (bounded
-    fan-out = window span, not data) and count distinct per window
-    over the MUCH smaller hourly-cohort table. Spark expresses stage
-    2 with the same hour-spine join the oracle uses; HLL sketches
+    once — the fact-sized map-side-combinable aggregate; (2) EXPLODE
+    each deduped row into the ≤3 window-ending hours it serves
+    (bounded fan-out = window span, never data-sized), keep only
+    window hours that exist for the type (broadcast semi-join against
+    the calendar-bounded spine — the oracle's `a` table), and count
+    distinct per window. The hour-spine range join this replaced
+    hash-partitioned on event_type alone (≈5 keys), so every spine
+    row met its type's ENTIRE cohort before the range filter — ~13M
+    intermediate pairs at sf0.1, 7.2 s; the explode plan shuffles
+    3× the deduped cohort instead (measured ~1 s). HLL sketches
     (`approx_sketches`) are the documented approximate fallback when
     even the deduped cohort table is too hot."""
     e = table(spark, "events", sf_dir)
@@ -6898,15 +6912,15 @@ def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str
                    "user_id")
           .distinct())
     spine = uh.select("event_type", "hour").distinct()
-    j = (spine.alias("a")
-         .join(uh.alias("b"),
-               (F.col("a.event_type") == F.col("b.event_type"))
-               & (F.col("b.hour")
-                  >= F.col("a.hour") - F.expr("INTERVAL 2 HOURS"))
-               & (F.col("b.hour") <= F.col("a.hour"))))
-    return (j.groupBy(F.col("a.event_type").alias("event_type"),
-                      F.col("a.hour").alias("hour"))
-            .agg(F.countDistinct("b.user_id").alias("active_users")))
+    exp = uh.select(
+        "event_type", "user_id",
+        F.explode(F.array(
+            F.col("hour"),
+            F.col("hour") + F.expr("INTERVAL 1 HOUR"),
+            F.col("hour") + F.expr("INTERVAL 2 HOURS"))).alias("hour"))
+    return (exp.join(F.broadcast(spine), ["event_type", "hour"])
+            .groupBy("event_type", "hour")
+            .agg(F.countDistinct("user_id").alias("active_users")))
 
 
 @query("audience_overlap", oracle="""
@@ -8076,6 +8090,425 @@ def q_nsw_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                     query_ids=list(range(10)), k=5, probe_all=True)
 
 
+@query("scd2_snapshot_diff", oracle=_SCD2_DIM_CTE + """
+SELECT a.user_id,
+       a.tier AS tier_t1, b.tier AS tier_t2,
+       a.version AS version_t1, b.version AS version_t2
+FROM dim a JOIN dim b USING (user_id)
+WHERE a.valid_from <= TIMESTAMP '2024-01-15'
+  AND (a.valid_to IS NULL OR a.valid_to > TIMESTAMP '2024-01-15')
+  AND b.valid_from <= TIMESTAMP '2024-01-25'
+  AND (b.valid_to IS NULL OR b.valid_to > TIMESTAMP '2024-01-25')
+  AND a.version <> b.version
+""")
+def q_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel consumer of the SCD2 dimension: which users'
+    attributes CHANGED between two as-of instants (Jan 15 → Jan 25)
+    — the snapshot-diff read every table format (Delta CDF, Iceberg
+    changelog) exists to answer, expressed against the versioned
+    dimension the streaming replay maintains. An AS-OF state is a
+    pure filter on the validity interval (valid_from ≤ T < valid_to),
+    so the diff is two filters + one user-keyed self-join of the
+    ALREADY-MATERIALIZED replay output (cache.shared_parquet — built
+    once by `scd2_events_replay`, read here; at 100 TB this is
+    exactly a second reader of the dimension table, not a second
+    replay). The oracle runs the same two as-of selections over the
+    relationally reconstructed version chain."""
+    dim = QUERIES["scd2_events_replay"](spark, sf_dir)
+
+    def asof(t: str, suffix: str) -> DataFrame:
+        return (dim.where(
+                    (F.col("valid_from") <= F.lit(t).cast("timestamp"))
+                    & (F.col("valid_to").isNull()
+                       | (F.col("valid_to")
+                          > F.lit(t).cast("timestamp"))))
+                .select("user_id",
+                        F.col("tier").alias(f"tier_{suffix}"),
+                        F.col("version").alias(f"version_{suffix}")))
+
+    a = asof("2024-01-15", "t1")
+    b = asof("2024-01-25", "t2")
+    return (a.join(b, "user_id")
+            .where(F.col("version_t1") != F.col("version_t2"))
+            .select("user_id", "tier_t1", "tier_t2",
+                    "version_t1", "version_t2"))
+
+
+@query("event_transition_matrix", oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+t AS (SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n) AS tn FROM t GROUP BY 1)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / tn, 6) AS prob
+FROM t JOIN tot USING (from_type)
+""")
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """First-order Markov transition matrix of user behaviour: for
+    every (event_type → next event_type) step in each user's
+    timeline, the count and row-normalized probability — the
+    path-analysis primitive behind journey maps and next-action
+    models. The sequence window partitions by USER (bounded per-user
+    work, shuffle keyed by user_id — never a global order), the
+    transition aggregate is map-side combined and |types|² bounded,
+    and the normalizing row-total joins back broadcast-sized."""
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select("user_id", "event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+    t = (s.where(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("from_type"),
+                  F.col("next_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return (t.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("tn"), 6).alias("prob")))
+
+
+@query("user_activity_bitmap", oracle="""
+WITH d AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+  FROM events),
+m AS (
+  SELECT user_id,
+         bit_or(CAST(1 AS BIGINT) << di) AS activity_mask,
+         CAST(min(di) AS INT) AS first_day,
+         CAST(max(di) AS INT) AS last_day
+  FROM d GROUP BY user_id)
+SELECT user_id, activity_mask,
+       CAST(bit_count(activity_mask) AS INT) AS days_active,
+       first_day, last_day
+FROM m
+""")
+def q_user_activity_bitmap(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Per-user activity BITMAP over the event month: day-of-month
+    presence packed into one int64 via a `bit_or` aggregate (bit i =
+    active on day i), plus popcount and first/last-day bounds — the
+    roaring-bitmap-style encoding engagement systems use so segment
+    algebra (AND/OR of user sets, streak math) becomes integer ops
+    instead of joins. One map-side-combined aggregate (bit_or is
+    commutative/associative — partial masks merge exactly); a year+
+    horizon shards the mask by epoch-month into an array of int64
+    lanes, same plan shape. Pure integer arithmetic in both
+    engines."""
+    e = table(spark, "events", sf_dir)
+    d = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("di"))
+    m = (d.groupBy("user_id")
+         .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), di))")
+              .alias("activity_mask"),
+              F.min("di").cast("int").alias("first_day"),
+              F.max("di").cast("int").alias("last_day")))
+    return m.select("user_id", "activity_mask",
+                    F.bit_count("activity_mask").cast("int")
+                     .alias("days_active"),
+                    "first_day", "last_day")
+
+
+def _mmr_oracle(dim: int = 64, pool: int = 8, k: int = 4,
+                nq: int = 5) -> str:
+    """Unrolled greedy MMR selection: candidate pool = exact top-8
+    cosine per query; then k-1 chained CTE steps, each picking the
+    argmax of 0.5·rel − 0.5·(max sim to already-selected). Every
+    float comes from the unrolled cosine the whole oracle family
+    uses, and the greedy argmax is an exact comparison with an id
+    tiebreak, so selections match Spark's step-for-step."""
+    from map_reduce_mongodb_spark.functions.vectors import (
+        cosine_unrolled_sql)
+    cosqc = cosine_unrolled_sql("qv", "cv", dim)
+    cosab = cosine_unrolled_sql("av", "bv", dim)
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f"""
+ms{t} AS (
+  SELECT p.query_id, p.id_a, max(p.sim) AS ms
+  FROM psim p JOIN sel{t - 1} s
+    ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+  GROUP BY p.query_id, p.id_a),
+rem{t} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel, m.ms
+  FROM cand c JOIN ms{t} m
+    ON m.query_id = c.query_id AND m.id_a = c.neighbor_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s
+                    WHERE s.query_id = c.query_id
+                      AND s.neighbor_id = c.neighbor_id)),
+pick{t} AS (
+  SELECT query_id, neighbor_id, {t} AS pick,
+         0.5 * rel - 0.5 * ms AS score
+  FROM (SELECT query_id, neighbor_id, rel, ms,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY 0.5 * rel - 0.5 * ms DESC,
+                            neighbor_id) AS rn
+        FROM rem{t}) WHERE rn = 1),
+sel{t} AS (SELECT * FROM sel{t - 1}
+           UNION ALL SELECT * FROM pick{t})""")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (SELECT query_id, neighbor_id, {cosqc} AS rel
+           FROM c, q WHERE neighbor_id <> query_id),
+cand AS (SELECT query_id, neighbor_id, rel FROM (
+  SELECT query_id, neighbor_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {pool}),
+candv AS (SELECT cd.query_id, cd.neighbor_id, e.embedding AS v
+          FROM cand cd JOIN embeddings e ON e.vec_id = cd.neighbor_id),
+pv AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+              a.v AS av, b.v AS bv
+       FROM candv a JOIN candv b
+         ON a.query_id = b.query_id
+        AND a.neighbor_id <> b.neighbor_id),
+psim AS (SELECT query_id, id_a, id_b, {cosab} AS sim FROM pv),
+sel1 AS (SELECT query_id, neighbor_id, 1 AS pick, rel AS score FROM (
+  SELECT query_id, neighbor_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, neighbor_id) AS rn
+  FROM cand) WHERE rn = 1),
+{','.join(steps)}
+SELECT query_id, neighbor_id, CAST(pick AS INT) AS pick,
+       round(score, 6) AS score
+FROM sel{k}
+"""
+
+
+@query("mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-rank (Carbonell &
+    Goldstein): from each query's exact top-8 cosine pool, greedily
+    select 4 results maximizing 0.5·relevance − 0.5·(max similarity
+    to already-picked) — the diversification pass retrieval systems
+    run so near-duplicate hits don't crowd the result page (directly
+    downstream of this repo's dedup family: redundancy costs rank).
+    The greedy recurrence can't be one SQL expression, but with a
+    POOLED candidate set it unrolls exactly: pool and pairwise sims
+    are tiny broadcast-sized tables (|Q|·8 and |Q|·8·7) computed
+    once with the oracle family's unrolled cosine, and each of the 3
+    selection steps is an anti-join + max-aggregate + argmax window
+    over those pools — selections compare bit-identical floats with
+    id tiebreaks in both engines. At 100 TB the pool stage is the
+    existing top-k machinery; the MMR stage only ever touches
+    |Q|·pool rows."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.functions.vectors import (
+        cosine_unrolled)
+    from map_reduce_mongodb_spark.operators.similarity import (
+        cosine_topk_bruteforce)
+    pool, k = 8, 4
+    emb = table(spark, "embeddings", sf_dir)
+    cand = tracked_persist(
+        cosine_topk_bruteforce(emb, list(range(5)), k=pool)
+        .select("query_id", "neighbor_id",
+                F.col("cosine").alias("rel")))
+    ev = emb.select("vec_id", "embedding")
+    candv = (cand.join(ev, cand.neighbor_id == ev.vec_id)
+             .select("query_id", "neighbor_id", "embedding"))
+    a = candv.select("query_id", F.col("neighbor_id").alias("id_a"),
+                     F.col("embedding").alias("va"))
+    b = candv.select("query_id", F.col("neighbor_id").alias("id_b"),
+                     F.col("embedding").alias("vb"))
+    psim = tracked_persist(
+        a.join(b, "query_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("query_id", "id_a", "id_b",
+                cosine_unrolled("va", "vb", 64).alias("sim")))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id"))
+    sel = (cand.withColumn("rn", F.row_number().over(w1))
+           .where(F.col("rn") == 1)
+           .select("query_id", "neighbor_id",
+                   F.lit(1).alias("pick"), F.col("rel").alias("score")))
+    for t in range(2, k + 1):
+        ms = (psim.join(sel.select("query_id",
+                                   F.col("neighbor_id").alias("id_b")),
+                        ["query_id", "id_b"])
+              .groupBy("query_id", "id_a")
+              .agg(F.max("sim").alias("ms")))
+        rem = (cand.join(sel.select("query_id", "neighbor_id"),
+                         ["query_id", "neighbor_id"], "left_anti")
+               .join(ms.select("query_id",
+                               F.col("id_a").alias("neighbor_id"),
+                               "ms"),
+                     ["query_id", "neighbor_id"])
+               .withColumn("score", F.lit(0.5) * F.col("rel")
+                           - F.lit(0.5) * F.col("ms")))
+        wt = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id"))
+        pick = (rem.withColumn("rn", F.row_number().over(wt))
+                .where(F.col("rn") == 1)
+                .select("query_id", "neighbor_id",
+                        F.lit(t).alias("pick"), "score"))
+        sel = sel.unionByName(pick)
+    return sel.select("query_id", "neighbor_id",
+                      F.col("pick").cast("int").alias("pick"),
+                      F.round("score", 6).alias("score"))
+
+
+def _moment_formulas() -> dict[str, str]:
+    """Shared SQL text (valid in BOTH engines) deriving central-moment
+    statistics from exact integer raw moments n, s1..s4 — identical
+    expression text ⇒ identical IEEE op order ⇒ bit-identical
+    doubles."""
+    mean = "CAST(s1 AS DOUBLE) / n"
+    m2 = f"CAST(s2 AS DOUBLE) / n - ({mean}) * ({mean})"
+    m3 = (f"CAST(s3 AS DOUBLE) / n - 3 * ({mean}) * "
+          f"(CAST(s2 AS DOUBLE) / n) + 2 * ({mean}) * ({mean}) * "
+          f"({mean})")
+    m4 = (f"CAST(s4 AS DOUBLE) / n - 4 * ({mean}) * "
+          f"(CAST(s3 AS DOUBLE) / n) + 6 * ({mean}) * ({mean}) * "
+          f"(CAST(s2 AS DOUBLE) / n) - 3 * ({mean}) * ({mean}) * "
+          f"({mean}) * ({mean})")
+    return {
+        "mean": mean, "m2": m2,
+        "skew": f"({m3}) / (({m2}) * sqrt({m2}))",
+        "kurt": f"({m4}) / (({m2}) * ({m2})) - 3",
+    }
+
+
+_MOM = _moment_formulas()
+
+
+@query("lineitem_higher_moments", oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(q) AS s1, sum(q * q) AS s2,
+         sum(q * q * q) AS s3, sum(q * q * q * q) AS s4
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round({_MOM['mean']}, 6) AS mean_qty,
+       round({_MOM['m2']}, 6) AS var_qty,
+       round({_MOM['skew']}, 6) AS skewness,
+       round({_MOM['kurt']}, 6) AS excess_kurtosis
+FROM m
+""")
+def q_lineitem_higher_moments(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Distribution-shape statistics (variance, skewness, excess
+    kurtosis) per return flag from EXACT integer raw moments — the
+    one-pass mergeable formulation (n, Σx..Σx⁴ are map-side-combined
+    BIGINT partials; no second centering pass, no float accumulation
+    order sensitivity — the same exactness discipline as
+    `source_quality_ttest`/`brand_qty_price_corr`). The float
+    derivation runs the IDENTICAL formula text in both engines
+    (F.expr == oracle SQL), so every double matches bit-for-bit
+    before the 6dp rounding. Quantities ≤50 keep Σx⁴ within int64
+    through ~10¹² rows; beyond that the partials widen to
+    DECIMAL(38) (the brand_qty_price_corr pattern)."""
+    li = table(spark, "lineitem", sf_dir)
+    m = (li.select("l_returnflag",
+                   F.col("l_quantity").cast("bigint").alias("q"))
+         .groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("q").alias("s1"),
+              F.sum(F.expr("q * q")).alias("s2"),
+              F.sum(F.expr("q * q * q")).alias("s3"),
+              F.sum(F.expr("q * q * q * q")).alias("s4")))
+    return m.select(
+        "l_returnflag", "n",
+        F.round(F.expr(_MOM["mean"]), 6).alias("mean_qty"),
+        F.round(F.expr(_MOM["m2"]), 6).alias("var_qty"),
+        F.round(F.expr(_MOM["skew"]), 6).alias("skewness"),
+        F.round(F.expr(_MOM["kurt"]), 6).alias("excess_kurtosis"))
+
+
+@query("word_cooc_lift", oracle=r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+pr AS (
+  SELECT least(ws[i], ws[i+1]) AS word_a,
+         greatest(ws[i], ws[i+1]) AS word_b
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+  UNION ALL
+  SELECT least(ws[i], ws[i+2]), greatest(ws[i], ws[i+2])
+  FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM w)),
+cp AS (SELECT word_a, word_b, CAST(count(*) AS BIGINT) AS cooc
+       FROM pr GROUP BY 1, 2),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS cu FROM
+        (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+tp AS (SELECT CAST(sum(cooc) AS BIGINT) AS t FROM cp),
+tu AS (SELECT CAST(sum(cu) AS BIGINT) AS u FROM uni)
+SELECT word_a, word_b, cooc,
+       round((CAST(cooc AS DOUBLE) / t)
+             / ((CAST(ca.cu AS DOUBLE) / u)
+                * (CAST(cb.cu AS DOUBLE) / u)), 6) AS lift
+FROM cp
+JOIN uni ca ON ca.word = word_a
+JOIN uni cb ON cb.word = word_b
+CROSS JOIN tp CROSS JOIN tu
+ORDER BY (CAST(cooc AS DOUBLE) / t)
+         / ((CAST(ca.cu AS DOUBLE) / u)
+            * (CAST(cb.cu AS DOUBLE) / u)) DESC,
+         word_a, word_b
+LIMIT 50
+""")
+def q_word_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence LIFT: for word pairs within a ±2
+    position window, observed-vs-independent frequency ratio — the
+    association score behind collocation mining and word-vector
+    co-occurrence matrices (`top_bigrams` counts adjacency; lift
+    NORMALIZES it by unigram frequency, so frequent-but-independent
+    pairs stop dominating). Pair extraction is a vectorized
+    arrays_zip of the word array against its 1- and 2-shifted self
+    (zero joins, bounded 2× token fan-out); counts are map-side
+    combined; unigram marginals and the two scalar totals join back
+    broadcast; top-50 cut by exact double lift with lexicographic
+    tiebreaks (TakeOrderedAndProject — no global sort)."""
+    from map_reduce_mongodb_spark.functions import text as T
+    d = table(spark, "documents", sf_dir)
+    ws = d.select(T.words(F.col("text")).alias("ws"))
+
+    def shifted_pairs(dist: int):
+        n = F.size("ws") - dist
+        z = F.arrays_zip(F.slice(F.col("ws"), 1, n),
+                         F.slice(F.col("ws"), 1 + dist, n))
+        return (ws.where(F.size("ws") > dist)
+                .select(F.explode(z).alias("p"))
+                .select(F.least(F.col("p.0"), F.col("p.1"))
+                        .alias("word_a"),
+                        F.greatest(F.col("p.0"), F.col("p.1"))
+                        .alias("word_b")))
+
+    pr = shifted_pairs(1).unionByName(shifted_pairs(2))
+    cp = (pr.groupBy("word_a", "word_b")
+          .agg(F.count(F.lit(1)).alias("cooc")))
+    uni = (ws.select(F.explode("ws").alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("cu")))
+    tp = cp.agg(F.sum("cooc").alias("t"))
+    tu = uni.agg(F.sum("cu").alias("u"))
+    ca = uni.select(F.col("word").alias("word_a"),
+                    F.col("cu").alias("cu_a"))
+    cb = uni.select(F.col("word").alias("word_b"),
+                    F.col("cu").alias("cu_b"))
+    lift = ((F.col("cooc").cast("double") / F.col("t"))
+            / ((F.col("cu_a").cast("double") / F.col("u"))
+               * (F.col("cu_b").cast("double") / F.col("u"))))
+    return (cp.join(F.broadcast(ca), "word_a")
+            .join(F.broadcast(cb), "word_b")
+            .crossJoin(F.broadcast(tp)).crossJoin(F.broadcast(tu))
+            .withColumn("_lift", lift)
+            .orderBy(F.desc("_lift"), F.asc("word_a"),
+                     F.asc("word_b"))
+            .limit(50)
+            .select("word_a", "word_b", "cooc",
+                    F.round(F.col("_lift"), 6).alias("lift")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8138,7 +8571,9 @@ _PRIORITY: list[str] = [
     "dup_graph_degree_hist", "sorted_neighborhood_pairs",
     "dup_passages", "watermark_late_events", "user_retention_weekly",
     "lang_token_fertility", "heavy_hitters_mg", "nsw_probe_all",
-    "nsw_topk",
+    "nsw_topk", "scd2_snapshot_diff", "event_transition_matrix",
+    "user_activity_bitmap", "mmr_rerank", "lineitem_higher_moments",
+    "word_cooc_lift",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
