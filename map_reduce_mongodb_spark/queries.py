@@ -8509,6 +8509,91 @@ def q_word_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("_lift"), 6).alias("lift")))
 
 
+@query("dup_graph_local_clustering", oracle=_CC_CTE + """
+, deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+          FROM edges GROUP BY src),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+corner AS (
+  SELECT a AS id FROM tri UNION ALL
+  SELECT b FROM tri UNION ALL
+  SELECT c FROM tri),
+tc AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+       FROM corner GROUP BY id)
+SELECT d.src AS doc_id, d.degree,
+       coalesce(t.triangles, 0) AS triangles,
+       round(CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+             / (d.degree * (d.degree - 1)), 6) AS local_clustering
+FROM deg d LEFT JOIN tc t ON t.id = d.src
+WHERE d.degree >= 2
+""")
+def q_dup_graph_local_clustering(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """PER-NODE clustering coefficient over the near-dup graph
+    (`dup_graph_stats` reports the global transitivity; this is the
+    node-level readout that separates template hubs — high degree,
+    low clustering — from tight mutual-duplicate cliques). Triangle
+    enumeration is the ordered two-join (a<b<c, each edge from the
+    canonical id_a<id_b pair table — every triangle counted exactly
+    once), corners explode to per-node counts, degrees join from one
+    aggregate; all shuffles keyed by node/edge ids over the shared
+    0.7-Jaccard pair table."""
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("degree"))
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corner = (tri.select(F.col("a").alias("id"))
+              .unionAll(tri.select(F.col("b").alias("id")))
+              .unionAll(tri.select(F.col("c").alias("id"))))
+    tc = corner.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return (deg.where(F.col("degree") >= 2)
+            .join(tc, deg.id_a == tc.id, "left")
+            .select(F.col("id_a").alias("doc_id"), "degree",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                    F.round(
+                        (2 * F.coalesce("triangles", F.lit(0)))
+                        .cast("double")
+                        / (F.col("degree") * (F.col("degree") - 1)),
+                        6).alias("local_clustering")))
+
+
+@query("top_event_paths", oracle="""
+WITH s AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 25
+""")
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behaviour paths (the sequence-mining readout one
+    level above `event_transition_matrix`'s Markov pairs): two lead()
+    taps over the per-user timeline window (bounded per-user work,
+    shuffled once by user_id), path strings aggregate map-side, and
+    the top-25 cut is TakeOrderedAndProject — no global sort of the
+    path space."""
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select("user_id", F.col("event_type").alias("e1"),
+                 F.lead("event_type").over(w).alias("e2"),
+                 F.lead("event_type", 2).over(w).alias("e3"))
+    return (s.where(F.col("e3").isNotNull())
+            .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("path")).limit(25))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8573,7 +8658,7 @@ _PRIORITY: list[str] = [
     "lang_token_fertility", "heavy_hitters_mg", "nsw_probe_all",
     "nsw_topk", "scd2_snapshot_diff", "event_transition_matrix",
     "user_activity_bitmap", "mmr_rerank", "lineitem_higher_moments",
-    "word_cooc_lift",
+    "word_cooc_lift", "dup_graph_local_clustering", "top_event_paths",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
