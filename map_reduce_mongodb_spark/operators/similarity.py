@@ -705,7 +705,7 @@ def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
              n_iters: int = 3, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             ) -> np.ndarray:
+             normalize: bool = True) -> np.ndarray:
     """Train PQ codebooks: split the L2-NORMALIZED vector into ``m``
     contiguous subspaces of dim/m components and run Lloyd k-means
     (Euclidean — on unit vectors L2 order is cosine order) per
@@ -716,6 +716,11 @@ def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
     the driver. Codebooks are INDEX METADATA (m·ks·dsub floats, a few
     KB) — the corpus itself is only scanned. Init = subvectors of the
     first ``ks`` ids (deterministic). Returns an (m, ks, dsub) array.
+
+    ``normalize=False`` trains on the vectors AS GIVEN — the residual
+    case (IVF-PQ): residuals are displacements from a coarse
+    centroid, and re-normalizing them would destroy the geometry the
+    codebook is meant to quantize.
     """
     dsub = dim // m
     init = sorted(
@@ -725,15 +730,16 @@ def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
     books = np.zeros((m, ks, dsub))
     for cid, vec in init:
         v = np.asarray(vec, dtype=np.float64)
-        n = np.linalg.norm(v)
-        v = v / n if n else v
+        if normalize:
+            n = np.linalg.norm(v)
+            v = v / n if n else v
         books[:, cid, :] = v.reshape(m, dsub)
     corpus = tracked_persist(
         embeddings.select(F.col(vec_col).alias("vv"))
         .repartition(_data_sized_partitions(embeddings)))
     for _ in range(n_iters):
         parts = corpus.mapInPandas(
-            _pq_partials_fn(books),
+            _pq_partials_fn(books, normalize),
             schema="sub int, cid int, n long, s array<double>"
         ).collect()
         counts = np.zeros((m, ks), dtype=np.int64)
@@ -748,7 +754,7 @@ def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
     return books
 
 
-def _pq_partials_fn(books: np.ndarray):
+def _pq_partials_fn(books: np.ndarray, normalize: bool = True):
     m, ks, dsub = books.shape
 
     def fn(batches):
@@ -758,9 +764,11 @@ def _pq_partials_fn(books: np.ndarray):
             X = np.array(pdf["vv"].tolist(), dtype=np.float64)
             if not len(X):
                 continue
-            nrm = np.linalg.norm(X, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            X = (X / nrm).reshape(len(X), m, dsub)
+            if normalize:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                X = X / nrm
+            X = X.reshape(len(X), m, dsub)
             for s in range(m):
                 # argmin ||x_s - c||² = argmax (x·c - ||c||²/2)
                 B = books[s]
@@ -777,12 +785,14 @@ def _pq_partials_fn(books: np.ndarray):
 
 def pq_encode(embeddings: DataFrame, books: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              ) -> DataFrame:
+              normalize: bool = True) -> DataFrame:
     """Encode every vector to its m-byte PQ code (array<int>): per
     subspace, the nearest codebook centroid of the L2-normalized
-    subvector. Arrow-batched mapInPandas, one numpy matmul per
-    subspace per batch; output is (id, code) — the 8-byte-per-vector
-    representation that makes billion-scale ANN memory-resident."""
+    subvector (``normalize=False`` → of the subvector as given — the
+    IVF-PQ residual case). Arrow-batched mapInPandas, one numpy
+    matmul per subspace per batch; output is (id, code) — the
+    8-byte-per-vector representation that makes billion-scale ANN
+    memory-resident."""
     m, ks, dsub = books.shape
 
     def fn(batches):
@@ -791,9 +801,11 @@ def pq_encode(embeddings: DataFrame, books: np.ndarray,
             if not len(X):
                 yield pd.DataFrame({"vec_id": [], "code": []})
                 continue
-            nrm = np.linalg.norm(X, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            Xs = (X / nrm).reshape(len(X), m, dsub)
+            if normalize:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                X = X / nrm
+            Xs = X.reshape(len(X), m, dsub)
             codes = np.stack(
                 [np.argmax(Xs[:, s, :] @ books[s].T
                            - 0.5 * (books[s] * books[s]).sum(axis=1),
@@ -1064,6 +1076,163 @@ def nsw_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         F.desc("cosine"), F.asc("neighbor_id"))
     return (cands.filter(F.col("neighbor_id") != F.col("query_id"))
             .join(cdf, "neighbor_id").join(F.broadcast(qdf), "query_id")
+            .withColumn("cosine", dot_unrolled("qv", "cv", dim)
+                        / F.sqrt(F.col("qn") * F.col("cn")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------
+# IVF-PQ (the FAISS IVFPQ architecture): coarse Voronoi cells +
+# PQ-coded RESIDUALS, ADC scoring within probed cells, exact re-rank.
+# ---------------------------------------------------------------------
+
+def ivf_residuals(embeddings: DataFrame,
+                  cents: list[tuple[int, list[float]]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  ) -> DataFrame:
+    """(id, cell, resid): each vector's coarse-cell assignment and its
+    residual displacement r = v̂ − ĉ(cell) from the (L2-normalized)
+    cell centroid — the quantity IVF-PQ codes, which is much more
+    compressible than the raw vector because cell-local displacements
+    are small and centered. One Arrow pass; centroids ride in the
+    closure (index metadata)."""
+    cids = np.array([c for c, _ in cents], dtype=np.int32)
+    M = np.array([vec for _, vec in cents], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    M = M / norms
+
+    def fn(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if not len(X):
+                yield pd.DataFrame({"vec_id": [], "cell": [],
+                                    "resid": []})
+                continue
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            U = X / nrm
+            a = np.argmax(U @ M.T, axis=1)
+            R = U - M[a]
+            yield pd.DataFrame({"vec_id": pdf[id_col].values,
+                                "cell": cids[a],
+                                "resid": list(R)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        fn, schema="vec_id long, cell int, resid array<double>")
+
+
+def ivfpq_topk(embeddings: DataFrame, query_ids: list[int],
+               k: int = 5, dim: int = 64, n_centroids: int = 16,
+               nprobe: int = 4, m: int = 8, ks: int = 16,
+               rerank: int = 32, n_iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               probe_all: bool = False) -> DataFrame:
+    """IVF-PQ search — the two-level index every billion-scale vector
+    store runs (FAISS IVFPQ): spherical-k-means coarse cells prune
+    the corpus to nprobe Voronoi regions, PQ codes over the CELL
+    RESIDUALS give an 8-byte in-memory representation, ADC lookup
+    tables (built per probed cell from the query's residual there)
+    score candidates without touching any float vector, per-partition
+    top-``rerank`` cuts bound the candidate stream, and one exact
+    JVM-side cosine re-rank fixes the final ranking. Composes the
+    existing index stages: kmeans_centroids (coarse), pq_train /
+    pq_encode with normalize=False (residual codebooks + codes).
+
+    ``probe_all`` widens the gate the closed-loop way: every cell
+    probed AND the per-partition cut widened past the corpus ⇒ the
+    candidate set is provably everything ⇒ the exact re-rank IS
+    brute force for ANY centroids/codebooks (ivf_kmeans_probe_all /
+    pq_rerank_all pattern).
+
+    At 100 TB: codes+cells are 12 bytes/vector (memory-resident at
+    billions), the scoring pass is one Arrow scan with numpy table
+    lookups, per-partition cuts keep the shuffle at
+    O(partitions·|Q|·rerank), and every driver-side object is index
+    metadata (C·dim + m·ks·dsub floats)."""
+    cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
+                             id_col, vec_col)
+    rdf = tracked_persist(
+        ivf_residuals(embeddings, cents, id_col, vec_col)
+        .repartition(_data_sized_partitions(embeddings)))
+    books = pq_train(rdf, m=m, ks=ks, dim=dim, id_col="vec_id",
+                     vec_col="resid", normalize=False)
+    codes = (pq_encode(rdf, books, id_col="vec_id", vec_col="resid",
+                       normalize=False)
+             .join(rdf.select("vec_id", "cell"), "vec_id"))
+
+    if probe_all:
+        nprobe = n_centroids
+        rows = _estimate_rows(embeddings)
+        rerank = max(rerank, (rows or 10_000_000) + 1)
+
+    cids = np.array([c for c, _ in cents], dtype=np.int32)
+    M = np.array([vec for _, vec in cents], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    M = M / norms
+    cid_pos = {int(c): i for i, c in enumerate(cids)}
+
+    qrows = sorted(
+        (int(r[0]), np.asarray([float(x) for x in r[1]]))
+        for r in embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col).collect())
+    dsub = dim // m
+    # per (query, probed cell): ADC table (m, ks) from the query's
+    # residual IN THAT CELL — |Q|·nprobe·m·ks floats, index metadata
+    qids, qcells, qtables = [], [], []
+    for qid, v in qrows:
+        n = np.linalg.norm(v)
+        u = v / n if n else v
+        probe = np.argsort(-(M @ u), kind="stable")[:nprobe]
+        tabs = {}
+        for p in probe:
+            qr = (u - M[p]).reshape(m, dsub)
+            tabs[int(cids[p])] = np.stack(
+                [((books[s] - qr[s][None, :]) ** 2).sum(axis=1)
+                 for s in range(m)])
+        qids.append(qid)
+        qcells.append({int(cids[p]) for p in probe})
+        qtables.append(tabs)
+
+    def score_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["code"].values).astype(np.int64)
+            cells = pdf["cell"].values.astype(np.int64)
+            ids = pdf["vec_id"].values
+            out_q, out_n = [], []
+            for qi, qid in enumerate(qids):
+                sel = np.array([c in qcells[qi] for c in cells])
+                sel &= ~np.equal(ids, qid)
+                idx = np.nonzero(sel)[0]
+                if not len(idx):
+                    continue
+                d = np.empty(len(idx))
+                for j, t in enumerate(idx):
+                    tab = qtables[qi][int(cells[t])]
+                    d[j] = tab[np.arange(m), C[t]].sum()
+                top = idx[np.argsort(d, kind="stable")[:rerank]]
+                out_q.extend([qid] * len(top))
+                out_n.extend(int(ids[t]) for t in top)
+            yield pd.DataFrame({"query_id": out_q,
+                                "neighbor_id": out_n})
+
+    cands = codes.mapInPandas(
+        score_fn, schema="query_id long, neighbor_id long")
+    qdf = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_sq_unrolled(vec_col, dim).alias("qn"))
+    cdf = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cv"),
+                            norm_sq_unrolled(vec_col, dim).alias("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (cands.join(cdf, "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
             .withColumn("cosine", dot_unrolled("qv", "cv", dim)
                         / F.sqrt(F.col("qn") * F.col("cn")))
             .withColumn("rank", F.row_number().over(w))

@@ -8594,6 +8594,39 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), F.asc("path")).limit(25))
 
 
+@query("ivfpq_topk")  # no oracle: Lloyd-refined centroids + trained
+# residual codebooks aren't SQL-reproducible; gated closed-loop —
+# ivfpq_probe_all (below) is hash-checked ≡ brute force, and recall /
+# determinism gates live in tests/test_similarity.py.
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 — the two-level billion-scale index (FAISS
+    IVFPQ): spherical-k-means coarse cells prune to nprobe=4 Voronoi
+    regions, PQ codes over CELL RESIDUALS (pq_train/pq_encode with
+    normalize=False) give 8-byte vectors, per-cell ADC lookup tables
+    score candidates without touching floats, per-partition top-32
+    cuts bound the stream, exact JVM cosine re-ranks. Composes the
+    repo's coarse quantizer and PQ stages into the architecture
+    production vector stores actually deploy."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivfpq_topk)
+    return ivfpq_topk(table(spark, "embeddings", sf_dir),
+                      query_ids=list(range(10)), k=5)
+
+
+@query("ivfpq_probe_all", oracle=_cosine_topk_oracle())
+def q_ivfpq_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ exactness gate: every cell probed AND the ADC
+    candidate cut widened past the corpus ⇒ the candidate set is
+    provably everything, so the exact re-rank is provably brute-force
+    top-k for ANY centroids and codebooks — hash-checked against the
+    cosine oracle (the same closed loop that certifies
+    ivf_kmeans_probe_all, pq_rerank_all, and nsw_probe_all)."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivfpq_topk)
+    return ivfpq_topk(table(spark, "embeddings", sf_dir),
+                      query_ids=list(range(10)), k=5, probe_all=True)
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8659,6 +8692,7 @@ _PRIORITY: list[str] = [
     "nsw_topk", "scd2_snapshot_diff", "event_transition_matrix",
     "user_activity_bitmap", "mmr_rerank", "lineitem_higher_moments",
     "word_cooc_lift", "dup_graph_local_clustering", "top_event_paths",
+    "ivfpq_probe_all", "ivfpq_topk",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

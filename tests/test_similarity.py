@@ -377,3 +377,28 @@ def test_nsw_graph_stays_connected_under_pruning(spark):
     X = X / np.linalg.norm(X, axis=1)[:, None]
     adj = _build_nsw(X, max_degree=2, ef_construction=4)
     assert len(_nsw_component(adj, 0)) == len(X)
+
+
+def test_ivfpq_recall_determinism_and_probe_all(spark):
+    """IVF-PQ: nprobe=4/rerank=32 recall on the driver corpus must
+    clear a floor, repeated runs must agree row-for-row, and the
+    probe-all/full-rerank gate must equal brute force exactly."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivfpq_topk)
+    emb = table(spark, "embeddings", SF_DIR)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(emb, QUERY_IDS, k=5)
+             .collect()}
+    a = sorted(map(tuple, ivfpq_topk(emb, QUERY_IDS, k=5).collect()))
+    b = sorted(map(tuple, ivfpq_topk(emb, QUERY_IDS, k=5).collect()))
+    assert a == b, "IVF-PQ result not deterministic"
+    got = {(q, n) for q, n, _, _ in a}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall}"
+    full = sorted(map(tuple,
+                      ivfpq_topk(emb, QUERY_IDS, k=5, probe_all=True)
+                      .collect()))
+    brute = sorted(map(tuple,
+                       cosine_topk_bruteforce(emb, QUERY_IDS, k=5)
+                       .collect()))
+    assert full == brute
