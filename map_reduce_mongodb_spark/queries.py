@@ -8627,6 +8627,179 @@ def q_ivfpq_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                       query_ids=list(range(10)), k=5, probe_all=True)
 
 
+@query("source_vocab_overlap", oracle=r"""
+WITH sv AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       FROM sv GROUP BY 1),
+ov AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sv a JOIN sv b
+    ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       round(CAST(n_shared AS DOUBLE)
+             / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM ov
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+""")
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus SOURCES (the
+    text-side twin of `audience_overlap`): shared-type counts and
+    Jaccard between each source pair's vocabularies — the
+    domain-similarity readout that decides which sources a mixture
+    should treat as near-duplicates of each other. Scale shape:
+    dedupe to DISTINCT (source, word) first (fact-sized, map-side
+    combined), then the pair expansion is a self-join keyed by WORD —
+    each word contributes |its sources|² pairs (bounded by the source
+    vocabulary, never document count); sizes join back broadcast."""
+    from map_reduce_mongodb_spark.functions import text as T
+    d = table(spark, "documents", sf_dir)
+    sv = (d.select("source",
+                   F.explode(T.words(F.col("text"))).alias("word"))
+          .distinct())
+    sz = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sv.select(F.col("source").alias("source_a"), "word")
+    b = sv.select(F.col("source").alias("source_b"), "word")
+    ov = (a.join(b, "word")
+          .where(F.col("source_a") < F.col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sz.select(F.col("source").alias("source_a"),
+                   F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"),
+                   F.col("n").alias("n_b"))
+    return (ov.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                    F.round(F.col("n_shared").cast("double")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_shared")), 6)
+                    .alias("jaccard")))
+
+
+def _dbscan_oracle(dim: int = 64, threshold: float = 0.4,
+                   min_pts: int = 3) -> str:
+    """Exact DBSCAN over the ε-graph (cosine ≥ threshold), minPts
+    counted INCLUDING the point itself (degree ≥ minPts−1 ⇒ core):
+    core-core closure via recursive CTE, borders take the min core
+    neighbour's cluster, the rest is noise."""
+    from map_reduce_mongodb_spark.functions.vectors import (
+        dot_unrolled_sql, norm_sq_unrolled_sql)
+    nsq = norm_sq_unrolled_sql("embedding", dim)
+    dot = dot_unrolled_sql("a.vn", "b.vn", dim)
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / sqrt({nsq})) AS vn
+  FROM embeddings),
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({dot}, 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id)
+  WHERE cosine >= {threshold}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+core AS (SELECT src AS id FROM deg WHERE d >= {min_pts - 1}),
+ce AS (SELECT e.src, e.dst FROM edges e
+       JOIN core a ON a.id = e.src
+       JOIN core b ON b.id = e.dst),
+reach(id, r) AS (
+  SELECT src, src FROM ce
+  UNION
+  SELECT e.src, reach.r FROM ce e JOIN reach ON e.dst = reach.id),
+cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+ccall AS (SELECT id, cluster FROM cc
+          UNION ALL
+          SELECT id, id FROM core
+          WHERE id NOT IN (SELECT id FROM cc)),
+border AS (
+  SELECT e.src AS id, min(c.cluster) AS cluster
+  FROM edges e JOIN ccall c ON c.id = e.dst
+  WHERE e.src NOT IN (SELECT id FROM core)
+  GROUP BY e.src)
+SELECT em.vec_id,
+       CASE WHEN co.id IS NOT NULL THEN 'core'
+            WHEN bo.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(cl.cluster, bo.cluster) AS BIGINT) AS cluster_id
+FROM embeddings em
+LEFT JOIN core co ON co.id = em.vec_id
+LEFT JOIN ccall cl ON cl.id = em.vec_id
+LEFT JOIN border bo ON bo.id = em.vec_id
+"""
+
+
+@query("dbscan_embeddings", oracle=_dbscan_oracle())
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT density-based clustering (DBSCAN, ε = cosine 0.4,
+    minPts=3) over the embedding corpus — the clustering that finds
+    arbitrary-shaped dense regions and labels sparse vectors NOISE
+    (k-means must assign everything somewhere; semantic_dedup's plain
+    CC merges through any single chance pair — DBSCAN's core
+    requirement is the density filter between those extremes). All
+    stages ride existing scale machinery: the ε-graph IS the
+    once-materialized blocked-GEMM 0.4-pair table, degrees/cores are
+    one map-side-combined aggregate, the core-core closure is the
+    Kiveris CC operator, borders attach by a min-aggregate over core
+    neighbours, and the role classification is two broadcast-sized
+    left joins against the vector universe. Deterministic: cluster
+    label = min core id in the core component; border ties take the
+    min cluster label. The oracle re-derives everything from exact
+    all-pairs cosine + a recursive closure."""
+    from map_reduce_mongodb_spark.operators.graph import (
+        connected_components)
+    min_pts = 3
+    emb = table(spark, "embeddings", sf_dir)
+    pairs = _embedding_pairs_04(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("d"))
+    core = (deg.where(F.col("d") >= min_pts - 1)
+            .select(F.col("id_a").alias("id")))
+    ce = (pairs
+          .join(core.select(F.col("id").alias("id_a")), "id_a",
+                "left_semi")
+          .join(core.select(F.col("id").alias("id_b")), "id_b",
+                "left_semi"))
+    cc = connected_components(ce, src="id_a", dst="id_b")
+    ccall = cc.unionByName(
+        core.join(cc.select(F.col("id")), "id", "left_anti")
+        .select("id", F.col("id").alias("cc")))
+    border = (sym.join(core.select(F.col("id").alias("id_a")), "id_a",
+                       "left_anti")
+              .join(ccall.select(F.col("id").alias("id_b"),
+                                 F.col("cc").alias("cluster")),
+                    "id_b")
+              .groupBy("id_a").agg(F.min("cluster").alias("bcluster")))
+    return (emb.select("vec_id")
+            .join(core.select(F.col("id").alias("vec_id"),
+                              F.lit(True).alias("_core")),
+                  "vec_id", "left")
+            .join(ccall.select(F.col("id").alias("vec_id"),
+                               F.col("cc").alias("ccluster")),
+                  "vec_id", "left")
+            .join(border.select(F.col("id_a").alias("vec_id"),
+                                F.lit(True).alias("_border"),
+                                "bcluster"),
+                  "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("_core"), F.lit("core"))
+                 .when(F.col("_border"), F.lit("border"))
+                 .otherwise(F.lit("noise")).alias("role"),
+                F.coalesce("ccluster", "bcluster").cast("bigint")
+                 .alias("cluster_id")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8692,7 +8865,8 @@ _PRIORITY: list[str] = [
     "nsw_topk", "scd2_snapshot_diff", "event_transition_matrix",
     "user_activity_bitmap", "mmr_rerank", "lineitem_higher_moments",
     "word_cooc_lift", "dup_graph_local_clustering", "top_event_paths",
-    "ivfpq_probe_all", "ivfpq_topk",
+    "ivfpq_probe_all", "ivfpq_topk", "source_vocab_overlap",
+    "dbscan_embeddings",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

@@ -402,3 +402,21 @@ def test_ivfpq_recall_determinism_and_probe_all(spark):
                        cosine_topk_bruteforce(emb, QUERY_IDS, k=5)
                        .collect()))
     assert full == brute
+
+
+def test_nsw_and_ivfpq_tiny_corpus_edge_cases(spark):
+    """Index builders must survive degenerate shards: a corpus
+    smaller than k / max_degree / a single vector per shard — the
+    empty-partition and short-prefix paths that only fire at tiny n."""
+    import numpy as np
+    from map_reduce_mongodb_spark.operators.similarity import nsw_topk
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)], 0)
+            for i in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    # shard_rows=1 -> three 1-vector graphs; k > corpus
+    res = nsw_topk(emb, [0, 1], k=5, shard_rows=1).collect()
+    got = {(r.query_id, r.neighbor_id) for r in res}
+    # every non-self pair is reachable through the rerank union
+    assert got == {(0, 1), (0, 2), (1, 0), (1, 2)}

@@ -80,3 +80,19 @@ def test_heavy_hitters_partition_invariance(spark):
          exact_heavy_hitters(tokens.repartition(16), "word", 50)
          .collect()}
     assert a == b and a
+
+
+def test_misra_gries_empty_and_tiny_inputs(spark):
+    """The summary path must survive empty partitions and a stream
+    smaller than k."""
+    from map_reduce_mongodb_spark.operators.sketches import (
+        exact_heavy_hitters, misra_gries_candidates)
+    empty = spark.createDataFrame([], "word string").repartition(4)
+    assert misra_gries_candidates(empty, "word", 5).count() == 0
+    assert exact_heavy_hitters(empty, "word", 5).count() == 0
+    tiny = spark.createDataFrame([("a",), ("a",), ("b",)],
+                                 "word string").repartition(4)
+    hh = {(r.word, r.freq)
+          for r in exact_heavy_hitters(tiny, "word", 5).collect()}
+    # threshold n/(k+1) = 0.5 -> both items qualify
+    assert hh == {("a", 2), ("b", 1)}
