@@ -166,3 +166,57 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                   .select(F.col("id").alias("doc_id"),
                           F.col("cc").alias("cluster_id"),
                           F.col("cluster_size")))
+
+
+def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
+           id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Nodes of the graph's k-CORE (the maximal subgraph where every
+    node keeps degree ≥ k): iterative peeling — drop all nodes with
+    current degree < k, re-filter the edge list to survivors, repeat
+    until a round drops nobody. Returns (id, core_degree) with the
+    node's degree INSIDE the core.
+
+    Execution shape: each round is one map-side-combined degree
+    aggregate + two semi-joins keyed by node id — O(edges) per round,
+    no driver-side graph state; rounds cut lineage with the module's
+    localCheckpoint discipline (superseded rounds' RDD blocks released
+    immediately). The only driver value per round is the survivor
+    COUNT (the convergence scalar — same footprint as
+    connected_components' checksum). Round count is bounded by the
+    peeling depth (the graph's degeneracy ordering length), not by
+    data size; ``max_iter`` is a guard rail, and the loop raises if
+    it trips without converging (a silently partial core would be
+    wrong, not slow)."""
+    from map_reduce_mongodb_spark.cache import track_rdd
+    sym = pairs.select(F.col(id_a).alias("src"),
+                       F.col(id_b).alias("dst"))
+    edges = sym.union(sym.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    handles: list = []
+    prev_n = -1
+    for _ in range(max_iter):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        if n == 0:
+            edges = edges.limit(0)
+            break
+        edges, nxt = _checkpoint(
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst",
+                  "left_semi"))
+        for h in handles:
+            h.unpersist(False)
+        handles = nxt
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within {max_iter} rounds")
+    for h in handles:
+        track_rdd(h)
+    return (edges.groupBy("src").agg(F.count(F.lit(1))
+                                     .alias("core_degree"))
+            .where(F.col("core_degree") >= k)
+            .select(F.col("src").alias("id"), "core_degree"))

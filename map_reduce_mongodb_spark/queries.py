@@ -8800,6 +8800,26 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("cluster_id")))
 
 
+@query("dup_graph_kcore")  # no oracle: data-dependent peeling
+# fixpoint isn't SQL-expressible; gated against an exact pure-Python
+# peel in tests/test_graph.py (set + degree equality).
+def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-CORE of the near-dup graph (iterative peeling to the maximal
+    subgraph where every document keeps ≥3 near-dup neighbours) — the
+    density filter that isolates the BOILERPLATE/TEMPLATE nucleus:
+    connected components merge through any chance pair, but surviving
+    the 3-core demands mutual, redundant duplication. Each peel round
+    is one degree aggregate + two node-keyed semi-joins with
+    checkpointed lineage (operators/graph.py:k_core); the driver sees
+    one survivor count per round. Reads the shared 0.7-Jaccard pair
+    table. Rows-only by design (data-dependent fixpoint); exactness
+    is pinned against a pure-Python peel in tests."""
+    from map_reduce_mongodb_spark.operators.graph import k_core
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    return (k_core(pairs, k=3)
+            .select(F.col("id").alias("doc_id"), "core_degree"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8866,7 +8886,7 @@ _PRIORITY: list[str] = [
     "user_activity_bitmap", "mmr_rerank", "lineitem_higher_moments",
     "word_cooc_lift", "dup_graph_local_clustering", "top_event_paths",
     "ivfpq_probe_all", "ivfpq_topk", "source_vocab_overlap",
-    "dbscan_embeddings",
+    "dbscan_embeddings", "dup_graph_kcore",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

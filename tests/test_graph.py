@@ -136,3 +136,35 @@ def test_pagerank_releases_iteration_blocks(spark):
     assert during - base <= 4, f"{during - base} RDD/cache blocks live"
     release_caches()
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_k_core_matches_exact_python_peel(spark):
+    """k_core must equal the exact sequential peel (node set AND
+    in-core degrees) on the sf0.001 dup graph for several k."""
+    from collections import defaultdict
+
+    from map_reduce_mongodb_spark.operators.graph import k_core
+    from map_reduce_mongodb_spark.queries import _jaccard_pairs_07
+    from tests.conftest import SF_DIR
+    pairs = [(int(r.id_a), int(r.id_b))
+             for r in _jaccard_pairs_07(spark, SF_DIR)
+             .select("id_a", "id_b").collect()]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    for k in (2, 3, 4):
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            drop = [v for v, ns in adj.items() if len(ns) < k]
+            changed = bool(drop)
+            for v in drop:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+        want = {v: len(ns) for v, ns in adj.items()}
+        got = {int(r.id): int(r.core_degree)
+               for r in k_core(pdf, k=k).collect()}
+        assert got == want, f"k={k}: {got} != {want}"
+    assert k_core(pdf, k=2).count() > 0  # non-degenerate fixture

@@ -462,3 +462,13 @@ def test_lang_deciles_windows_run_over_histogram(spark):
     assert "partial_count" in p, p
     assert "Exchange SinglePartition" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_cooc_lift_and_paths_cut_with_takeordered(spark):
+    """Top-k cuts over unbounded key spaces (pair vocabulary, path
+    space) must be per-partition heaps, never a global sort."""
+    p = plan(QUERIES["word_cooc_lift"](spark, SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+    p = plan(QUERIES["top_event_paths"](spark, SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in p, p

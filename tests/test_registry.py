@@ -69,5 +69,5 @@ def test_rows_only_queries_are_documented_exceptions():
         "winnow_fingerprints_fast", "winnow_dup_pairs_fast",
         "ngram_jaccard_pairs_fast", "ann_lsh_topk",
         "minhash_dedup_pairs", "approx_sketches", "ivf_kmeans_topk",
-        "pq_adc_topk", "nsw_topk", "ivfpq_topk",
+        "pq_adc_topk", "nsw_topk", "ivfpq_topk", "dup_graph_kcore",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
