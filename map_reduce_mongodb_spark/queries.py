@@ -8820,6 +8820,116 @@ def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id").alias("doc_id"), "core_degree"))
 
 
+@query("brand_revenue_trend", oracle="""
+WITH wk AS (
+  SELECT p.p_brand,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(o.o_orderdate AS DATE)) // 7 AS x,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey),
+w2 AS (SELECT p_brand, x, sum(cents) AS y FROM wk GROUP BY 1, 2),
+m AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM w2 GROUP BY p_brand)
+SELECT p_brand, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+             4) AS slope_cents_per_week
+FROM m
+WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+""")
+def q_brand_revenue_trend(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Per-brand weekly revenue TREND (exact least-squares slope):
+    revenue collapses to integer cents per (brand, week) first — the
+    only fact-sized aggregate, map-side combined — then the
+    regression runs on exact integer moments (n, Σx, Σy, Σxy, Σx²)
+    over the calendar-bounded weekly table, with the slope formula
+    sharing identical expression TEXT across engines (the
+    brand_qty_price_corr discipline). Trend/regression over grouped
+    time series without ever sorting or windowing the fact table."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    p = table(spark, "part", sf_dir)
+    wk = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(p, li.l_partkey == p.p_partkey)
+          .select("p_brand",
+                  F.expr("datediff(cast(o_orderdate as date), "
+                         "date'1992-01-01') div 7").alias("x"),
+                  F.expr("CAST(round(l_extendedprice * "
+                         "(1 - l_discount) * 100) AS BIGINT)")
+                  .alias("cents")))
+    w2 = wk.groupBy("p_brand", "x").agg(F.sum("cents").alias("y"))
+    m = (w2.groupBy("p_brand")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.expr("x * y")).alias("sxy"),
+              F.sum(F.expr("x * x")).alias("sxx")))
+    num = "CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"
+    den = "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"
+    return (m.where(F.expr(den) > 0)
+            .select("p_brand", "n",
+                    F.round(F.expr(f"({num}) / ({den})"), 4)
+                    .alias("slope_cents_per_week")))
+
+
+@query("nation_supplier_hhi", oracle="""
+WITH sr AS (
+  SELECT s.s_nationkey,
+         l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS DECIMAL(38, 0))
+           AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(cents) AS t,
+         sum(cents * cents) AS srr
+  FROM sr GROUP BY s_nationkey)
+SELECT n.n_name AS nation, n_suppliers,
+       round(CAST(srr AS DOUBLE)
+             / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi
+FROM m JOIN nation n ON n.n_nationkey = m.s_nationkey
+""")
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Supplier-concentration index (Herfindahl–Hirschman) per
+    nation: HHI = Σ(supplier share)² = Σrev²/(Σrev)², computed from
+    EXACT integer-cent revenue with the squares widened to
+    DECIMAL(38,0) — Σcents² overflows int64 past ~sf1, the same
+    overflow the brand_qty_price_corr moments dodge (DuckDB HUGEINT /
+    Spark DECIMAL(38) both carry the product exactly). Two map-side
+    aggregates + a broadcast nation join; the only float op is one
+    division of exact inputs, rounded 6dp."""
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    sr = (li.join(s, li.l_suppkey == s.s_suppkey)
+          .groupBy("s_nationkey", "l_suppkey")
+          .agg(F.expr("CAST(sum(CAST(round(l_extendedprice * "
+                      "(1 - l_discount) * 100) AS BIGINT)) "
+                      "AS DECIMAL(38, 0))").alias("cents")))
+    m = (sr.groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_suppliers"),
+              F.sum("cents").alias("t"),
+              F.sum(F.expr("cents * cents")).alias("srr")))
+    return (m.join(F.broadcast(n),
+                   m.s_nationkey == n.n_nationkey)
+            .select(F.col("n_name").alias("nation"), "n_suppliers",
+                    F.round(F.expr("CAST(srr AS DOUBLE) / "
+                                   "(CAST(t AS DOUBLE) * "
+                                   "CAST(t AS DOUBLE))"), 6)
+                    .alias("hhi")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8886,7 +8996,8 @@ _PRIORITY: list[str] = [
     "user_activity_bitmap", "mmr_rerank", "lineitem_higher_moments",
     "word_cooc_lift", "dup_graph_local_clustering", "top_event_paths",
     "ivfpq_probe_all", "ivfpq_topk", "source_vocab_overlap",
-    "dbscan_embeddings", "dup_graph_kcore",
+    "dbscan_embeddings", "dup_graph_kcore", "brand_revenue_trend",
+    "nation_supplier_hhi",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
