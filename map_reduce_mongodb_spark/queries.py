@@ -8930,6 +8930,78 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str
                     .alias("hhi")))
 
 
+@query("k_anonymity_audit", oracle="""
+WITH eq AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2),
+ks AS (SELECT unnest(range(2, 11)) AS k)
+SELECT CAST(k AS INT) AS k,
+       CAST(count(*) FILTER (WHERE class_size < k) AS BIGINT)
+         AS classes_below_k,
+       CAST(coalesce(sum(class_size)
+                     FILTER (WHERE class_size < k), 0) AS BIGINT)
+         AS rows_at_risk
+FROM eq CROSS JOIN ks
+GROUP BY k
+""")
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str
+                        ) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: for each k in 2..10, how many equivalence
+    classes fall below k members and how many customer rows they
+    expose — the privacy gate run before releasing a dataset keyed
+    on indirect identifiers (the tabular sibling of `pii_scrub`'s
+    free-text pass). One fact-sized map-side-combined class
+    aggregate; the k-sweep is a broadcast 9-row cross join over the
+    QI-bounded class table with conditional aggregates."""
+    c = table(spark, "customer", sf_dir)
+    eq = (c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("class_size")))
+    ks = spark.range(2, 11).select(F.col("id").cast("int").alias("k"))
+    below = F.col("class_size") < F.col("k")
+    return (eq.crossJoin(F.broadcast(ks))
+            .groupBy("k")
+            .agg(F.count_if(below).alias("classes_below_k"),
+                 F.coalesce(F.sum(F.when(below, F.col("class_size"))),
+                            F.lit(0)).alias("rows_at_risk")))
+
+
+@query("events_seasonality_dow_hour", oracle="""
+WITH e AS (
+  SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INT) AS hr,
+         value
+  FROM events),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+SELECT CAST(dow AS INT) AS dow, hr,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(count(*) AS DOUBLE) / n, 6) AS share,
+       round(sum(value), 2) AS total_value
+FROM e CROSS JOIN tot
+GROUP BY dow, hr, n
+""")
+def q_events_seasonality_dow_hour(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality matrix (counts, traffic
+    share, value totals) — the load-profile heat map behind capacity
+    planning and anomaly baselines. One map-side-combined aggregate
+    over a calendar-bounded 7×24 key space; the total joins as a
+    broadcast scalar. DuckDB's dayofweek is 0-6 Sunday-first while
+    Spark's dayofweek is 1-7 Sunday-first — Spark side subtracts 1
+    to match the 0-based convention."""
+    e = (table(spark, "events", sf_dir)
+         .select((F.dayofweek("ts") - 1).cast("int").alias("dow"),
+                 F.hour("ts").cast("int").alias("hr"), "value"))
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    return (e.crossJoin(F.broadcast(tot))
+            .groupBy("dow", "hr", "n")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.count(F.lit(1)).cast("double")
+                         / F.col("n"), 6).alias("share"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .drop("n"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -8997,7 +9069,8 @@ _PRIORITY: list[str] = [
     "word_cooc_lift", "dup_graph_local_clustering", "top_event_paths",
     "ivfpq_probe_all", "ivfpq_topk", "source_vocab_overlap",
     "dbscan_embeddings", "dup_graph_kcore", "brand_revenue_trend",
-    "nation_supplier_hhi",
+    "nation_supplier_hhi", "k_anonymity_audit",
+    "events_seasonality_dow_hour",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
