@@ -8302,17 +8302,27 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     id tiebreaks in both engines. At 100 TB the pool stage is the
     existing top-k machinery; the MMR stage only ever touches
     |Q|·pool rows."""
-    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.cache import track_rdd
     from map_reduce_mongodb_spark.functions.vectors import (
         cosine_unrolled)
+    from map_reduce_mongodb_spark.operators.graph import _checkpoint
     from map_reduce_mongodb_spark.operators.similarity import (
         cosine_topk_bruteforce)
     pool, k = 8, 4
     emb = table(spark, "embeddings", sf_dir)
-    cand = tracked_persist(
+    # The greedy chain references the pool ~2 tables per step; left
+    # lazy, each step's plan re-embeds the brute-force scan and the
+    # pairwise-sim join, and 4 steps of window+join lineage compile
+    # into a ~90-broadcast-join monster (measured 11.8 s at sf0.1,
+    # nearly all planning/codegen). Checkpointing the two
+    # |Q|·pool-bounded tables — and each step's selection — keeps
+    # every step's plan flat over tiny materialized inputs (~1 s).
+    handles: list = []
+    cand, h = _checkpoint(
         cosine_topk_bruteforce(emb, list(range(5)), k=pool)
         .select("query_id", "neighbor_id",
                 F.col("cosine").alias("rel")))
+    handles += h
     ev = emb.select("vec_id", "embedding")
     candv = (cand.join(ev, cand.neighbor_id == ev.vec_id)
              .select("query_id", "neighbor_id", "embedding"))
@@ -8320,11 +8330,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("embedding").alias("va"))
     b = candv.select("query_id", F.col("neighbor_id").alias("id_b"),
                      F.col("embedding").alias("vb"))
-    psim = tracked_persist(
+    psim, h = _checkpoint(
         a.join(b, "query_id")
         .where(F.col("id_a") != F.col("id_b"))
         .select("query_id", "id_a", "id_b",
                 cosine_unrolled("va", "vb", 64).alias("sim")))
+    handles += h
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("neighbor_id"))
     sel = (cand.withColumn("rn", F.row_number().over(w1))
@@ -8351,7 +8362,10 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("rn") == 1)
                 .select("query_id", "neighbor_id",
                         F.lit(t).alias("pick"), "score"))
-        sel = sel.unionByName(pick)
+        sel, h = _checkpoint(sel.unionByName(pick))
+        handles += h
+    for h in handles:
+        track_rdd(h)
     return sel.select("query_id", "neighbor_id",
                       F.col("pick").cast("int").alias("pick"),
                       F.round("score", 6).alias("score"))
