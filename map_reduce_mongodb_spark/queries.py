@@ -9016,6 +9016,47 @@ def q_events_seasonality_dow_hour(spark: SparkSession, sf_dir: str
             .drop("n"))
 
 
+#: One SQL text, two engines: Spark 4's WITH RECURSIVE (SPARK-24497)
+#: and DuckDB's run the IDENTICAL statement — a decimal-digit-peeling
+#: hierarchy walk (parent(s) = s div 10) computing each supplier's
+#: depth and root. Integer division is spelled (cur - cur % 10) / 10
+#: because `//` vs `div` differ between dialects while `%` and exact
+#: float division of a divisible numerator agree.
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS suppkey, s_suppkey AS cur, 0 AS depth
+  FROM supplier
+  UNION ALL
+  SELECT suppkey, CAST((cur - cur % 10) / 10 AS BIGINT) AS cur,
+         depth + 1 AS depth
+  FROM chain WHERE cur >= 10
+)
+SELECT suppkey, CAST(max(depth) AS INT) AS depth,
+       CAST(min(CASE WHEN cur < 10 THEN cur END) AS BIGINT) AS root
+FROM chain GROUP BY suppkey
+"""
+
+
+@query("sql_surface_recursive_cte", oracle=_RECURSIVE_CTE_SQL)
+def q_sql_surface_recursive_cte(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Recursive-CTE surface: Spark 4 executes WITH RECURSIVE
+    natively (SPARK-24497 — iterative union steps planned by
+    Catalyst), so the hierarchy-walk class of queries (org charts,
+    BOM explosions, graph reachability) runs as plain ANSI SQL — the
+    SAME statement string is this query's oracle, making the two
+    engines' recursion semantics directly comparable. The walk here
+    peels decimal digits of s_suppkey (parent = s div 10): depth is
+    bounded by log₁₀(maxkey), and each iteration is one bounded
+    union step over the surviving frontier. (The repo's DataFrame-
+    level iterative operators — CC, PageRank, BFS, peeling — remain
+    the scale path where the iteration needs checkpoint discipline;
+    this pins the SQL-parser surface.)"""
+    from map_reduce_mongodb_spark.io import load_tables
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9084,7 +9125,7 @@ _PRIORITY: list[str] = [
     "ivfpq_probe_all", "ivfpq_topk", "source_vocab_overlap",
     "dbscan_embeddings", "dup_graph_kcore", "brand_revenue_trend",
     "nation_supplier_hhi", "k_anonymity_audit",
-    "events_seasonality_dow_hour",
+    "events_seasonality_dow_hour", "sql_surface_recursive_cte",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
