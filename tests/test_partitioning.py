@@ -100,3 +100,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
     p = _plan(joined, mode="simple")
     assert "isFinalPlan=true" in p
     assert "skew=true" in p, p
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Additive schema evolution: files written before a column
+    existed must read alongside newer files via mergeSchema, with
+    the missing column as NULL — the contract that lets a 100 TB
+    table grow columns without rewriting history."""
+    import pyspark.sql.functions as F
+    d = tmp_path / "evolving"
+    v1 = spark.range(5).select(F.col("id"),
+                               (F.col("id") * 2).alias("a"))
+    v1.write.parquet(str(d / "epoch=1"))
+    v2 = spark.range(5, 10).select(F.col("id"),
+                                   (F.col("id") * 2).alias("a"),
+                                   F.lit("new").alias("b"))
+    v2.write.parquet(str(d / "epoch=2"))
+    got = (spark.read.option("mergeSchema", "true")
+           .option("recursiveFileLookup", "true").parquet(str(d)))
+    assert set(got.columns) == {"id", "a", "b"}
+    assert got.count() == 10
+    assert got.where(F.col("b").isNull()).count() == 5
+    # column pruning still reaches the scan on the merged schema
+    assert got.select("a").where(F.col("a") > 10).count() == 4

@@ -229,3 +229,39 @@ def test_transform_with_state_profiles_match_batch(spark):
                         " event_type string, value double,"
                         " props string").parquet(SF_DIR)).collect()}
     assert got == want
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across a RESTART: process a first batch of files,
+    stop the query, drop more files in, restart with the SAME
+    checkpoint — the sink must end up with every input row exactly
+    once (the checkpoint's source offsets skip the already-committed
+    files), equal to a batch read of the full directory."""
+    import pyspark.sql.functions as F
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    events = table(spark, "events", SF_DIR)
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(str(src / "f1"))
+
+    def run_once():
+        q = (spark.readStream.schema(events.schema)
+             .option("recursiveFileLookup", "true")
+             .parquet(str(src))
+             .writeStream.format("parquet")
+             .option("path", str(sink))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(str(sink)).count()
+    assert n1 == half1.count()
+    half2.write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()
+    got = spark.read.parquet(str(sink))
+    assert got.count() == events.count()  # no loss, no double-count
+    assert got.select("event_id").distinct().count() == events.count()
