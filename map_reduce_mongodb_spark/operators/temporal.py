@@ -16,6 +16,13 @@ Range join (count/aggregate right rows within [ts-Δ, ts)):
     width Δ; each left row probes its own and the previous bucket —
     an equi-join on (key, bucket) with a residual range filter. Join
     fan-out is bounded by bucket occupancy, not window count.
+
+Interval-overlap join (all pairs of overlapping [start, end) spans):
+    The 1-D analogue of the spatial grid join (operators/spatial.py):
+    each interval explodes to the fixed-width day cells it covers, the
+    self-join runs per (key, cell), and each overlapping pair is kept
+    exactly once — in the canonical cell that contains the overlap's
+    first day. Join fan-out is Σ cell_occupancy², never |group|².
 """
 
 from __future__ import annotations
@@ -99,3 +106,41 @@ def range_count(left: DataFrame, right: DataFrame, by: str, ts: str,
         .agg(*aggs)
         .drop("_lid")
     )
+
+
+def interval_overlap_pairs(iv: DataFrame, key: str, id_col: str,
+                           start: str, end: str,
+                           cell_width: int) -> DataFrame:
+    """All pairs (a, b) with ``a.id < b.id`` sharing `key` whose
+    half-open integer intervals ``[start, end)`` overlap, with the
+    overlap length attached — the temporal-interval join behind
+    shipment-collision, booking-conflict, and session-concurrency
+    analyses.
+
+    Scale design: the naive per-key self-join compares |group|² pairs.
+    Here each interval is exploded to the ``cell_width``-wide cells it
+    covers (``sequence(s div w, (e-1) div w)`` — ≤ span/w + 1 cells),
+    the equi-join runs on (key, cell), and a surviving pair is counted
+    exactly once by the CANONICAL-CELL rule: keep it only in the cell
+    containing ``max(a.start, b.start)`` — the overlap's first day,
+    which both sides necessarily cover. Work is Σ occupancy² per cell
+    instead of |group|², and a hot cell is an AQE-skew/salting target
+    like any hot LSH bucket. Output: key, id_a, id_b, overlap
+    (= min(ends) - max(starts) > 0)."""
+    cells = iv.select(
+        F.col(key), F.col(id_col), F.col(start), F.col(end),
+        F.explode(F.sequence(
+            F.floor(F.col(start) / cell_width),
+            F.floor((F.col(end) - 1) / cell_width))).alias("_cell"))
+    a, b = cells.alias("a"), cells.alias("b")
+    ov_start = F.greatest(F.col(f"a.{start}"), F.col(f"b.{start}"))
+    overlap = (F.least(F.col(f"a.{end}"), F.col(f"b.{end}")) - ov_start)
+    return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                   & (F.col("a._cell") == F.col("b._cell"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .where((overlap > 0)
+                   & (F.col("a._cell") == F.floor(ov_start / cell_width)))
+            .select(F.col(f"a.{key}").alias(key),
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    overlap.alias("overlap")))

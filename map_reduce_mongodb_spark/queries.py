@@ -9058,6 +9058,193 @@ def q_sql_surface_recursive_cte(spark: SparkSession, sf_dir: str
 
 
 # =====================================================================
+# Round-5 continuation batch C: temporal rollups, interval joins,
+# data-skipping statistics, robust statistics, entity clustering
+# =====================================================================
+
+@query("events_hourly_ohlc", oracle="""
+SELECT event_type, date_trunc('hour', ts) AS hr,
+       CAST(count(*) AS BIGINT) AS n_events,
+       arg_min(value, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, event_id) AS close,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""")
+def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    time-series downsampling rollup behind candlestick charts and
+    metric retention tiers. One map-side-combined aggregate over a
+    calendar-bounded key space (types × hours); open/close are
+    ``min_by``/``max_by`` on the ingest sequence number (event_id —
+    monotone with arrival), which makes them deterministic even when
+    two events share a timestamp (the F4 truthiness-reduce discipline:
+    never a nondeterministic `first`). At 100 TB this is the canonical
+    partial-aggregate shape: no shuffle beyond the final
+    types×hours-sized combine."""
+    e = table(spark, "events", sf_dir)
+    return (e.groupBy("event_type",
+                      F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min_by("value", "event_id").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "event_id").alias("close"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@query("shipment_overlap_pairs", oracle="""
+WITH iv AS (
+  SELECT l_suppkey AS suppkey,
+         l_orderkey * 8 + l_linenumber AS iid,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(l_shipdate AS DATE)) AS s,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(l_shipdate AS DATE))
+           + CAST(l_quantity AS INT) % 7 + 1 AS e
+  FROM lineitem)
+SELECT a.suppkey AS suppkey,
+       CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+         AS total_overlap_days,
+       CAST(max(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+         AS max_overlap_days
+FROM iv a JOIN iv b
+  ON a.suppkey = b.suppkey AND a.iid < b.iid
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.suppkey
+""")
+def q_shipment_overlap_pairs(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Interval-overlap join: per supplier, every pair of shipments
+    whose in-transit windows ``[shipdate, shipdate + transit_days)``
+    overlap (transit_days derived deterministically from quantity),
+    aggregated to pair counts and overlap-day totals — the
+    booking-conflict / concurrent-load analysis. The oracle states
+    the semantics as the plain quadratic inequality self-join; the
+    Spark plan is `operators/temporal.py:interval_overlap_pairs`:
+    explode each interval to its 7-day grid cells, equi-join on
+    (supplier, cell), and keep each pair once in the canonical cell
+    holding the overlap's first day. Per-cell occupancy — not
+    |supplier group|² — bounds the fan-out, the 1-D sibling of the
+    spatial grid join (`usgs_sites_within_radius`)."""
+    from map_reduce_mongodb_spark.operators.temporal import (
+        interval_overlap_pairs)
+    li = table(spark, "lineitem", sf_dir)
+    day0 = F.lit("1992-01-01").cast("date")
+    iv = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("iid"),
+        F.datediff(F.to_date("l_shipdate"), day0).cast("long").alias("s"),
+        (F.datediff(F.to_date("l_shipdate"), day0)
+         + F.col("l_quantity").cast("int") % 7 + 1).cast("long")
+        .alias("e"))
+    pairs = interval_overlap_pairs(iv, key="suppkey", id_col="iid",
+                                   start="s", end="e", cell_width=7)
+    return (pairs.groupBy("suppkey")
+            .agg(F.count(F.lit(1)).alias("n_overlap_pairs"),
+                 F.sum("overlap").cast("long")
+                 .alias("total_overlap_days"),
+                 F.max("overlap").cast("long")
+                 .alias("max_overlap_days")))
+
+
+@query("zonemap_pruning_stats", oracle=f"""
+WITH pts AS (
+  SELECT o_custkey % 256 AS x,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(o_orderdate AS DATE)) % 256 AS y
+  FROM orders),
+z AS (SELECT x, y, {_morton16_sql('x', 'y')} AS zcode FROM pts),
+tagged AS (
+  SELECT layout,
+         CASE WHEN layout = 'zorder' THEN zcode >> 10
+              ELSE x >> 2 END AS bucket,
+         x, y,
+         CASE WHEN x BETWEEN 96 AND 127 AND y BETWEEN 96 AND 127
+              THEN 1 ELSE 0 END AS m
+  FROM z CROSS JOIN (SELECT 'zorder' AS layout
+                     UNION ALL SELECT 'linear') layouts),
+b AS (
+  SELECT layout, bucket, count(*) AS n, sum(m) AS nm,
+         min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max
+  FROM tagged GROUP BY layout, bucket),
+f AS (
+  SELECT layout, n, nm,
+         CASE WHEN x_max >= 96 AND x_min <= 127
+                   AND y_max >= 96 AND y_min <= 127
+              THEN 0 ELSE 1 END AS pruned
+  FROM b)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+       CAST(sum(n) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN pruned = 0 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(sum(nm) AS BIGINT) AS rows_matched,
+       round(CAST(sum(CASE WHEN pruned = 0 THEN n ELSE 0 END) AS DOUBLE)
+             / sum(n), 6) AS scan_frac
+FROM f GROUP BY layout
+""")
+def q_zonemap_pruning_stats(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Zone-map (file-statistics) pruning simulator: lay the orders
+    fact out 64 buckets two ways — Z-ordered on (customer bucket,
+    order-day bucket) vs linearly sorted on the customer bucket alone
+    — record each bucket's min/max envelope, and evaluate which
+    buckets a 32×32 two-column range predicate could skip. This is
+    the measurement behind `zorder_layout`'s claim: the Z-order
+    layout's aligned tiles prune BOTH dimensions (scan_frac ≈ the
+    selectivity), while the 1-D sort only prunes its leading column.
+    At 100 TB the b-CTE *is* the parquet footer statistics a
+    data-skipping reader consults — computing it is one
+    map-side-combined aggregate per layout over a shared scan, and
+    the pruning sweep runs on the 64-row bucket table. Pure integer
+    shift/mask arithmetic, exact in both engines."""
+    o = table(spark, "orders", sf_dir)
+    pts = o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.datediff(F.to_date("o_orderdate"),
+                    F.lit("1992-01-01").cast("date")) % 256
+         ).cast("long").alias("y"))
+    z = pts.withColumn("zcode", F.expr(_morton16_sql("x", "y")))
+    layouts = (spark.range(1)
+               .select(F.explode(F.array(F.lit("zorder"),
+                                         F.lit("linear")))
+                       .alias("layout")))
+    tagged = (z.crossJoin(F.broadcast(layouts))
+              .select("layout",
+                      F.when(F.col("layout") == "zorder",
+                             F.shiftright("zcode", 10))
+                      .otherwise(F.shiftright("x", 2)).alias("bucket"),
+                      "x", "y",
+                      F.when((F.col("x").between(96, 127))
+                             & (F.col("y").between(96, 127)), 1)
+                      .otherwise(0).alias("m")))
+    b = (tagged.groupBy("layout", "bucket")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("nm"),
+              F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+              F.min("y").alias("y_min"), F.max("y").alias("y_max")))
+    pruned = F.when((F.col("x_max") >= 96) & (F.col("x_min") <= 127)
+                    & (F.col("y_max") >= 96) & (F.col("y_min") <= 127),
+                    0).otherwise(1)
+    f = b.select("layout", "n", "nm", pruned.alias("pruned"))
+    scanned = F.sum(F.when(F.col("pruned") == 0, F.col("n"))
+                    .otherwise(F.lit(0)))
+    return (f.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum("pruned").cast("long").alias("n_pruned"),
+                 F.sum("n").cast("long").alias("rows_total"),
+                 scanned.cast("long").alias("rows_scanned"),
+                 F.sum("nm").cast("long").alias("rows_matched"),
+                 F.round(scanned.cast("double") / F.sum("n"), 6)
+                 .alias("scan_frac")))
+
+
+# =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
 # The grading driver records at most the FIRST 50 entries of
@@ -9126,6 +9313,8 @@ _PRIORITY: list[str] = [
     "dbscan_embeddings", "dup_graph_kcore", "brand_revenue_trend",
     "nation_supplier_hhi", "k_anonymity_audit",
     "events_seasonality_dow_hour", "sql_surface_recursive_cte",
+    "events_hourly_ohlc", "shipment_overlap_pairs",
+    "zonemap_pruning_stats",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

@@ -24,3 +24,26 @@ def test_range_count_preserves_duplicate_left_rows(spark):
     out = range_count(left, right, by="user", ts="ts", delta_seconds=60)
     rows = sorted((r.user, r.n_in_range) for r in out.collect())
     assert rows == [("u1", 1), ("u1", 1), ("u2", 0)]
+
+
+def test_interval_overlap_pairs_canonical_cell_dedup(spark):
+    """A pair of long intervals sharing MANY grid cells must surface
+    exactly once (the canonical-cell rule), with the exact overlap
+    length; disjoint and touching (half-open) intervals must not
+    pair; pairs never cross the key boundary."""
+    from map_reduce_mongodb_spark.operators.temporal import (
+        interval_overlap_pairs)
+    iv = spark.createDataFrame(
+        [  # key s1: [0,20) vs [5,25) share cells 0..2 (w=7), overlap 15
+            ("s1", 1, 0, 20), ("s1", 2, 5, 25),
+            # touching half-open: [25,30) vs [30,35) -> no pair
+            ("s1", 3, 25, 30), ("s1", 4, 30, 35),
+            # same span as id 1/2 but other key: no cross-key pair
+            ("s2", 5, 0, 20),
+        ],
+        "k string, iid int, s long, e long")
+    out = interval_overlap_pairs(iv, key="k", id_col="iid",
+                                 start="s", end="e", cell_width=7)
+    rows = sorted((r.k, r.id_a, r.id_b, r.overlap)
+                  for r in out.collect())
+    assert rows == [("s1", 1, 2, 15)]
