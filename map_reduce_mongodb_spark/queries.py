@@ -9244,6 +9244,70 @@ def q_zonemap_pruning_stats(spark: SparkSession, sf_dir: str
                  .alias("scan_frac")))
 
 
+@query("robust_mad_outliers", oracle="""
+WITH v AS (SELECT event_type, value FROM events),
+r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+med AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_events, value AS median
+  FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT v.event_type, v.value, abs(v.value - m.median) AS d,
+         m.median, m.n_events
+  FROM v JOIN med m USING (event_type)),
+r2 AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+mad AS (SELECT event_type, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.event_type, d.n_events, d.median, mad.mad,
+       CAST(count(*) FILTER (WHERE d.d > 3 * mad.mad) AS BIGINT)
+         AS n_outliers,
+       max(d.d) AS max_abs_dev
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type, d.n_events, d.median, mad.mad
+""")
+def q_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate per event type: median + MAD (median
+    absolute deviation) instead of mean + σ — the curation filter
+    that survives the heavy-tailed value distributions where
+    `events_anomaly_zscore`'s moments get dragged by the outliers
+    they're meant to find. Both order statistics are EXACT over the
+    continuous value column via
+    `operators/quantiles.py:grouped_order_statistic` — a two-phase
+    selection (bucket histogram locates the target bucket, a tiny
+    per-(group, bucket) sort finishes) so no group's full value set
+    crosses one task; the oracle states the same statistic as the
+    quadratic-free but single-partition-per-group window form. Every
+    emitted number is either a data value, an IEEE-exact |v - median|,
+    or an integer count — no rounding needed for cross-engine
+    equality (the 3·MAD threshold multiplies identically in both
+    engines)."""
+    from map_reduce_mongodb_spark.operators.quantiles import (
+        grouped_order_statistic)
+    e = table(spark, "events", sf_dir).select("event_type", "value")
+    med = grouped_order_statistic(e, ["event_type"], "value",
+                                  out_col="median")
+    dev = (e.join(F.broadcast(med), "event_type")
+           .withColumn("d", F.abs(F.col("value") - F.col("median"))))
+    mad = (grouped_order_statistic(
+               dev.select("event_type", "d"), ["event_type"], "d",
+               out_col="mad")
+           .select("event_type", "mad"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type",
+                     F.col("n").cast("long").alias("n_events"),
+                     "median", "mad")
+            .agg(F.count_if(F.col("d") > 3 * F.col("mad"))
+                 .alias("n_outliers"),
+                 F.max("d").alias("max_abs_dev")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9314,7 +9378,7 @@ _PRIORITY: list[str] = [
     "nation_supplier_hhi", "k_anonymity_audit",
     "events_seasonality_dow_hour", "sql_surface_recursive_cte",
     "events_hourly_ohlc", "shipment_overlap_pairs",
-    "zonemap_pruning_stats",
+    "zonemap_pruning_stats", "robust_mad_outliers",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

@@ -1,0 +1,54 @@
+"""grouped_order_statistic: exactness against a Python sort, including
+duplicate values straddling bucket boundaries and custom ranks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_mongodb_spark.operators.quantiles import (
+    grouped_order_statistic)
+
+
+def _data():
+    # Deterministic LCG values in [0, 40) with duplicates, 2 groups.
+    rows, x = [], 7
+    for i in range(200):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        rows.append(("g" + str(i % 2), float(x % 400) / 10.0))
+    # Pile duplicates exactly on a bucket edge (floor(v) boundary).
+    rows += [("g0", 17.0)] * 15 + [("g1", 17.0)] * 5
+    return rows
+
+
+def test_lower_median_matches_python_sort(spark):
+    rows = _data()
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: (r.n, r.stat)
+           for r in grouped_order_statistic(df, ["g"], "v").collect()}
+    for g in ("g0", "g1"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        k = (len(vals) + 1) // 2
+        assert out[g] == (len(vals), vals[k - 1]), g
+
+
+def test_custom_rank_p90(spark):
+    rows = _data()
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r.stat
+           for r in grouped_order_statistic(
+               df, ["g"], "v", rank_sql="(9 * n + 9) div 10").collect()}
+    for g in ("g0", "g1"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        k = (9 * len(vals) + 9) // 10
+        assert out[g] == vals[k - 1], g
+
+
+def test_selection_window_is_bucket_scoped(spark):
+    """The phase-2 sort must be partitioned by (group, bucket) — never
+    a whole-group (let alone global) window — and the target join must
+    broadcast."""
+    df = spark.createDataFrame(_data(), "g string, v double")
+    plan = (grouped_order_statistic(df, ["g"], "v")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "_b" in plan.split("row_number")[1].split("\n")[0], plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
