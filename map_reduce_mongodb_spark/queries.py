@@ -9308,6 +9308,65 @@ def q_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("d").alias("max_abs_dev")))
 
 
+@query("fuzzy_entity_clusters", oracle="""
+WITH RECURSIVE names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         string_split(p_name, ' ')[-1] AS blk
+  FROM part GROUP BY p_name),
+p AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b
+    ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+edges AS (SELECT na AS src, nb AS dst FROM p
+          UNION SELECT nb, na FROM p),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cc.cluster_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(sum(n.n_parts) AS BIGINT) AS n_parts
+FROM cc JOIN names n ON cc.id = n.p_name
+GROUP BY cc.cluster_id
+""")
+def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Entity resolution END-TO-END: the blocked-Levenshtein candidate
+    pairs of `fuzzy_name_match` closed into entity CLUSTERS via
+    connected components — pairs alone don't deduplicate a catalog;
+    the transitive closure ("A≈B, B≈C ⇒ one entity {A,B,C}") does.
+    Each cluster reports its canonical id (lexicographic-min member
+    name — the same component-min rule as every dedup family here),
+    member count, and total part rows it would consolidate. Scale
+    path: pair generation is vocabulary-sized and blocked (see
+    `fuzzy_name_match`); the closure is the Kiveris CC operator on
+    STRING node ids (`operators/graph.py` works over any comparable
+    id type — min-label propagation needs only an ordering); the
+    oracle re-derives the closure with a recursive CTE. The final
+    size/rollup joins are cluster-bounded aggregates."""
+    from map_reduce_mongodb_spark.operators.graph import (
+        connected_components)
+    pt = table(spark, "part", sf_dir)
+    names = (pt.groupBy("p_name")
+             .agg(F.count(F.lit(1)).alias("n_parts"))
+             .withColumn("blk", F.element_at(
+                 F.split(F.col("p_name"), " "), -1)))
+    a, b = names.alias("a"), names.alias("b")
+    edges = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.p_name") < F.col("b.p_name")))
+             .where(F.levenshtein(F.col("a.p_name"),
+                                  F.col("b.p_name")) <= 3)
+             .select(F.col("a.p_name").alias("src"),
+                     F.col("b.p_name").alias("dst")))
+    cc = connected_components(edges)
+    return (cc.join(names, cc["id"] == names["p_name"])
+            .groupBy(F.col("cc").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.sum("n_parts").cast("long").alias("n_parts")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9379,6 +9438,7 @@ _PRIORITY: list[str] = [
     "events_seasonality_dow_hour", "sql_surface_recursive_cte",
     "events_hourly_ohlc", "shipment_overlap_pairs",
     "zonemap_pruning_stats", "robust_mad_outliers",
+    "fuzzy_entity_clusters",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
