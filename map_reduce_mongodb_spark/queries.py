@@ -9367,6 +9367,109 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str
                  F.sum("n_parts").cast("long").alias("n_parts")))
 
 
+def _pca_oracle(dim: int = 64, iters: int = 8) -> str:
+    """Unrolled-CTE mirror of operators/pca.py: same quantization
+    (2^10), same reduction divisor (2^18), same per-step cap (2^10),
+    same sign·(abs div d) division — every intermediate an exact
+    integer, so the comparison needs no rounding at all."""
+    # AS MATERIALIZED everywhere: the iteration references `cr` and
+    # each v{k} repeatedly; DuckDB's default CTE inlining would expand
+    # the 8-step chain exponentially (observed: fd exhaustion from
+    # hundreds of re-opened base scans).
+    its, prev = [], "v0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT cr.i AS i, sum(cr.c * {prev}.v) AS w
+  FROM cr JOIN {prev} ON cr.j = {prev}.i GROUP BY cr.i),
+m{k} AS MATERIALIZED (SELECT max(abs(w)) // 1024 + 1 AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN w < 0 THEN -((-w) // m)
+                 ELSE w // m END AS v
+  FROM w{k} CROSS JOIN m{k})""")
+        prev = f"v{k}"
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id AS r, idx.i AS i,
+         CAST(floor(CAST(embedding[idx.i] AS DOUBLE) * 1024 + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx),
+nn AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+s AS MATERIALIZED (SELECT i, sum(xq) AS s FROM x GROUP BY i),
+y AS MATERIALIZED (
+  SELECT r, x.i, nn.n * xq - s.s AS y
+  FROM x JOIN s ON x.i = s.i CROSS JOIN nn),
+c AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.y * b.y) AS c
+  FROM y a JOIN y b ON a.r = b.r GROUP BY a.i, b.i),
+d AS MATERIALIZED (SELECT max(abs(c)) // 262144 + 1 AS d FROM c),
+cr AS MATERIALIZED (
+  SELECT i, j, CASE WHEN c < 0 THEN -((-c) // d)
+                    ELSE c // d END AS c
+  FROM c CROSS JOIN d),
+v0 AS MATERIALIZED (
+  SELECT i, CAST(1 AS BIGINT) AS v FROM s),{','.join(its)},
+vv AS (SELECT sum(v * v) AS vv FROM v{iters}),
+vcv AS (SELECT sum(a.v * cr.c * b.v) AS vcv
+        FROM cr JOIN v{iters} a ON cr.i = a.i
+                JOIN v{iters} b ON cr.j = b.i)
+SELECT CAST(s.i AS INT) AS dim,
+       CAST(s.s AS DOUBLE) / 1024.0 / nn.n AS mean_val,
+       CAST(v{iters}.v AS DOUBLE) / sqrt(CAST(vv.vv AS DOUBLE))
+         AS loading_pc1,
+       CAST(vcv.vcv AS DOUBLE) * d.d / CAST(vv.vv AS DOUBLE)
+         / (nn.n * nn.n) / 1048576.0 AS eigval
+FROM s JOIN v{iters} ON s.i = v{iters}.i
+CROSS JOIN vv CROSS JOIN vcv CROSS JOIN d CROSS JOIN nn
+"""
+
+
+@query("embedding_pca_power_iteration", oracle=_pca_oracle())
+def q_embedding_pca_power_iteration(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """First principal component of the embedding table by EXACT
+    integer arithmetic: per-dim means, PC1 loadings (8-step power
+    iterate), and the PC1 variance share numerator (Rayleigh
+    quotient) — the anisotropy diagnostic behind embedding-space
+    whitening ("is the space collapsing onto one direction?").
+    Distributed work is two passes over the corpus
+    (`operators/pca.py:gram_matrix_int`): an integer per-dim sum and
+    one mapInPandas pass emitting per-partition int64 yᵀy partials
+    (d² rows each — exact numpy matmul, map-side combinable); the
+    d×d scatter matrix is index-metadata-sized (the IVF-centroid
+    precedent) and the 8 quantized power steps run on it driver-side,
+    mirrored line-for-line by the oracle's unrolled CTEs. Both
+    engines produce the SAME integers at every step (quantization
+    floor(x·2^10 + 0.5), reduction div 2^18, per-step cap div 2^10,
+    all divisions sign·(abs div m)), so the final doubles — computed
+    with identical operand order from exact-representable ints — are
+    bit-identical with NO rounding. Convergence is not part of the
+    contract: both engines report the same deterministic 8-step
+    iterate."""
+    import math
+
+    from map_reduce_mongodb_spark.operators.pca import (
+        gram_matrix_int, power_iteration_int)
+    emb = table(spark, "embeddings", sf_dir)
+    n, S, C = gram_matrix_int(emb)
+    v, D, cr = power_iteration_int(C)
+    dim = len(S)
+    vv = sum(x * x for x in v)
+    vcv = sum(v[i] * cr[i][j] * v[j]
+              for i in range(dim) for j in range(dim))
+    sq = math.sqrt(float(vv))
+    eig = float(vcv) * D / float(vv) / (n * n) / 1048576.0
+    rows = [(i + 1,
+             float(S[i]) / 1024.0 / n,
+             float(v[i]) / sq,
+             eig) for i in range(dim)]
+    return spark.createDataFrame(
+        rows, "dim int, mean_val double, loading_pc1 double, "
+              "eigval double")
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9438,7 +9541,7 @@ _PRIORITY: list[str] = [
     "events_seasonality_dow_hour", "sql_surface_recursive_cte",
     "events_hourly_ohlc", "shipment_overlap_pairs",
     "zonemap_pruning_stats", "robust_mad_outliers",
-    "fuzzy_entity_clusters",
+    "fuzzy_entity_clusters", "embedding_pca_power_iteration",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
