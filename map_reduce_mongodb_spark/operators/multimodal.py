@@ -588,6 +588,68 @@ def audio_fingerprint(media: DataFrame, n_windows: int = 32) -> DataFrame:
     return media.mapInPandas(batches, schema=_AUDIO_FP_SCHEMA)
 
 
+_AUDIO_SIL_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_silent_windows", LongType()),
+    StructField("n_runs", LongType()),
+    StructField("longest_run", LongType()),
+])
+
+
+def audio_silence_runs(media: DataFrame, n_windows: int = 32
+                       ) -> DataFrame:
+    """Silence-segment detection over REAL decoded PCM: reusing
+    audio_fingerprint's exact-integer window energies, a window is
+    SILENT when its mean energy is strictly below the clip mean
+    (e·tc < te·c — the fingerprint bit inverted), and maximal runs of
+    consecutive silent windows are the clip's silence segments — the
+    trim/VAD-style curation signal ("mostly dead air?") for audio
+    corpora. Empty windows (clips shorter than n_windows samples)
+    are not silent — they carry no evidence and BREAK runs, exactly
+    as their absent rows break w_id-consecutiveness in the oracle's
+    gaps-and-islands. Every clip emits a row (zeros when nothing is
+    silent). Same Arrow-batched decode pass as the fingerprint; the
+    run scan is O(n_windows) per clip."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in _AUDIO_SIL_SCHEMA.fields}
+            for mid, mt, d in zip(pdf["media_id"], pdf["media_type"],
+                                  pdf["data"]):
+                if mt != "audio":
+                    continue
+                payload = bytes(d) if d is not None else b""
+                with wave.open(io.BytesIO(payload)) as wv:
+                    raw = wv.readframes(wv.getnframes())
+                v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                ns = len(v)
+                if ns == 0:
+                    continue
+                win = (n_windows * np.arange(ns)) // ns
+                e = np.bincount(win, weights=(v * v).astype(np.float64),
+                                minlength=n_windows).astype(np.int64)
+                c = np.bincount(win, minlength=n_windows).astype(np.int64)
+                te, tc = int(e.sum()), int(c.sum())
+                silent = (c > 0) & ((e * tc) < (te * c))
+                n_sil, n_runs, longest, cur, prev = 0, 0, 0, 0, -2
+                for w in range(n_windows):
+                    if silent[w]:
+                        n_sil += 1
+                        cur = cur + 1 if prev == w - 1 else 1
+                        if cur == 1:
+                            n_runs += 1
+                        longest = max(longest, cur)
+                        prev = w
+                out["media_id"].append(mid)
+                out["n_silent_windows"].append(n_sil)
+                out["n_runs"].append(n_runs)
+                out["longest_run"].append(longest)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_AUDIO_SIL_SCHEMA)
+
+
 _VIDEO_AHASH_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("width", IntegerType()),

@@ -6083,7 +6083,13 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "width", "height", "ahash")
 
 
-@query("audio_fingerprint", oracle="""
+#: Shared audio-decode oracle prefix: reconstruct every int16 PCM
+#: sample from its little-endian text-byte pair, bucket samples into
+#: 32 time windows, and mark each non-empty window's above/below-mean
+#: energy bit (exact-integer cross-multiplied threshold). Consumed by
+#: `audio_fingerprint` (bit packing) and `audio_silence_runs`
+#: (gaps-and-islands over the below-mean windows).
+_AUDIO_BITS_CTE = """
 WITH a AS (
   SELECT doc_id, text, length(text) AS n FROM documents
   WHERE doc_id % 3 = 1),
@@ -6111,7 +6117,10 @@ tot AS (
 bits AS (
   SELECT w.doc_id, w_id,
          CASE WHEN e * tc >= te * c THEN 1 ELSE 0 END AS bit
-  FROM win w JOIN tot USING (doc_id)),
+  FROM win w JOIN tot USING (doc_id))"""
+
+
+@query("audio_fingerprint", oracle=_AUDIO_BITS_CTE + """,
 fp AS (
   SELECT doc_id,
          CAST(sum(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << w_id
@@ -9470,6 +9479,128 @@ def q_embedding_pca_power_iteration(spark: SparkSession, sf_dir: str
               "eigval double")
 
 
+@query("purchase_graph_hits", oracle="""
+WITH e AS MATERIALIZED (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT s, CAST(1 AS BIGINT) AS a FROM e),
+h1r AS MATERIALIZED (
+  SELECT e.c, sum(e.w * a0.a) AS h FROM e JOIN a0 ON e.s = a0.s
+  GROUP BY e.c),
+h1m AS (SELECT max(h) // 1024 + 1 AS m FROM h1r),
+h1 AS MATERIALIZED (SELECT c, h // m AS h FROM h1r CROSS JOIN h1m),
+a1r AS MATERIALIZED (
+  SELECT e.s, sum(e.w * h1.h) AS a FROM e JOIN h1 ON e.c = h1.c
+  GROUP BY e.s),
+a1m AS (SELECT max(a) // 1024 + 1 AS m FROM a1r),
+a1 AS MATERIALIZED (SELECT s, a // m AS a FROM a1r CROSS JOIN a1m),
+h2r AS MATERIALIZED (
+  SELECT e.c, sum(e.w * a1.a) AS h FROM e JOIN a1 ON e.s = a1.s
+  GROUP BY e.c),
+h2m AS (SELECT max(h) // 1024 + 1 AS m FROM h2r),
+h2 AS MATERIALIZED (SELECT c, h // m AS h FROM h2r CROSS JOIN h2m),
+a2r AS MATERIALIZED (
+  SELECT e.s, sum(e.w * h2.h) AS a FROM e JOIN h2 ON e.c = h2.c
+  GROUP BY e.s),
+a2m AS (SELECT max(a) // 1024 + 1 AS m FROM a2r),
+a2 AS MATERIALIZED (SELECT s, a // m AS a FROM a2r CROSS JOIN a2m)
+SELECT s AS suppkey, CAST(a AS BIGINT) AS authority_int,
+       CAST(a AS DOUBLE) / mx.mx AS authority
+FROM a2 CROSS JOIN
+  (SELECT CAST(max(a) AS DOUBLE) AS mx FROM a2) mx
+""")
+def q_purchase_graph_hits(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """HITS hubs-and-authorities over the bipartite customer→supplier
+    purchase graph (edge weight = lineitem count): two full
+    hub/authority rounds, reported as per-supplier authority — "who
+    do the biggest buyers buy from", the mutual-reinforcement ranking
+    PageRank's single-score random walk doesn't express. Fully
+    DISTRIBUTED power steps (unlike `embedding_pca_power_iteration`'s
+    metadata-sized matrix, this graph is data-sized): each half-step
+    is one edge-table join + map-side-combined sum — the
+    `dup_graph_pagerank` plan shape — and each renormalization is the
+    same integer-cap trick (v div (max div 2^10 + 1)) as the PCA
+    iterate, broadcast as a one-row scalar. Everything stays an exact
+    integer until the final presentation division, so the oracle's
+    unrolled CTE chain (MATERIALIZED — DuckDB would otherwise inline
+    the reused steps exponentially) matches bit-for-bit with no
+    rounding. Weights and scores are strictly positive, so dialect
+    division-of-negatives never arises."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    e = tracked_persist(
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("w")))
+    a = e.select("s").distinct().withColumn("a", F.lit(1).cast("long"))
+
+    def _cap(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.expr(f"max({col}) div 1024 + 1").alias("_m"))
+        return (df.crossJoin(F.broadcast(m))
+                .select(*[c for c in df.columns if c != col],
+                        F.expr(f"{col} div _m").alias(col)))
+
+    for _ in range(2):
+        h = _cap(e.join(a, "s").groupBy("c")
+                 .agg(F.sum(F.col("w") * F.col("a")).alias("h")), "h")
+        a = _cap(e.join(h, "c").groupBy("s")
+                 .agg(F.sum(F.col("w") * F.col("h")).alias("a")), "a")
+    mx = a.agg(F.max("a").cast("double").alias("mx"))
+    return (a.crossJoin(F.broadcast(mx))
+            .select(F.col("s").alias("suppkey"),
+                    F.col("a").alias("authority_int"),
+                    (F.col("a").cast("double") / F.col("mx"))
+                    .alias("authority")))
+
+
+@query("audio_silence_runs", oracle=_AUDIO_BITS_CTE + """,
+sil AS (SELECT doc_id, w_id FROM bits WHERE bit = 0),
+isl AS (
+  SELECT doc_id, w_id,
+         w_id - row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY w_id) AS grp
+  FROM sil),
+runs AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY doc_id, grp),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(max(len) AS BIGINT) AS longest_run,
+         CAST(sum(len) AS BIGINT) AS n_silent
+  FROM runs GROUP BY doc_id)
+SELECT tot.doc_id,
+       coalesce(agg.n_silent, CAST(0 AS BIGINT)) AS n_silent_windows,
+       coalesce(agg.n_runs, CAST(0 AS BIGINT)) AS n_runs,
+       coalesce(agg.longest_run, CAST(0 AS BIGINT)) AS longest_run
+FROM tot LEFT JOIN agg USING (doc_id)
+""")
+def q_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment profile per audio clip over REAL decoded PCM:
+    windows strictly below the clip's mean energy (the fingerprint
+    bit inverted — same exact-integer cross-multiplied threshold),
+    collapsed into maximal consecutive runs — the VAD/trim curation
+    signal ("is this clip mostly dead air?") for audio corpora. The
+    Spark side scans runs inside the same Arrow-batched decode pass
+    as `audio_fingerprint` (O(32) per clip, no extra shuffle); the
+    oracle rebuilds every sample and finds the identical runs with
+    gaps-and-islands (w_id − row_number). Empty windows of
+    short clips break runs in both engines — absent rows break
+    w_id-consecutiveness in SQL, and the operator mirrors that
+    contract explicitly."""
+    from map_reduce_mongodb_spark.operators.multimodal import (
+        audio_silence_runs, media_from_documents)
+    docs = table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    runs = audio_silence_runs(media_from_documents(docs))
+    return runs.select(F.col("media_id").alias("doc_id"),
+                       "n_silent_windows", "n_runs", "longest_run")
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9542,6 +9673,7 @@ _PRIORITY: list[str] = [
     "events_hourly_ohlc", "shipment_overlap_pairs",
     "zonemap_pruning_stats", "robust_mad_outliers",
     "fuzzy_entity_clusters", "embedding_pca_power_iteration",
+    "purchase_graph_hits", "audio_silence_runs",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
