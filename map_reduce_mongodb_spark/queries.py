@@ -9601,6 +9601,120 @@ def q_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_silent_windows", "n_runs", "longest_run")
 
 
+_JSONL_PATHS: dict[str, str] = {}
+
+
+def _documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once JSONL materialization of the documents table
+    (process-temp, same lifecycle as cache.shared_parquet)."""
+    if sf_dir not in _JSONL_PATHS:
+        import re
+
+        from map_reduce_mongodb_spark.cache import _shared_dir
+        path = (_shared_dir() + "/documents_jsonl_"
+                + re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir))
+        (table(spark, "documents", sf_dir)
+         .write.mode("overwrite").json(path))
+        _JSONL_PATHS[sf_dir] = path
+    return _JSONL_PATHS[sf_dir]
+
+
+@query("jsonl_roundtrip_documents", oracle=r"""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+       bit_xor(CAST(('0x' || substr(
+           md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+         AS BIGINT)) AS content_xor
+FROM documents
+GROUP BY source, lang
+""")
+def q_jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """JSON source/sink surface, proven lossless: the documents table
+    is written to JSONL (DataFrameWriter.json — the export envelope
+    family, SURVEY P9/S4) and read back through `spark.read.json`
+    with an EXPLICIT schema (schema-on-read: never infer in
+    production — inference is a second full scan and drifts under
+    sampling), then checksummed per (source, lang) with an md5-based
+    content XOR over (doc_id | text). The oracle computes the same
+    checksum from the PARQUET original — equality proves the JSON
+    codec round-trips every document byte-for-byte (escapes,
+    newlines, unicode) through the write+read path. At 100 TB the
+    plan is unchanged: JSONL shards write/read partition-parallel,
+    the checksum is one map-side-combined aggregate. Reference
+    counterpart: harvest.js's JSON ingest (SURVEY S2), here exercised
+    as a first-class columnar source."""
+    path = _documents_jsonl(spark, sf_dir)
+    d = spark.read.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").json(path)
+    chk = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                       F.col("text"))), 1, 15), 16, 10).cast("long")
+    return (d.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum(F.length("text")).cast("long")
+                 .alias("total_text_len"),
+                 F.bit_xor(chk).alias("content_xor")))
+
+
+@query("orders_backlog_aging", oracle="""
+WITH open_orders AS (
+  SELECT o.o_orderkey, o.o_totalprice,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   DATE '1995-06-01') AS age
+  FROM orders o
+  WHERE CAST(o.o_orderdate AS DATE) <= DATE '1995-06-01'
+    AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND CAST(l.l_shipdate AS DATE) > DATE '1995-06-01'))
+SELECT CASE WHEN age <= 30 THEN '000-030'
+            WHEN age <= 60 THEN '031-060'
+            WHEN age <= 90 THEN '061-090'
+            ELSE '091+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_value,
+       CAST(min(age) AS BIGINT) AS min_age,
+       CAST(max(age) AS BIGINT) AS max_age
+FROM open_orders
+GROUP BY 1
+""")
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Backlog aging report as of a cutoff date: orders placed on or
+    before the cutoff that still have undelivered lineitems after it,
+    bucketed by how long they have been waiting — the accounts-
+    receivable-style aging staple of operational BI. "Still open" is
+    an EXISTS against post-cutoff shipments, planned as a SEMI join
+    (one pass over lineitem, no fan-out, never materializing the
+    match multiplicity); the aging histogram is a 4-bucket map-side-
+    combined aggregate. Both engines bucket with identical integer
+    day arithmetic."""
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    cutoff = F.lit("1995-06-01").cast("date")
+    still_open = li.where(F.to_date("l_shipdate") > cutoff) \
+        .select("l_orderkey")
+    oo = (o.where(F.to_date("o_orderdate") <= cutoff)
+          .join(still_open, o["o_orderkey"] == still_open["l_orderkey"],
+                "left_semi")
+          .select("o_totalprice",
+                  F.datediff(cutoff, F.to_date("o_orderdate"))
+                  .cast("long").alias("age")))
+    bucket = (F.when(F.col("age") <= 30, "000-030")
+              .when(F.col("age") <= 60, "031-060")
+              .when(F.col("age") <= 90, "061-090")
+              .otherwise("091+"))
+    return (oo.groupBy(bucket.alias("age_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+                 F.min("age").cast("long").alias("min_age"),
+                 F.max("age").cast("long").alias("max_age")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9674,6 +9788,7 @@ _PRIORITY: list[str] = [
     "zonemap_pruning_stats", "robust_mad_outliers",
     "fuzzy_entity_clusters", "embedding_pca_power_iteration",
     "purchase_graph_hits", "audio_silence_runs",
+    "jsonl_roundtrip_documents", "orders_backlog_aging",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
