@@ -9715,6 +9715,46 @@ def q_orders_backlog_aging(spark: SparkSession, sf_dir: str
                  F.max("age").cast("long").alias("max_age")))
 
 
+@query("feature_hashing_buckets", oracle="""
+WITH fv AS (
+  SELECT 'brand=' || p_brand AS f FROM part
+  UNION ALL SELECT 'type=' || p_type FROM part
+  UNION ALL SELECT 'size=' || CAST(p_size AS VARCHAR) FROM part),
+h AS (
+  SELECT f, CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 256
+         AS bucket
+  FROM fv)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_features
+FROM h GROUP BY bucket
+""")
+def q_feature_hashing_buckets(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """The hashing trick for ML featurization: categorical
+    (name=value) features map to a fixed 256-bucket space via a
+    stable hash — no vocabulary build, no global dictionary shuffle,
+    the standard featurizer when the category space is unbounded.
+    This query audits the bucket table itself: occupancy and DISTINCT
+    features per bucket (the collision profile that decides whether
+    the bucket count is big enough). md5 is the cross-engine-stable
+    hash (the minhash_lsh_md5 convention: top-15 hex digits → BIGINT);
+    Spark explodes the three features from one scan while the oracle
+    states them as a UNION ALL. At 100 TB: one pass, map-side
+    combinable, output bounded by the bucket count."""
+    p = table(spark, "part", sf_dir)
+    fv = p.select(F.explode(F.array(
+        F.concat(F.lit("brand="), F.col("p_brand")),
+        F.concat(F.lit("type="), F.col("p_type")),
+        F.concat(F.lit("size="), F.col("p_size").cast("string")),
+    )).alias("f"))
+    bucket = (F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10)
+              .cast("long") % 256)
+    return (fv.select("f", bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("f").alias("n_features")))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9789,6 +9829,7 @@ _PRIORITY: list[str] = [
     "fuzzy_entity_clusters", "embedding_pca_power_iteration",
     "purchase_graph_hits", "audio_silence_runs",
     "jsonl_roundtrip_documents", "orders_backlog_aging",
+    "feature_hashing_buckets",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
