@@ -9755,6 +9755,126 @@ def q_feature_hashing_buckets(spark: SparkSession, sf_dir: str
                  F.countDistinct("f").alias("n_features")))
 
 
+@query("event_gap_p90", oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+v AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT event_type, gap,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN rn = (n + 1) // 2 THEN gap END)
+            AS DOUBLE) / 1000000.0 AS p50_seconds,
+       CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END)
+            AS DOUBLE) / 1000000.0 AS p90_seconds
+FROM r GROUP BY event_type
+""")
+def q_event_gap_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of per-user inter-event gaps by event type — the
+    latency-SLO percentile readout, on CONTINUOUS microsecond gaps.
+    Gaps come from a per-user lag window (per-user partitions, never
+    global); both percentiles are EXACT order statistics via
+    `operators/quantiles.py:grouped_order_statistic` (minute-bucket
+    histogram locates each target, a bucket-scoped sort finishes —
+    p90 is just rank (9n+9) div 10, the operator takes any integer
+    rank expression). Gap arithmetic is integer microseconds
+    (`unix_micros`/`epoch_us` — never fractional-second datediff), so
+    the only doubles are exact-int divisions by 10^6."""
+    from map_reduce_mongodb_spark.operators.quantiles import (
+        grouped_order_statistic)
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = (e.select("event_type",
+                  (us - F.lag(us).over(w)).alias("gap"))
+         .where(F.col("gap").isNotNull()))
+    bkt = F.expr("gap div 60000000")
+    p50 = grouped_order_statistic(g, ["event_type"], "gap",
+                                  bucket=bkt, out_col="p50")
+    p90 = grouped_order_statistic(g, ["event_type"], "gap",
+                                  rank_sql="(9 * n + 9) div 10",
+                                  bucket=bkt, out_col="p90")
+    return (p50.join(p90.select("event_type", "p90"), "event_type")
+            .select("event_type",
+                    F.col("n").cast("long").alias("n_gaps"),
+                    (F.col("p50").cast("double") / 1000000.0)
+                    .alias("p50_seconds"),
+                    (F.col("p90").cast("double") / 1000000.0)
+                    .alias("p90_seconds")))
+
+
+def _benford_oracle() -> str:
+    import math
+    probs = ", ".join(
+        f"({d}, CAST({math.log10(1 + 1 / d)!r} AS DOUBLE))"
+        for d in range(1, 10))
+    return f"""
+WITH probs(digit, p) AS (VALUES {probs}),
+fd AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS c
+        FROM fd GROUP BY digit),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fd),
+j AS (
+  SELECT probs.digit, probs.p,
+         coalesce(cnt.c, CAST(0 AS BIGINT)) AS c, tot.n
+  FROM probs LEFT JOIN cnt ON probs.digit = cnt.digit CROSS JOIN tot)
+SELECT digit, c AS n_orders,
+       CAST(c AS DOUBLE) / n AS observed_share,
+       p AS benford_share,
+       round(sum((c - n * p) * (c - n * p) / (n * p))
+             OVER (), 6) AS chi2
+FROM j
+"""
+
+
+@query("benford_first_digit", oracle=_benford_oracle())
+def q_benford_first_digit(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1+1/d) share per leading digit plus the χ²
+    statistic — the classic fraud/synthetic-data screen (and on this
+    deliberately synthetic fixture, a large χ² is itself the correct
+    finding). Exactness: the expected shares are PYTHON-COMPUTED
+    literals embedded in both engines' plans (never engine log10 —
+    libm implementations may differ by an ulp), digit extraction is
+    integer/string arithmetic, and the χ² terms are built from exact
+    ints with identical operand order, summed over a 9-row window.
+    One map-side-combined digit count at any scale."""
+    import math
+    p = table(spark, "orders", sf_dir)
+    fd = p.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                    1, 1).cast("int").alias("digit"))
+    cnt = fd.groupBy("digit").agg(F.count(F.lit(1)).alias("c"))
+    tot = fd.agg(F.count(F.lit(1)).alias("n"))
+    probs = spark.createDataFrame(
+        [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
+        "digit int, p double")
+    j = (probs.join(F.broadcast(cnt), "digit", "left")
+         .crossJoin(F.broadcast(tot))
+         .select("digit", "p",
+                 F.coalesce(F.col("c"), F.lit(0).cast("long"))
+                 .alias("c"), "n"))
+    term = ((F.col("c") - F.col("n") * F.col("p"))
+            * (F.col("c") - F.col("n") * F.col("p"))
+            / (F.col("n") * F.col("p")))
+    return j.select(
+        "digit", F.col("c").alias("n_orders"),
+        (F.col("c").cast("double") / F.col("n")).alias("observed_share"),
+        F.col("p").alias("benford_share"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6)
+        .alias("chi2"))
+
+
 # =====================================================================
 # Driver CORRECTNESS-window rotation
 # =====================================================================
@@ -9829,7 +9949,7 @@ _PRIORITY: list[str] = [
     "fuzzy_entity_clusters", "embedding_pca_power_iteration",
     "purchase_graph_hits", "audio_silence_runs",
     "jsonl_roundtrip_documents", "orders_backlog_aging",
-    "feature_hashing_buckets",
+    "feature_hashing_buckets", "event_gap_p90", "benford_first_digit",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
