@@ -472,3 +472,55 @@ def test_cooc_lift_and_paths_cut_with_takeordered(spark):
     assert "CartesianProduct" not in p, p
     p = plan(QUERIES["top_event_paths"](spark, SF_DIR), mode="simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_interval_overlap_join_is_hash_equi_join(spark):
+    """The interval join must run as an equi-join on (key, cell) —
+    never a cartesian/nested-loop with a range predicate."""
+    p = plan(QUERIES["shipment_overlap_pairs"](spark, SF_DIR),
+             mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_hits_scalars_broadcast_not_cartesian(spark):
+    """HITS renormalization scalars join as broadcast one-row tables;
+    the edge-table power steps stay shuffle hash joins."""
+    p = plan(QUERIES["purchase_graph_hits"](spark, SF_DIR),
+             mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # one-row scalar attach
+    assert p.count("HashAggregate") >= 4   # partial+final per half-step
+
+
+def test_zonemap_stats_single_shared_scan_per_layout(spark):
+    """The 2-row layout table must broadcast; bucket stats aggregate
+    partially before the layout-keyed combine."""
+    p = plan(QUERIES["zonemap_pruning_stats"](spark, SF_DIR),
+             mode="simple")
+    assert "CartesianProduct" not in p
+    assert "partial_" in plan(
+        QUERIES["zonemap_pruning_stats"](spark, SF_DIR), mode="extended")
+
+
+def test_mad_outliers_windows_are_bucket_scoped(spark):
+    """Both selection passes must window over (group, bucket) slivers,
+    and the stat joins must broadcast (tiny per-group tables)."""
+    p = plan(QUERIES["robust_mad_outliers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    import re
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                         plan(QUERIES["robust_mad_outliers"](spark, SF_DIR),
+                              mode="extended")):
+        assert "_b" in m.group(1), m.group(0)
+
+
+def test_gap_p90_lag_windows_are_user_scoped(spark):
+    """The gap derivation must partition by user (bounded), never a
+    global order-by window."""
+    ext = plan(QUERIES["event_gap_p90"](spark, SF_DIR), mode="extended")
+    import re
+    for m in re.finditer(r"lag\([^)]*\) windowspecdefinition\(([^)]*)\)",
+                         ext):
+        assert "user_id" in m.group(1), m.group(0)
