@@ -42,10 +42,15 @@ def grouped_order_statistic(df: DataFrame, group_cols: list[str],
                             value_col: str,
                             rank_sql: str = "(n + 1) div 2",
                             bucket: Column | None = None,
-                            out_col: str = "stat") -> DataFrame:
+                            out_col: str = "stat",
+                            weight_col: str | None = None) -> DataFrame:
     """Per group, the exact ``k``-th smallest value of `value_col`,
     where k is ``rank_sql`` evaluated over the group size ``n`` (the
-    default is the lower median). Returns one row per group:
+    default is the lower median). With ``weight_col`` (positive
+    integers), n is the group's TOTAL WEIGHT and the result is the
+    weighted order statistic: the smallest value whose cumulative
+    weight reaches k (weight w ≡ w duplicated rows — the weighted-
+    median contract). Returns one row per group:
     ``group_cols + [n, out_col]``.
 
     ``rank_sql`` must use integer arithmetic (``div``, not ``/``) and
@@ -53,9 +58,11 @@ def grouped_order_statistic(df: DataFrame, group_cols: list[str],
     the CALLER's side of this contract."""
     if bucket is None:
         bucket = F.floor(F.col(value_col))
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
     d = df.select(*group_cols, F.col(value_col).alias("_v"),
-                  bucket.cast("long").alias("_b"))
-    hist = d.groupBy(*group_cols, "_b").agg(F.count(F.lit(1)).alias("_c"))
+                  bucket.cast("long").alias("_b"), w.alias("_w"))
+    hist = d.groupBy(*group_cols, "_b").agg(F.sum("_w").alias("_c"))
     wcum = (Window.partitionBy(*group_cols).orderBy("_b")
             .rowsBetween(Window.unboundedPreceding, 0))
     wall = Window.partitionBy(*group_cols)
@@ -69,8 +76,15 @@ def grouped_order_statistic(df: DataFrame, group_cols: list[str],
                    .alias("_off")))
     sliced = d.join(F.broadcast(tgt), [*group_cols, "_b"])
     # Partition by (group, bucket): the partition is the target-bucket
-    # sliver, never the whole group.
-    win = Window.partitionBy(*group_cols, "_b").orderBy("_v")
-    return (sliced.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == F.col("_off"))
-            .select(*group_cols, "n", F.col("_v").alias(out_col)))
+    # sliver, never the whole group. The smallest value whose running
+    # weight reaches the residual offset is the statistic — with unit
+    # weights this is exactly the _off-th smallest. Ties in _v order
+    # arbitrarily inside the window, but every candidate crossing row
+    # shares the same value, so min() is deterministic.
+    win = (Window.partitionBy(*group_cols, "_b").orderBy("_v")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return (sliced.withColumn("_cw2", F.sum("_w").over(win))
+            .where(F.col("_cw2") >= F.col("_off"))
+            .groupBy(*group_cols, "n")
+            .agg(F.min("_v").alias(out_col))
+            .select(*group_cols, "n", out_col))

@@ -510,10 +510,12 @@ def test_mad_outliers_windows_are_bucket_scoped(spark):
     p = plan(QUERIES["robust_mad_outliers"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     import re
-    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
-                         plan(QUERIES["robust_mad_outliers"](spark, SF_DIR),
-                              mode="extended")):
-        assert "_b" in m.group(1), m.group(0)
+    ext = plan(QUERIES["robust_mad_outliers"](spark, SF_DIR),
+               mode="extended")
+    specs = [m.group(1) for m in
+             re.finditer(r"windowspecdefinition\(([^)]*)\)", ext)
+             if "_v#" in m.group(1)]
+    assert specs and all("_b#" in s for s in specs), specs
 
 
 def test_gap_p90_lag_windows_are_user_scoped(spark):

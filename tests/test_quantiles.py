@@ -44,11 +44,31 @@ def test_custom_rank_p90(spark):
 
 
 def test_selection_window_is_bucket_scoped(spark):
-    """The phase-2 sort must be partitioned by (group, bucket) — never
-    a whole-group (let alone global) window — and the target join must
-    broadcast."""
+    """The phase-2 running-weight window must be partitioned by
+    (group, bucket) — never a whole-group (let alone global) window —
+    and the target join must broadcast."""
+    import re
     df = spark.createDataFrame(_data(), "g string, v double")
     plan = (grouped_order_statistic(df, ["g"], "v")
             ._jdf.queryExecution().executedPlan().toString())
-    assert "_b" in plan.split("row_number")[1].split("\n")[0], plan
+    specs = [m.group(1) for m in
+             re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+             if "_v#" in m.group(1)]
+    assert specs and all("_b#" in s for s in specs), plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_weighted_statistic_matches_row_expansion(spark):
+    """Weighted selection must equal the unweighted statistic over the
+    weight-expanded multiset (the weighted-median contract)."""
+    rows = [("g0", 10.0, 3), ("g0", 20.0, 1), ("g0", 30.0, 2),
+            ("g1", 5.0, 5), ("g1", 50.0, 4), ("g1", 7.25, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    out = {r.g: (r.n, r.stat)
+           for r in grouped_order_statistic(
+               df, ["g"], "v", weight_col="w").collect()}
+    for g in ("g0", "g1"):
+        expanded = sorted(v for gg, v, w in rows if gg == g
+                          for _ in range(w))
+        k = (len(expanded) + 1) // 2
+        assert out[g] == (len(expanded), expanded[k - 1]), g
