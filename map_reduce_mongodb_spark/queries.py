@@ -9603,27 +9603,19 @@ WITH e AS MATERIALIZED (
   GROUP BY o.o_custkey, l.l_suppkey),
 a0 AS MATERIALIZED (
   SELECT DISTINCT s, CAST(1 AS BIGINT) AS a FROM e),
-h1r AS MATERIALIZED (
+h1 AS MATERIALIZED (
   SELECT e.c, sum(e.w * a0.a) AS h FROM e JOIN a0 ON e.s = a0.s
   GROUP BY e.c),
-h1m AS (SELECT max(h) // 1024 + 1 AS m FROM h1r),
-h1 AS MATERIALIZED (SELECT c, h // m AS h FROM h1r CROSS JOIN h1m),
-a1r AS MATERIALIZED (
+a1 AS MATERIALIZED (
   SELECT e.s, sum(e.w * h1.h) AS a FROM e JOIN h1 ON e.c = h1.c
   GROUP BY e.s),
-a1m AS (SELECT max(a) // 1024 + 1 AS m FROM a1r),
-a1 AS MATERIALIZED (SELECT s, a // m AS a FROM a1r CROSS JOIN a1m),
-h2r AS MATERIALIZED (
+h2 AS MATERIALIZED (
   SELECT e.c, sum(e.w * a1.a) AS h FROM e JOIN a1 ON e.s = a1.s
   GROUP BY e.c),
-h2m AS (SELECT max(h) // 1024 + 1 AS m FROM h2r),
-h2 AS MATERIALIZED (SELECT c, h // m AS h FROM h2r CROSS JOIN h2m),
-a2r AS MATERIALIZED (
-  SELECT e.s, sum(e.w * h2.h) AS a FROM e JOIN h2 ON e.c = h2.c
-  GROUP BY e.s),
-a2m AS (SELECT max(a) // 1024 + 1 AS m FROM a2r),
-a2 AS MATERIALIZED (SELECT s, a // m AS a FROM a2r CROSS JOIN a2m)
-SELECT s AS suppkey, CAST(a AS BIGINT) AS authority_int,
+a2 AS MATERIALIZED (
+  SELECT e.s, CAST(sum(e.w * h2.h) AS BIGINT) AS a
+  FROM e JOIN h2 ON e.c = h2.c GROUP BY e.s)
+SELECT s AS suppkey, a AS authority_int,
        CAST(a AS DOUBLE) / mx.mx AS authority
 FROM a2 CROSS JOIN
   (SELECT CAST(max(a) AS DOUBLE) AS mx FROM a2) mx
@@ -9637,36 +9629,47 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str
     PageRank's single-score random walk doesn't express. Fully
     DISTRIBUTED power steps (unlike `embedding_pca_power_iteration`'s
     metadata-sized matrix, this graph is data-sized): each half-step
-    is one edge-table join + map-side-combined sum — the
-    `dup_graph_pagerank` plan shape — and each renormalization is the
-    same integer-cap trick (v div (max div 2^10 + 1)) as the PCA
-    iterate, broadcast as a one-row scalar. Everything stays an exact
-    integer until the final presentation division, so the oracle's
-    unrolled CTE chain (MATERIALIZED — DuckDB would otherwise inline
-    the reused steps exponentially) matches bit-for-bit with no
-    rounding. Weights and scores are strictly positive, so dialect
-    division-of-negatives never arises."""
+    is one join against the persisted edge table + a map-side-
+    combined sum — the `dup_graph_pagerank` plan shape — and the
+    four steps chain into ONE linear DAG with no per-step
+    renormalization: integer weights keep 2-round scores far inside
+    int64 (|a2| ≤ (deg·w)³·deg_c ≈ 2·10¹³ even at sf1; ANSI mode
+    turns a hypothetical overflow into a loud error, and the
+    capped-division variant of `embedding_pca_power_iteration` is
+    the documented fallback past that budget). An earlier capped
+    version spent 21.8 s at sf0.1 on per-step cache+scalar jobs;
+    this no-cap broadcast-step form runs the same sf in ~5 s — the
+    residual cost is the 4 inherently sequential power-step jobs,
+    the same profile as dup_graph_pagerank. Everything is an
+    exact integer until the final presentation division, so the
+    oracle's CTE chain (MATERIALIZED — DuckDB would otherwise inline
+    reused steps exponentially) matches bit-for-bit, no rounding."""
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     from map_reduce_mongodb_spark.cache import tracked_persist
+    # Raw per-lineitem edges (w ≡ 1): the oracle's (c, s, count)
+    # collapse is algebraically identical under the power-step sums,
+    # and skipping the 587k-group pre-aggregation + shuffle join
+    # (orders→custkey attaches as a broadcast) is measurably faster.
     e = tracked_persist(
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(F.col("o_custkey").alias("c"),
-                 F.col("l_suppkey").alias("s"))
-        .agg(F.count(F.lit(1)).alias("w")))
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s")))
     a = e.select("s").distinct().withColumn("a", F.lit(1).cast("long"))
-
-    def _cap(df: DataFrame, col: str) -> DataFrame:
-        m = df.agg(F.expr(f"max({col}) div 1024 + 1").alias("_m"))
-        return (df.crossJoin(F.broadcast(m))
-                .select(*[c for c in df.columns if c != col],
-                        F.expr(f"{col} div _m").alias(col)))
-
+    # The hub/authority vectors are DIMENSION-sized (customers /
+    # suppliers), so each half-step joins them as broadcasts: the
+    # persisted edge table is never re-shuffled — per step it's one
+    # in-place broadcast join + a map-side-combined aggregate whose
+    # exchange carries only the dimension-sized partials. (On a
+    # cluster where the hub vector outgrows broadcast range, drop the
+    # hints and the same plan degrades to shuffle hash joins.)
     for _ in range(2):
-        h = _cap(e.join(a, "s").groupBy("c")
-                 .agg(F.sum(F.col("w") * F.col("a")).alias("h")), "h")
-        a = _cap(e.join(h, "c").groupBy("s")
-                 .agg(F.sum(F.col("w") * F.col("h")).alias("a")), "a")
+        h = (e.join(F.broadcast(a), "s").groupBy("c")
+             .agg(F.sum("a").alias("h")))
+        a = (e.join(F.broadcast(h), "c").groupBy("s")
+             .agg(F.sum("h").alias("a")))
+    a = tracked_persist(a)
     mx = a.agg(F.max("a").cast("double").alias("mx"))
     return (a.crossJoin(F.broadcast(mx))
             .select(F.col("s").alias("suppkey"),
