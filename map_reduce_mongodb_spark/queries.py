@@ -9595,6 +9595,89 @@ def q_brand_weighted_median_price(spark: SparkSession, sf_dir: str
                       F.col("wm").alias("weighted_median_price"))
 
 
+#: table → its integer primary-key expression (lineitem's is the
+#: composite (orderkey, linenumber) packed into one BIGINT).
+_CHECKSUM_KEYS = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey",
+    "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey * 8 + l_linenumber",
+    "events": "event_id", "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _checksums_oracle() -> str:
+    parts = []
+    for t, k in _CHECKSUM_KEYS.items():
+        parts.append(f"""
+SELECT '{t}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({k}) AS BIGINT) AS key_sum,
+       bit_xor(CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))
+         AS BIGINT)) AS key_md5_xor
+FROM {t}""")
+        # noqa: E501
+    return "\nUNION ALL".join(parts)
+
+
+@query("table_integrity_checksums", oracle=_checksums_oracle())
+def q_table_integrity_checksums(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Anti-entropy audit across the whole catalog: per table, the
+    row count, primary-key sum, and an order-insensitive md5-XOR of
+    the keys — the replica-comparison / post-migration verification
+    sweep ("did every row make it, exactly once?"). Count catches
+    loss, key-sum catches loss+duplication trades, and the md5-XOR
+    catches substituted keys the linear sum misses; all three are
+    mergeable (map-side combinable, commutative), so at 100 TB each
+    table contributes one pass with no shuffle beyond a scalar.
+    Cross-engine: the same UNION of aggregates; lineitem's composite
+    key packs into one BIGINT."""
+    outs = []
+    for t, k in _CHECKSUM_KEYS.items():
+        d = table(spark, t, sf_dir)
+        key = F.expr(k)
+        outs.append(d.agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(key).cast("long").alias("key_sum"),
+            F.bit_xor(F.conv(F.substring(F.md5(key.cast("string")),
+                                         1, 15), 16, 10).cast("long"))
+            .alias("key_md5_xor")))
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@query("props_key_signatures", oracle="""
+SELECT array_to_string(list_sort(json_keys(props)), ',')
+         AS key_signature,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events
+GROUP BY 1
+""")
+def q_props_key_signatures(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Semi-structured schema-drift audit: the distinct KEY SETS
+    appearing in the JSON `props` column (sorted, comma-joined into a
+    canonical signature) with their frequencies — the governance
+    readout that catches a producer silently adding/dropping fields
+    (the schemaless-document risk SURVEY §1.3 flags in the reference's
+    empty Mongo schemas). JSON parsing is JVM-side in both engines
+    (`json_object_keys` / `json_keys`); sorting makes the signature
+    key-order-insensitive, so only genuine schema changes split
+    groups. One map-side-combined aggregate; the signature space is
+    bounded by real schema variants, not row count."""
+    e = table(spark, "events", sf_dir)
+    sig = F.array_join(F.array_sort(F.json_object_keys("props")), ",")
+    return (e.groupBy(sig.alias("key_signature"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("event_type").alias("n_event_types")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10070,6 +10153,7 @@ _PRIORITY: list[str] = [
     "jsonl_roundtrip_documents", "orders_backlog_aging",
     "feature_hashing_buckets", "event_gap_p90", "benford_first_digit",
     "embedding_pc1_projection", "brand_weighted_median_price",
+    "table_integrity_checksums", "props_key_signatures",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
