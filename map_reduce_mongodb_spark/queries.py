@@ -9678,6 +9678,129 @@ def q_props_key_signatures(spark: SparkSession, sf_dir: str
                  F.countDistinct("event_type").alias("n_event_types")))
 
 
+@query("brand_theilsen_slope", oracle="""
+WITH wk AS (
+  SELECT p.p_brand,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(o.o_orderdate AS DATE)) // 7 AS x,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey),
+w2 AS (SELECT p_brand, x, CAST(sum(cents) AS BIGINT) AS y
+       FROM wk GROUP BY 1, 2),
+pr AS (
+  SELECT a.p_brand, CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM w2 a JOIN w2 b ON a.p_brand = b.p_brand AND a.x < b.x),
+r AS (
+  SELECT p_brand, slope,
+         row_number() OVER (PARTITION BY p_brand ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY p_brand) AS n
+  FROM pr)
+SELECT p_brand, CAST(max(n) AS BIGINT) AS n_pairs,
+       min(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+         AS theilsen_slope
+FROM r GROUP BY p_brand
+""")
+def q_brand_theilsen_slope(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Theil–Sen robust trend per brand: the MEDIAN of all pairwise
+    weekly-revenue slopes — the estimator that shrugs off the outlier
+    weeks that drag `brand_revenue_trend`'s least-squares line (up to
+    ~29% contamination). Scale shape: the only fact-sized work is the
+    same integer-cents weekly rollup; the O(weeks²) pair expansion
+    runs over the CALENDAR-BOUNDED weekly aggregate (≈360 weeks →
+    ~65k pairs per brand, independent of row count), and the slope
+    median is `grouped_order_statistic` over the continuous slopes
+    (third consumer: unweighted, weighted, and now pair-derived).
+    Slopes divide exact ints identically in both engines — the
+    median is bit-exact, no rounding."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.operators.quantiles import (
+        grouped_order_statistic)
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    p = table(spark, "part", sf_dir)
+    wk = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == p.p_partkey)
+          .select("p_brand",
+                  F.expr("datediff(cast(o_orderdate as date), "
+                         "date'1992-01-01') div 7").alias("x"),
+                  F.expr("CAST(round(l_extendedprice * "
+                         "(1 - l_discount) * 100) AS BIGINT)")
+                  .alias("cents")))
+    w2 = tracked_persist(
+        wk.groupBy("p_brand", "x").agg(F.sum("cents").alias("y")))
+    a, b = w2.alias("a"), w2.alias("b")
+    dx = F.col("b.x") - F.col("a.x")
+    # NULL-guarded divisor: ANSI codegen can evaluate the fused
+    # projection before the residual a.x < b.x filter discards the
+    # dx = 0 rows — x / NULL is NULL instead of DIVIDE_BY_ZERO, and
+    # no guarded row survives the join condition anyway.
+    pr = (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                 & (F.col("a.x") < F.col("b.x")))
+          .select(F.col("a.p_brand").alias("p_brand"),
+                  ((F.col("b.y") - F.col("a.y")).cast("double")
+                   / F.when(dx != 0, dx)).alias("slope")))
+    med = grouped_order_statistic(
+        pr, ["p_brand"], "slope",
+        bucket=F.expr("floor(slope / 65536)"),
+        out_col="theilsen_slope")
+    return med.select("p_brand",
+                      F.col("n").cast("long").alias("n_pairs"),
+                      "theilsen_slope")
+
+
+@query("l_diversity_audit", oracle="""
+WITH sens AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 5000 THEN 'low'
+              ELSE 'high' END AS band
+  FROM customer),
+eq AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT band) AS BIGINT) AS diversity
+  FROM sens GROUP BY 1, 2)
+SELECT l,
+       CAST(count(*) FILTER (WHERE diversity < l) AS BIGINT)
+         AS classes_below_l,
+       CAST(coalesce(sum(class_size) FILTER (WHERE diversity < l), 0)
+            AS BIGINT) AS rows_at_risk
+FROM eq CROSS JOIN (SELECT unnest(range(2, 4)) AS l) ls
+GROUP BY l
+""")
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a
+    quasi-identifier class is exposed not just when it is SMALL but
+    when every member shares the same SENSITIVE value (here an
+    account-balance band), letting an attacker learn the attribute
+    without re-identifying anyone. Per (nation, segment) class:
+    distinct sensitive bands; the l-sweep (l ∈ {2,3}) counts
+    classes below l and the customer rows they expose. Same plan
+    economics as `k_anonymity_audit`: one fact-sized map-side-
+    combined class aggregate, then a broadcast 2-row sweep over the
+    QI-bounded class table."""
+    c = table(spark, "customer", sf_dir)
+    band = (F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "low").otherwise("high"))
+    eq = (c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("class_size"),
+               F.countDistinct("band").alias("diversity")))
+    ls = spark.range(2, 4).select(F.col("id").cast("int").alias("l"))
+    below = F.col("diversity") < F.col("l")
+    return (eq.crossJoin(F.broadcast(ls))
+            .groupBy("l")
+            .agg(F.count_if(below).alias("classes_below_l"),
+                 F.coalesce(F.sum(F.when(below, F.col("class_size"))),
+                            F.lit(0)).cast("long")
+                 .alias("rows_at_risk")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10154,6 +10277,7 @@ _PRIORITY: list[str] = [
     "feature_hashing_buckets", "event_gap_p90", "benford_first_digit",
     "embedding_pc1_projection", "brand_weighted_median_price",
     "table_integrity_checksums", "props_key_signatures",
+    "brand_theilsen_slope", "l_diversity_audit",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
