@@ -9801,6 +9801,79 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("rows_at_risk")))
 
 
+@query("customer_cohort_ltv", oracle="""
+WITH fo AS (
+  SELECT o_custkey,
+         min(date_diff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) // 91) AS cohort_q
+  FROM orders GROUP BY o_custkey),
+rev AS (
+  SELECT o.o_custkey,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(o.o_orderdate AS DATE)) // 91 AS q,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o),
+tri AS (
+  SELECT fo.cohort_q, rev.q - fo.cohort_q AS age_q,
+         sum(rev.cents) AS cents,
+         count(DISTINCT rev.o_custkey) AS actives
+  FROM rev JOIN fo ON rev.o_custkey = fo.o_custkey
+  GROUP BY fo.cohort_q, rev.q - fo.cohort_q),
+size_ AS (
+  SELECT cohort_q, CAST(count(*) AS BIGINT) AS cohort_customers
+  FROM fo GROUP BY cohort_q)
+SELECT t.cohort_q, t.age_q,
+       CAST(t.actives AS BIGINT) AS active_customers,
+       s.cohort_customers,
+       CAST(t.cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(sum(t.cents) OVER (PARTITION BY t.cohort_q
+                               ORDER BY t.age_q
+                               ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) / 100.0 / s.cohort_customers
+         AS cum_ltv_per_customer
+FROM tri t JOIN size_ s ON t.cohort_q = s.cohort_q
+""")
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order quarter, revenue accumulated by quarters-since-first
+    — the money twin of `user_retention_weekly`'s count triangle and
+    the standard LTV payback readout. Revenue is exact integer cents
+    end-to-end (the running LTV sum is an integer window over the
+    calendar-bounded cohort×age triangle — never the fact table);
+    quarter arithmetic is integer day-div-91 in both engines (the
+    months_between trap from NOTES). Two fact-sized map-side
+    aggregates (first-order, revenue rollup) + one customer-keyed
+    equi-join."""
+    o = table(spark, "orders", sf_dir)
+    q = F.expr("datediff(cast(o_orderdate as date), "
+               "date'1992-01-01') div 91")
+    fo = (o.groupBy("o_custkey")
+          .agg(F.min(q).alias("cohort_q")))
+    rev = o.select("o_custkey", q.alias("q"),
+                   F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                   .alias("cents"))
+    tri = (rev.join(fo, "o_custkey")
+           .groupBy("cohort_q",
+                    (F.col("q") - F.col("cohort_q")).alias("age_q"))
+           .agg(F.sum("cents").alias("cents"),
+                F.countDistinct("o_custkey").alias("actives")))
+    size = fo.groupBy("cohort_q").agg(
+        F.count(F.lit(1)).alias("cohort_customers"))
+    wcum = (Window.partitionBy("cohort_q").orderBy("age_q")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (tri.join(F.broadcast(size), "cohort_q")
+            .select("cohort_q", "age_q",
+                    F.col("actives").cast("long")
+                    .alias("active_customers"),
+                    "cohort_customers",
+                    (F.col("cents").cast("double") / 100.0)
+                    .alias("revenue"),
+                    (F.sum("cents").over(wcum).cast("double")
+                     / 100.0 / F.col("cohort_customers"))
+                    .alias("cum_ltv_per_customer")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10278,6 +10351,7 @@ _PRIORITY: list[str] = [
     "embedding_pc1_projection", "brand_weighted_median_price",
     "table_integrity_checksums", "props_key_signatures",
     "brand_theilsen_slope", "l_diversity_audit",
+    "customer_cohort_ltv",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
