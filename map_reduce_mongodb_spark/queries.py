@@ -9464,11 +9464,18 @@ _PCA_CACHE: dict[str, tuple] = {}
 
 def _pca_state(spark: SparkSession, sf_dir: str) -> tuple:
     if sf_dir not in _PCA_CACHE:
+        import time
+
+        from map_reduce_mongodb_spark import cache
         from map_reduce_mongodb_spark.operators.pca import (
             gram_matrix_int, power_iteration_int)
+        t0 = time.perf_counter()
         emb = table(spark, "embeddings", sf_dir)
         n, S, C = gram_matrix_int(emb)
         v, D, cr = power_iteration_int(C)
+        # First-payer attribution, same as shared_parquet builds.
+        cache._BUILD_SECONDS[f"pca_state_{sf_dir}"] = round(
+            time.perf_counter() - t0, 3)
         _PCA_CACHE[sf_dir] = (n, S, C, v, D, cr)
     return _PCA_CACHE[sf_dir]
 
