@@ -9881,6 +9881,166 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str
                     .alias("cum_ltv_per_customer")))
 
 
+@query("source_doclen_ks_drift", oracle="""
+WITH h AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars),
+t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h
+      GROUP BY source),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM t a JOIN t b ON a.source < b.source),
+j AS (
+  SELECT p.sa, p.sb, h.v,
+         CASE WHEN h.source = p.sa THEN h.c ELSE 0 END AS ca,
+         CASE WHEN h.source = p.sb THEN h.c ELSE 0 END AS cb
+  FROM pairs p JOIN h ON h.source = p.sa OR h.source = p.sb),
+g AS (SELECT sa, sb, v, sum(ca) AS ca, sum(cb) AS cb
+      FROM j GROUP BY sa, sb, v),
+c AS (
+  SELECT sa, sb,
+         sum(ca) OVER (PARTITION BY sa, sb ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cca,
+         sum(cb) OVER (PARTITION BY sa, sb ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM g)
+SELECT c.sa AS source_a, c.sb AS source_b, ta.n AS n_a, tb.n AS n_b,
+       CAST(max(abs(cca * tb.n - ccb * ta.n)) AS BIGINT) AS ks_num,
+       CAST(max(abs(cca * tb.n - ccb * ta.n)) AS DOUBLE)
+         / (ta.n * tb.n) AS ks
+FROM c JOIN t ta ON c.sa = ta.source JOIN t tb ON c.sb = tb.source
+GROUP BY c.sa, c.sb, ta.n, tb.n
+""")
+def q_source_doclen_ks_drift(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between every pair of
+    sources over the document-length distribution — the
+    distribution-level drift detector beside `lang_source_chi2`
+    (categorical) and `source_quality_ttest` (means): KS catches
+    shape changes moments miss. EXACT: the statistic is
+    max |CDF_a − CDF_b| computed cross-multiplied in integers
+    (|cca·n_b − ccb·n_a|), one exact division at the end. Scale
+    shape: the fact table collapses to a (source, length, count)
+    histogram first (map-side combined); pair expansion and the CDF
+    windows run over the HISTOGRAM (sources² × distinct lengths),
+    never the corpus."""
+    d = table(spark, "documents", sf_dir)
+    h = (d.groupBy("source", F.col("n_chars").alias("v"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    h = tracked_persist(h)
+    t = h.groupBy("source").agg(F.sum("c").alias("n"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (a.join(b, F.col("a.source") < F.col("b.source"))
+             .select(F.col("a.source").alias("sa"),
+                     F.col("b.source").alias("sb"),
+                     F.col("a.n").alias("n_a"),
+                     F.col("b.n").alias("n_b")))
+    j = (h.join(F.broadcast(pairs),
+                (F.col("source") == F.col("sa"))
+                | (F.col("source") == F.col("sb")))
+         .select("sa", "sb", "n_a", "n_b", "v",
+                 F.when(F.col("source") == F.col("sa"), F.col("c"))
+                 .otherwise(F.lit(0)).alias("ca"),
+                 F.when(F.col("source") == F.col("sb"), F.col("c"))
+                 .otherwise(F.lit(0)).alias("cb")))
+    g = (j.groupBy("sa", "sb", "n_a", "n_b", "v")
+         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb")))
+    w = (Window.partitionBy("sa", "sb").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = (g.withColumn("cca", F.sum("ca").over(w))
+         .withColumn("ccb", F.sum("cb").over(w)))
+    dev = F.abs(F.col("cca") * F.col("n_b")
+                - F.col("ccb") * F.col("n_a"))
+    return (c.groupBy(F.col("sa").alias("source_a"),
+                      F.col("sb").alias("source_b"),
+                      "n_a", "n_b")
+            .agg(F.max(dev).cast("long").alias("ks_num"),
+                 (F.max(dev).cast("double")
+                  / (F.col("n_a") * F.col("n_b"))).alias("ks")))
+
+
+@query("brand_winsorized_stats", oracle="""
+WITH v AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+r AS (
+  SELECT brand, cents,
+         row_number() OVER (PARTITION BY brand ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY brand) AS n
+  FROM v),
+b AS (
+  SELECT brand, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo,
+         min(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi
+  FROM r GROUP BY brand)
+SELECT v.brand, b.n,
+       CAST(b.lo AS DOUBLE) / 100.0 AS p5_price,
+       CAST(b.hi AS DOUBLE) / 100.0 AS p95_price,
+       CAST(sum(CASE WHEN v.cents < b.lo THEN b.lo
+                     WHEN v.cents > b.hi THEN b.hi
+                     ELSE v.cents END) AS DOUBLE) / 100.0 / b.n
+         AS wins_mean,
+       CAST(count(*) FILTER (WHERE v.cents < b.lo) AS BIGINT)
+         AS n_clipped_low,
+       CAST(count(*) FILTER (WHERE v.cents > b.hi) AS BIGINT)
+         AS n_clipped_high
+FROM v JOIN b ON v.brand = b.brand
+GROUP BY v.brand, b.n, b.lo, b.hi
+""")
+def q_brand_winsorized_stats(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Winsorized (p5/p95-clipped) price statistics per brand — the
+    outlier-robust normalization applied before any mean-based
+    comparison: both clip bounds are EXACT order statistics from
+    `grouped_order_statistic` with custom ranks ((n+19) div 20 and
+    (19n+19) div 20 — fourth and fifth consumers of the operator),
+    and the clipped mean accumulates exact integer cents so the
+    final doubles are exact-operand divisions, no rounding. Scale
+    shape: two histogram selections + one clip aggregate over the
+    fact table, all map-side combinable; the bounds join back as a
+    broadcast brand-sized table."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.operators.quantiles import (
+        grouped_order_statistic)
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir)
+    v = tracked_persist(
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .select(F.col("p_brand").alias("brand"),
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                .alias("cents")))
+    bkt = F.expr("cents div 100000")
+    lo = grouped_order_statistic(v, ["brand"], "cents",
+                                 rank_sql="(n + 19) div 20",
+                                 bucket=bkt, out_col="lo")
+    hi = grouped_order_statistic(v, ["brand"], "cents",
+                                 rank_sql="(19 * n + 19) div 20",
+                                 bucket=bkt, out_col="hi")
+    b = (lo.join(hi.select("brand", "hi"), "brand")
+         .select("brand", F.col("n").cast("long").alias("n"),
+                 "lo", "hi"))
+    clip = (F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+            .when(F.col("cents") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("cents")))
+    return (v.join(F.broadcast(b), "brand")
+            .groupBy("brand", "n", "lo", "hi")
+            .agg((F.sum(clip).cast("double") / 100.0 / F.col("n"))
+                 .alias("wins_mean"),
+                 F.count_if(F.col("cents") < F.col("lo"))
+                 .alias("n_clipped_low"),
+                 F.count_if(F.col("cents") > F.col("hi"))
+                 .alias("n_clipped_high"))
+            .select("brand", "n",
+                    (F.col("lo").cast("double") / 100.0)
+                    .alias("p5_price"),
+                    (F.col("hi").cast("double") / 100.0)
+                    .alias("p95_price"),
+                    "wins_mean", "n_clipped_low", "n_clipped_high"))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10358,7 +10518,8 @@ _PRIORITY: list[str] = [
     "embedding_pc1_projection", "brand_weighted_median_price",
     "table_integrity_checksums", "props_key_signatures",
     "brand_theilsen_slope", "l_diversity_audit",
-    "customer_cohort_ltv",
+    "customer_cohort_ltv", "source_doclen_ks_drift",
+    "brand_winsorized_stats",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
