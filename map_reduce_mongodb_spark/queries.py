@@ -10041,6 +10041,125 @@ def q_brand_winsorized_stats(spark: SparkSession, sf_dir: str
                     "wins_mean", "n_clipped_low", "n_clipped_high"))
 
 
+@query("vocab_growth_heaps", oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY doc_id),
+fw AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+ks AS (SELECT unnest([10, 25, 50, 100, 250, 500, 1000]) AS k),
+tk AS (
+  SELECT ks.k,
+         CAST(sum(CASE WHEN pd.doc_id < ks.k THEN pd.c ELSE 0 END)
+              AS BIGINT) AS n_tokens
+  FROM pd CROSS JOIN ks GROUP BY ks.k),
+ty AS (
+  SELECT ks.k,
+         CAST(sum(CASE WHEN fw.fd < ks.k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_types
+  FROM fw CROSS JOIN ks GROUP BY ks.k)
+SELECT tk.k, tk.n_tokens, ty.n_types,
+       CAST(ty.n_types AS DOUBLE) / tk.n_tokens AS type_token_ratio
+FROM tk JOIN ty ON tk.k = ty.k
+WHERE tk.n_tokens > 0
+""")
+def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct word types vs
+    running token count over growing corpus prefixes (first k docs
+    by id) — the estimator behind tokenizer-vocab sizing and
+    "how much NEW text is this crawl really adding" curation calls.
+    Scale shape: tokens collapse once to a per-doc count table
+    (doc-bounded) and a word→first-doc table (vocab-bounded,
+    map-side-combined min); the 7-point threshold sweep is a
+    broadcast cross join over those AGGREGATES — the corpus is never
+    rescanned per checkpoint. All integers; one exact-operand TTR
+    division."""
+    d = (table(spark, "documents", sf_dir)
+         .where(F.length(F.trim(F.col("text"))) > 0))
+    tok = d.select("doc_id",
+                   F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                   .alias("w"))
+    pd_ = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    fw = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    ks = (spark.range(1)
+          .select(F.explode(F.array(*[F.lit(k) for k in
+                                      (10, 25, 50, 100, 250, 500,
+                                       1000)])).alias("k")))
+    tk = (pd_.crossJoin(F.broadcast(ks)).groupBy("k")
+          .agg(F.sum(F.when(F.col("doc_id") < F.col("k"), F.col("c"))
+                     .otherwise(F.lit(0))).cast("long")
+               .alias("n_tokens")))
+    ty = (fw.crossJoin(F.broadcast(ks)).groupBy("k")
+          .agg(F.count_if(F.col("fd") < F.col("k")).alias("n_types")))
+    return (tk.join(ty, "k").where(F.col("n_tokens") > 0)
+            .select("k", "n_tokens", "n_types",
+                    (F.col("n_types").cast("double")
+                     / F.col("n_tokens")).alias("type_token_ratio")))
+
+
+_ASSORT_NUM = "CAST(m AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb"
+_ASSORT_DEN = ("sqrt(CAST(m AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)"
+               " * sqrt(CAST(m AS DOUBLE) * sbb"
+               " - CAST(sb AS DOUBLE) * sb)")
+
+
+@query("dup_graph_assortativity", oracle=_CC_CTE + f"""
+, deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+          FROM edges GROUP BY src),
+ed AS (
+  SELECT da.d AS da, db.d AS db
+  FROM edges e
+  JOIN deg da ON e.src = da.src
+  JOIN deg db ON e.dst = db.src),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         sum(da) AS sa, sum(db) AS sb, sum(da * db) AS sab,
+         sum(da * da) AS saa, sum(db * db) AS sbb
+  FROM ed)
+SELECT m AS n_directed_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       round(({_ASSORT_NUM}) / ({_ASSORT_DEN}), 6) AS assortativity
+FROM m
+WHERE ({_ASSORT_DEN}) > 0
+""")
+def q_dup_graph_assortativity(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Degree assortativity of the near-dup graph: the Pearson
+    correlation of endpoint degrees over all (symmetric) edges —
+    negative means hubs attach to leaves (template/boilerplate
+    star shapes), positive means dense mutual-dup cliques; it picks
+    the hub-handling strategy the same way `dup_graph_degree_hist`
+    picks whether one is needed. EXACT integer moments (degrees are
+    ints; m, Σd, Σd², Σd_a·d_b all map-side-combined), one shared
+    Pearson formula TEXT across engines (the brand_qty_price_corr
+    discipline). Reads the shared 0.7-Jaccard pair table; the only
+    joins attach the vocab-bounded degree table to the edge list."""
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()
+    ed = (sym.join(deg.select(F.col("id_a").alias("_s"),
+                              F.col("d").alias("da")),
+                   sym["id_a"] == F.col("_s"))
+          .join(deg.select(F.col("id_a").alias("_t"),
+                           F.col("d").alias("db")),
+                sym["id_b"] == F.col("_t"))
+          .select("da", "db"))
+    mrow = ed.agg(F.count(F.lit(1)).alias("m"),
+                  F.sum("da").alias("sa"), F.sum("db").alias("sb"),
+                  F.sum(F.expr("da * db")).alias("sab"),
+                  F.sum(F.expr("da * da")).alias("saa"),
+                  F.sum(F.expr("db * db")).alias("sbb"))
+    return (mrow.where(F.expr(_ASSORT_DEN) > 0)
+            .select(F.col("m").alias("n_directed_edges"),
+                    F.lit(n_nodes).cast("long").alias("n_nodes"),
+                    F.round(F.expr(f"({_ASSORT_NUM}) / ({_ASSORT_DEN})"),
+                            6).alias("assortativity")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10519,7 +10638,8 @@ _PRIORITY: list[str] = [
     "table_integrity_checksums", "props_key_signatures",
     "brand_theilsen_slope", "l_diversity_audit",
     "customer_cohort_ltv", "source_doclen_ks_drift",
-    "brand_winsorized_stats",
+    "brand_winsorized_stats", "vocab_growth_heaps",
+    "dup_graph_assortativity",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
