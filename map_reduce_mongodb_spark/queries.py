@@ -805,7 +805,10 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("pr", 6).alias("pctile")))
 
 
-@query("lang_id", oracle=r"""
+#: Self-contained lang-ID oracle (stopword-anchor scores + argmax) —
+#: shared by `lang_id` (per-doc listing) and `lang_id_confusion`
+#: (the evaluation rollup).
+_LANG_ID_ORACLE = r"""
 WITH hits AS (
   SELECT doc_id, lang AS labeled_lang,
          len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -825,7 +828,10 @@ SELECT doc_id, labeled_lang, h_de, h_en, h_es, h_fr,
             WHEN h_es >= h_fr THEN 'es'
             ELSE 'fr' END AS lang_guess
 FROM hits
-""")
+"""
+
+
+@query("lang_id", oracle=_LANG_ID_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-anchor language ID (n-gram-heuristic family): score per
     candidate language, argmax with alphabetic tie-break."""
@@ -10160,6 +10166,41 @@ def q_dup_graph_assortativity(spark: SparkSession, sf_dir: str
                             6).alias("assortativity")))
 
 
+@query("lang_id_confusion", oracle=f"""
+WITH pred AS ({_LANG_ID_ORACLE}),
+m AS (
+  SELECT labeled_lang, lang_guess,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY labeled_lang, lang_guess),
+t AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS row_n
+      FROM m GROUP BY labeled_lang)
+SELECT m.labeled_lang, m.lang_guess, m.n_docs,
+       CAST(m.n_docs AS DOUBLE) / t.row_n AS row_share
+FROM m JOIN t USING (labeled_lang)
+""")
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the `lang_id` classifier against the
+    labeled language — the model-evaluation rollup that turns a
+    per-doc prediction listing into the readout that actually drives
+    decisions (which language pairs confuse, how much 'und' fallback
+    there is). The diagonal share per row is recall. Shares the
+    classifier's exact scoring with `lang_id` (same functions/text
+    helpers Spark-side, same oracle text wrapped as a CTE), so the
+    two queries can never drift apart. One prediction pass + two
+    bounded aggregates (|langs|² matrix)."""
+    from map_reduce_mongodb_spark.functions import text as T
+    docs = table(spark, "documents", sf_dir)
+    pred = docs.select(F.col("lang").alias("labeled_lang"),
+                       T.lang_guess(F.col("text")).alias("lang_guess"))
+    m = (pred.groupBy("labeled_lang", "lang_guess")
+         .agg(F.count(F.lit(1)).alias("n_docs")))
+    t = m.groupBy("labeled_lang").agg(F.sum("n_docs").alias("row_n"))
+    return (m.join(F.broadcast(t), "labeled_lang")
+            .select("labeled_lang", "lang_guess", "n_docs",
+                    (F.col("n_docs").cast("double") / F.col("row_n"))
+                    .alias("row_share")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10639,7 +10680,7 @@ _PRIORITY: list[str] = [
     "brand_theilsen_slope", "l_diversity_audit",
     "customer_cohort_ltv", "source_doclen_ks_drift",
     "brand_winsorized_stats", "vocab_growth_heaps",
-    "dup_graph_assortativity",
+    "dup_graph_assortativity", "lang_id_confusion",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
