@@ -10201,6 +10201,91 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("row_share")))
 
 
+def _threshold_sweep_oracle(thresholds=(0.7, 0.8, 0.9)) -> str:
+    """Per threshold: its own recursive closure over the jac-filtered
+    pair set (0.8/0.9 edges are subsets of the 0.7 table). The shingle
+    and pair CTEs mirror _CC_CTE with the Jaccard value kept."""
+    blocks, selects = [], []
+    for t in thresholds:
+        s = str(t).replace(".", "")
+        blocks.append(f"""
+e{s} AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pj WHERE jac >= {t}
+  UNION
+  SELECT id_b, id_a FROM pj WHERE jac >= {t}),
+r{s}(id, r) AS (
+  SELECT src, src FROM e{s}
+  UNION
+  SELECT e.src, r{s}.r FROM e{s} e JOIN r{s} ON e.dst = r{s}.id),
+c{s} AS (SELECT id, min(r) AS cid FROM r{s} GROUP BY id),
+s{s} AS (
+  SELECT CAST({t} AS DOUBLE) AS threshold,
+         (SELECT CAST(count(*) AS BIGINT) FROM pj WHERE jac >= {t})
+           AS n_edges,
+         CAST(sum(cnt) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_components,
+         CAST(max(cnt) AS BIGINT) AS largest_component
+  FROM (SELECT cid, count(*) AS cnt FROM c{s} GROUP BY cid))""")
+        selects.append(f"SELECT * FROM s{s}")
+    return (r"""
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3),
+pj AS MATERIALIZED (
+  SELECT id_a, id_b, jac FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jac
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+          >= 0.7 * greatest(len(a.s), len(b.s)))
+  WHERE jac >= 0.7),"""
+            + ",".join(blocks) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+@query("dup_graph_threshold_sweep", oracle=_threshold_sweep_oracle())
+def q_dup_graph_threshold_sweep(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Threshold-response sweep of the dedup knob: connected-
+    component structure (edges, nodes, components, largest cluster)
+    of the near-dup graph at Jaccard ≥ 0.7 / 0.8 / 0.9 — the curve a
+    curation team reads before picking the dedup threshold (too low:
+    one giant boilerplate component; too high: misses rewrites). The
+    0.8/0.9 edge sets are FILTERS of the once-materialized 0.7 pair
+    table (thresholds are monotone — no new pair generation), and
+    each level runs the same Kiveris CC operator; per-level stats
+    are cluster-size aggregates. Scalar counts collect driver-side
+    (3 ints — metadata)."""
+    from map_reduce_mongodb_spark.operators.graph import (
+        connected_components)
+    pairs = _jaccard_pairs_07(spark, sf_dir) \
+        .select("id_a", "id_b", "jaccard")
+    outs = []
+    for thr in (0.7, 0.8, 0.9):
+        e = pairs.where(F.col("jaccard") >= thr)
+        n_edges = e.count()
+        cc = connected_components(e, src="id_a", dst="id_b")
+        sizes = cc.groupBy("cc").agg(F.count(F.lit(1)).alias("cnt"))
+        outs.append(sizes.agg(
+            F.lit(float(thr)).alias("threshold"),
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+            .alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_components"),
+            F.coalesce(F.max("cnt"), F.lit(0)).cast("long")
+            .alias("largest_component")))
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10681,6 +10766,7 @@ _PRIORITY: list[str] = [
     "customer_cohort_ltv", "source_doclen_ks_drift",
     "brand_winsorized_stats", "vocab_growth_heaps",
     "dup_graph_assortativity", "lang_id_confusion",
+    "dup_graph_threshold_sweep",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
