@@ -10286,6 +10286,49 @@ def q_dup_graph_threshold_sweep(spark: SparkSession, sf_dir: str
     return out
 
 
+@query("orderkey_contiguous_ranges", oracle="""
+WITH k AS (SELECT DISTINCT o_orderkey AS key_ FROM orders),
+r AS (
+  SELECT key_,
+         key_ - row_number() OVER (ORDER BY key_) AS grp
+  FROM k),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM r GROUP BY grp)
+SELECT CAST(count(*) AS BIGINT) AS n_ranges,
+       CAST(max(run_len) AS BIGINT) AS longest_range,
+       CAST(sum(run_len) AS BIGINT) AS n_keys,
+       (SELECT CAST(min(key_) AS BIGINT) FROM k) AS min_key,
+       (SELECT CAST(max(key_) AS BIGINT) FROM k) AS max_key
+FROM g
+""")
+def q_orderkey_contiguous_ranges(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Key-space continuity audit (gaps-and-islands at scale): how
+    many contiguous runs the order-key sequence breaks into, the
+    longest run, and the covered bounds — the sequence-integrity /
+    allocation-pattern check behind "did the loader skip a block?".
+    The classic islands trick (key − rank) needs a GLOBAL rank — the
+    textbook row_number() over a fact table is the single-partition
+    trap, so the rank comes from `operators/prefix.py:
+    distributed_cumsum` of 1s (two-pass range-partitioned scan; the
+    oracle states the same statistic with the plain window). Runs
+    then aggregate by (key − rank) map-side."""
+    from map_reduce_mongodb_spark.operators.prefix import (
+        distributed_cumsum)
+    k = (table(spark, "orders", sf_dir)
+         .select(F.col("o_orderkey").alias("key_")).distinct())
+    r = distributed_cumsum(k, [F.col("key_")], F.lit(1), "rank")
+    g = (r.select((F.col("key_") - F.col("rank")).alias("grp"))
+         .groupBy("grp").agg(F.count(F.lit(1)).alias("run_len")))
+    bounds = k.agg(F.min("key_").cast("long").alias("min_key"),
+                   F.max("key_").cast("long").alias("max_key"))
+    return (g.agg(F.count(F.lit(1)).alias("n_ranges"),
+                  F.max("run_len").cast("long").alias("longest_range"),
+                  F.sum("run_len").cast("long").alias("n_keys"))
+            .crossJoin(F.broadcast(bounds)))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10766,7 +10809,7 @@ _PRIORITY: list[str] = [
     "customer_cohort_ltv", "source_doclen_ks_drift",
     "brand_winsorized_stats", "vocab_growth_heaps",
     "dup_graph_assortativity", "lang_id_confusion",
-    "dup_graph_threshold_sweep",
+    "dup_graph_threshold_sweep", "orderkey_contiguous_ranges",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
