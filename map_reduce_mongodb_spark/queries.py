@@ -10329,6 +10329,116 @@ def q_orderkey_contiguous_ranges(spark: SparkSession, sf_dir: str
             .crossJoin(F.broadcast(bounds)))
 
 
+@query("cross_source_dup_matrix", oracle=_CC_CTE + """
+, ds AS (SELECT doc_id, source FROM documents),
+px AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM pairs p
+  JOIN ds a ON p.id_a = a.doc_id
+  JOIN ds b ON p.id_b = b.doc_id),
+m AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+  FROM px GROUP BY source_a, source_b),
+tot AS (SELECT CAST(sum(n_dup_pairs) AS BIGINT) AS t FROM m)
+SELECT m.source_a, m.source_b, m.n_dup_pairs,
+       CAST(m.n_dup_pairs AS DOUBLE) / tot.t AS pair_share,
+       CASE WHEN m.source_a = m.source_b THEN 1 ELSE 0 END
+         AS within_source
+FROM m CROSS JOIN tot
+""")
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Cross-source duplication matrix: which SOURCES duplicate each
+    other — every near-dup pair mapped to its (source, source)
+    cell (unordered, so A→B and B→A land together) — the provenance
+    readout behind crawl-overlap decisions ("src3 is 80% re-crawl of
+    src1; drop it") and the off-diagonal contamination check
+    `dedup_rate_by_source`'s per-source rates can't see. Two
+    broadcast joins of the doc→source dimension onto the
+    once-materialized 0.7 pair table, then a sources²-bounded
+    aggregate with a broadcast total."""
+    pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
+    ds = table(spark, "documents", sf_dir).select("doc_id", "source")
+    a = ds.select(F.col("doc_id").alias("id_a"),
+                  F.col("source").alias("sa"))
+    b = ds.select(F.col("doc_id").alias("id_b"),
+                  F.col("source").alias("sb"))
+    px = (pairs.join(F.broadcast(a), "id_a")
+          .join(F.broadcast(b), "id_b")
+          .select(F.least("sa", "sb").alias("source_a"),
+                  F.greatest("sa", "sb").alias("source_b")))
+    m = (px.groupBy("source_a", "source_b")
+         .agg(F.count(F.lit(1)).alias("n_dup_pairs")))
+    tot = m.agg(F.sum("n_dup_pairs").cast("long").alias("t"))
+    return (m.crossJoin(F.broadcast(tot))
+            .select("source_a", "source_b", "n_dup_pairs",
+                    (F.col("n_dup_pairs").cast("double") / F.col("t"))
+                    .alias("pair_share"),
+                    F.when(F.col("source_a") == F.col("source_b"), 1)
+                    .otherwise(0).alias("within_source")))
+
+
+@query("repeat_customer_revenue_split", oracle="""
+WITH co AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT CASE WHEN n_orders = 1 THEN 'one_time'
+              WHEN n_orders <= 5 THEN 'repeat_2_5'
+              ELSE 'loyal_6_plus' END AS segment,
+         n_orders, cents
+  FROM co),
+m AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM seg GROUP BY segment),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM m)
+SELECT m.segment, m.n_customers, m.n_orders,
+       CAST(m.cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(m.cents AS DOUBLE) / tot.t AS revenue_share,
+       CAST(m.cents AS DOUBLE) / 100.0 / m.n_customers
+         AS revenue_per_customer
+FROM m CROSS JOIN tot
+""")
+def q_repeat_customer_revenue_split(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """One-time vs repeat vs loyal revenue decomposition — the
+    retention-economics headline ("what share of revenue comes from
+    repeat buyers?"). One customer-keyed rollup (map-side combined)
+    feeds a 3-segment CASE bucketing; exact integer cents throughout,
+    shares and per-customer averages as exact-operand divisions (the
+    unrounded-doubles discipline from customer_cohort_ltv). Broadcast
+    scalar total."""
+    o = table(spark, "orders", sf_dir)
+    co = (o.groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+               .alias("cents")))
+    seg = (F.when(F.col("n_orders") == 1, "one_time")
+           .when(F.col("n_orders") <= 5, "repeat_2_5")
+           .otherwise("loyal_6_plus"))
+    m = (co.select(seg.alias("segment"), "n_orders", "cents")
+         .groupBy("segment")
+         .agg(F.count(F.lit(1)).alias("n_customers"),
+              F.sum("n_orders").cast("long").alias("n_orders"),
+              F.sum("cents").cast("long").alias("cents")))
+    tot = m.agg(F.sum("cents").cast("long").alias("t"))
+    return (m.crossJoin(F.broadcast(tot))
+            .select("segment", "n_customers", "n_orders",
+                    (F.col("cents").cast("double") / 100.0)
+                    .alias("revenue"),
+                    (F.col("cents").cast("double") / F.col("t"))
+                    .alias("revenue_share"),
+                    (F.col("cents").cast("double") / 100.0
+                     / F.col("n_customers"))
+                    .alias("revenue_per_customer")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10810,6 +10920,7 @@ _PRIORITY: list[str] = [
     "brand_winsorized_stats", "vocab_growth_heaps",
     "dup_graph_assortativity", "lang_id_confusion",
     "dup_graph_threshold_sweep", "orderkey_contiguous_ranges",
+    "cross_source_dup_matrix", "repeat_customer_revenue_split",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
