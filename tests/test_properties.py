@@ -177,3 +177,60 @@ def test_cdc_chunks_resynchronize_after_prefix_edit(spark):
     # everything but the perturbed leading chunk(s) must re-align
     assert len(shared) >= len(h0) - 2, (len(shared), len(h0))
     assert any(r.shared_docs == 2 for r in out)
+
+
+_iv_strategy = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]),
+              st.integers(min_value=-40, max_value=40),
+              st.integers(min_value=1, max_value=25)),
+    min_size=1, max_size=18)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_iv_strategy)
+def test_interval_overlap_pairs_matches_bruteforce(spark, ivs):
+    """Grid-bucketed interval join ≡ brute-force O(n²) on random
+    instances: same pair SET, same overlap lengths, each pair once —
+    including negative starts and spans crossing many cells."""
+    from map_reduce_mongodb_spark.operators.temporal import (
+        interval_overlap_pairs)
+    rows = [(k, i, s, s + d) for i, (k, s, d) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "k string, iid int, s long, e long")
+    got = sorted((r.k, r.id_a, r.id_b, r.overlap)
+                 for r in interval_overlap_pairs(
+                     df, key="k", id_col="iid", start="s", end="e",
+                     cell_width=7).collect())
+    want = sorted(
+        (ka, ia, ib, min(ea, eb) - max(sa, sb))
+        for (ka, ia, sa, ea) in rows for (kb, ib, sb, eb) in rows
+        if ka == kb and ia < ib and sa < eb and sb < ea)
+    assert got == want
+
+
+_gos_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(min_value=-500, max_value=500)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_gos_strategy, st.integers(min_value=1, max_value=9))
+def test_grouped_order_statistic_matches_python(spark, rows, dec):
+    """Two-phase selection ≡ sorted()[k-1] for a random decile rank,
+    negative values and duplicate-heavy groups included (values div 10
+    piles duplicates into shared buckets)."""
+    from map_reduce_mongodb_spark.operators.quantiles import (
+        grouped_order_statistic)
+    data = [(g, float(v) / 10.0) for g, v in rows]
+    df = spark.createDataFrame(data, "g string, v double")
+    rank = f"greatest(({dec} * n + {dec}) div 10, 1)"
+    got = {r.g: (r.n, r.stat)
+           for r in grouped_order_statistic(
+               df, ["g"], "v", rank_sql=rank).collect()}
+    for g in {g for g, _ in data}:
+        vals = sorted(v for gg, v in data if gg == g)
+        k = (dec * len(vals) + dec) // 10
+        k = max(k, 1)
+        assert got[g] == (len(vals), vals[k - 1]), (g, k)
