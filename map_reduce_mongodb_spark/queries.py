@@ -10439,6 +10439,110 @@ def q_repeat_customer_revenue_split(spark: SparkSession, sf_dir: str
                     .alias("revenue_per_customer")))
 
 
+@query("events_seasonal_anomaly", oracle="""
+WITH cell AS (
+  SELECT (dayofweek(ts) + 6) % 7 AS dow, CAST(hour(ts) AS INT) AS hr,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(ts AS DATE)) // 7 AS INT) AS week,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3),
+base AS (
+  SELECT dow, hr, CAST(count(*) AS BIGINT) AS w,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM cell GROUP BY dow, hr)
+SELECT cell.dow, cell.hr, cell.week, cell.c AS n_events,
+       CAST(base.s AS DOUBLE) / base.w AS baseline_mean
+FROM cell JOIN base ON cell.dow = base.dow AND cell.hr = base.hr
+WHERE base.w >= 3
+  AND (cell.c * base.w - base.s) > 0
+  AND (cell.c * base.w - base.s) * (cell.c * base.w - base.s)
+      > 4 * base.w * (base.w * base.ss - base.s * base.s)
+""")
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (day-of-week, hour,
+    week) traffic cell tested against ITS OWN weekday-hour baseline —
+    the on-call alert rule ("Tuesday 9am is hot *for a Tuesday 9am*")
+    that a global z-score (`events_anomaly_zscore`) can't express.
+    The 2σ population test is fully CROSS-MULTIPLIED into integers:
+    c > mean + 2σ ⇔ (c·w − s) > 0 ∧ (c·w − s)² > 4·w·(w·ss − s²) —
+    no division, no sqrt, engine-exact flags; the only double is the
+    reported baseline mean (exact-operand division). Both aggregates
+    are calendar-bounded (7×24×weeks and 7×24); dow is normalized to
+    Monday-0 on both engines."""
+    e = table(spark, "events", sf_dir)
+    cell = (e.groupBy(
+        ((F.dayofweek("ts") + 5) % 7).alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.expr("CAST(datediff(cast(ts as date), date'2024-01-01') "
+               "div 7 AS INT)").alias("week"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    base = (cell.groupBy("dow", "hr")
+            .agg(F.count(F.lit(1)).alias("w"),
+                 F.sum("c").alias("s"),
+                 F.sum(F.expr("c * c")).alias("ss")))
+    dev = F.col("c") * F.col("w") - F.col("s")
+    var4 = (4 * F.col("w")
+            * (F.col("w") * F.col("ss") - F.col("s") * F.col("s")))
+    return (cell.join(F.broadcast(base), ["dow", "hr"])
+            .where((F.col("w") >= 3) & (dev > 0) & (dev * dev > var4))
+            .select("dow", "hr", "week", F.col("c").alias("n_events"),
+                    (F.col("s").cast("double") / F.col("w"))
+                    .alias("baseline_mean")))
+
+
+@query("nation_share_of_region", oracle="""
+WITH rev AS (
+  SELECT n.n_regionkey, n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name),
+reg AS (
+  SELECT n_regionkey, CAST(sum(cents) AS BIGINT) AS region_cents
+  FROM rev GROUP BY n_regionkey)
+SELECT r.r_name AS region, rev.nation,
+       CAST(rev.cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev.cents AS DOUBLE) / reg.region_cents AS share_of_region
+FROM rev
+JOIN reg ON rev.n_regionkey = reg.n_regionkey
+JOIN region r ON rev.n_regionkey = r.r_regionkey
+""")
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Share-of-parent rollup: each nation's supplier revenue as a
+    fraction of its region's total — the two-level hierarchy ratio
+    every BI drill-down renders. One fact-sized aggregate (exact
+    integer cents, map-side combined through two broadcast dimension
+    joins); the parent totals re-aggregate the 25-row nation table
+    and join back broadcast. Exact-operand divisions, no rounding."""
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    r = table(spark, "region", sf_dir)
+    cents = F.expr("CAST(round(l_extendedprice * (1 - l_discount) "
+                   "* 100) AS BIGINT)")
+    rev = (li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                   li["l_suppkey"] == s["s_suppkey"])
+           .join(F.broadcast(n.select("n_nationkey", "n_regionkey",
+                                      "n_name")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_regionkey", F.col("n_name").alias("nation"))
+           .agg(F.sum(cents).cast("long").alias("cents")))
+    reg = (rev.groupBy("n_regionkey")
+           .agg(F.sum("cents").cast("long").alias("region_cents")))
+    return (rev.join(F.broadcast(reg), "n_regionkey")
+            .join(F.broadcast(r), rev["n_regionkey"] == r["r_regionkey"])
+            .select(F.col("r_name").alias("region"), "nation",
+                    (F.col("cents").cast("double") / 100.0)
+                    .alias("revenue"),
+                    (F.col("cents").cast("double")
+                     / F.col("region_cents")).alias("share_of_region")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -10921,6 +11025,7 @@ _PRIORITY: list[str] = [
     "dup_graph_assortativity", "lang_id_confusion",
     "dup_graph_threshold_sweep", "orderkey_contiguous_ranges",
     "cross_source_dup_matrix", "repeat_customer_revenue_split",
+    "events_seasonal_anomaly", "nation_share_of_region",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
