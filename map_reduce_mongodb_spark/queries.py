@@ -10450,26 +10450,36 @@ base AS (
   SELECT dow, hr, CAST(count(*) AS BIGINT) AS w,
          CAST(sum(c) AS BIGINT) AS s,
          CAST(sum(c * c) AS BIGINT) AS ss
-  FROM cell GROUP BY dow, hr)
-SELECT cell.dow, cell.hr, cell.week, cell.c AS n_events,
-       CAST(base.s AS DOUBLE) / base.w AS baseline_mean
-FROM cell JOIN base ON cell.dow = base.dow AND cell.hr = base.hr
-WHERE base.w >= 3
-  AND (cell.c * base.w - base.s) > 0
-  AND (cell.c * base.w - base.s) * (cell.c * base.w - base.s)
-      > 4 * base.w * (base.w * base.ss - base.s * base.s)
+  FROM cell GROUP BY dow, hr),
+loo AS (
+  SELECT cell.dow, cell.hr, cell.week, cell.c,
+         base.w - 1 AS w2, base.s - cell.c AS s2,
+         base.ss - cell.c * cell.c AS ss2
+  FROM cell JOIN base ON cell.dow = base.dow AND cell.hr = base.hr
+  WHERE base.w >= 4)
+SELECT dow, hr, week, c AS n_events,
+       CAST(s2 AS DOUBLE) / w2 AS baseline_mean
+FROM loo
+WHERE (c * w2 - s2) > 0
+  AND (c * w2 - s2) * (c * w2 - s2)
+      > 4 * w2 * (w2 * ss2 - s2 * s2)
 """)
 def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """Seasonal-baseline anomaly detection: each (day-of-week, hour,
-    week) traffic cell tested against ITS OWN weekday-hour baseline —
-    the on-call alert rule ("Tuesday 9am is hot *for a Tuesday 9am*")
-    that a global z-score (`events_anomaly_zscore`) can't express.
-    The 2σ population test is fully CROSS-MULTIPLIED into integers:
-    c > mean + 2σ ⇔ (c·w − s) > 0 ∧ (c·w − s)² > 4·w·(w·ss − s²) —
-    no division, no sqrt, engine-exact flags; the only double is the
-    reported baseline mean (exact-operand division). Both aggregates
-    are calendar-bounded (7×24×weeks and 7×24); dow is normalized to
+    week) traffic cell tested against the OTHER weeks' same-weekday-
+    hour baseline — the on-call alert rule ("Tuesday 9am is hot *for
+    a Tuesday 9am*") a global z-score (`events_anomaly_zscore`)
+    can't express. The baseline is LEAVE-ONE-OUT (w−1, s−c, ss−c²):
+    with only a handful of weekly samples, a point inside its own
+    baseline bounds its z² below (w−1)/w and a 2σ rule can NEVER
+    fire — excluding the tested week restores an unbounded test.
+    The 2σ rule is fully CROSS-MULTIPLIED into integers:
+    c > mean' + 2σ' ⇔ (c·w' − s') > 0 ∧ (c·w' − s')² >
+    4·w'·(w'·ss' − s'²) — no division, no sqrt, engine-exact flags
+    (a zero-variance rest flags any positive deviation, the right
+    degenerate case); the only double is the reported baseline mean.
+    Both aggregates are calendar-bounded; dow is normalized to
     Monday-0 on both engines."""
     e = table(spark, "events", sf_dir)
     cell = (e.groupBy(
@@ -10482,13 +10492,19 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str
             .agg(F.count(F.lit(1)).alias("w"),
                  F.sum("c").alias("s"),
                  F.sum(F.expr("c * c")).alias("ss")))
-    dev = F.col("c") * F.col("w") - F.col("s")
-    var4 = (4 * F.col("w")
-            * (F.col("w") * F.col("ss") - F.col("s") * F.col("s")))
-    return (cell.join(F.broadcast(base), ["dow", "hr"])
-            .where((F.col("w") >= 3) & (dev > 0) & (dev * dev > var4))
+    loo = (cell.join(F.broadcast(base), ["dow", "hr"])
+           .where(F.col("w") >= 4)
+           .select("dow", "hr", "week", "c",
+                   (F.col("w") - 1).alias("w2"),
+                   (F.col("s") - F.col("c")).alias("s2"),
+                   (F.col("ss") - F.col("c") * F.col("c"))
+                   .alias("ss2")))
+    dev = F.col("c") * F.col("w2") - F.col("s2")
+    var4 = (4 * F.col("w2")
+            * (F.col("w2") * F.col("ss2") - F.col("s2") * F.col("s2")))
+    return (loo.where((dev > 0) & (dev * dev > var4))
             .select("dow", "hr", "week", F.col("c").alias("n_events"),
-                    (F.col("s").cast("double") / F.col("w"))
+                    (F.col("s2").cast("double") / F.col("w2"))
                     .alias("baseline_mean")))
 
 
