@@ -10559,6 +10559,111 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str
                      / F.col("region_cents")).alias("share_of_region")))
 
 
+@query("dedup_token_savings", oracle=_CC_CTE + r"""
+, tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+drop_ AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS tokens_all,
+         CAST(count(*) FILTER (WHERE drop_.doc_id IS NOT NULL)
+              AS BIGINT) AS n_dropped,
+         CAST(coalesce(sum(toks) FILTER (
+              WHERE drop_.doc_id IS NOT NULL), 0) AS BIGINT)
+           AS tokens_dropped
+  FROM tok LEFT JOIN drop_ ON tok.doc_id = drop_.doc_id
+  GROUP BY source)
+SELECT source, n_docs, tokens_all, n_dropped, tokens_dropped,
+       CAST(tokens_dropped AS DOUBLE) / tokens_all AS savings_share
+FROM m
+""")
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """What near-dedup actually BUYS, in tokens: per source, the
+    token budget before dedup, the tokens the non-canonical cluster
+    members would have burned, and the savings share — the number
+    that justifies the dedup pipeline's cost in a training-compute
+    budget review (`dedup_rate_by_source` counts docs; compute cost
+    scales with TOKENS, and boilerplate-heavy sources drop far more
+    tokens than docs). One token-count scan + a broadcast anti-ish
+    LEFT join of the tiny non-canonical label set (reads the
+    once-materialized CC labels); all integers, one exact
+    division."""
+    labels = _cc_labels(spark, sf_dir)
+    drop = labels.where(F.col("id") != F.col("cc")) \
+        .select(F.col("id").alias("doc_id"), F.lit(1).alias("_dup"))
+    d = (table(spark, "documents", sf_dir)
+         .where(F.length(F.trim(F.col("text"))) > 0))
+    tok = d.select("doc_id", "source",
+                   F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                   .cast("long").alias("toks"))
+    j = tok.join(F.broadcast(drop), "doc_id", "left")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").cast("long").alias("tokens_all"),
+                 F.count_if(F.col("_dup").isNotNull())
+                 .alias("n_dropped"),
+                 F.coalesce(F.sum(F.when(F.col("_dup").isNotNull(),
+                                         F.col("toks"))), F.lit(0))
+                 .cast("long").alias("tokens_dropped"))
+            .withColumn("savings_share",
+                        F.col("tokens_dropped").cast("double")
+                        / F.col("tokens_all")))
+
+
+@query("user_stickiness_ratio", oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u
+    ON date_diff('day', u.day, d.day) BETWEEN 0 AND 6
+  GROUP BY d.day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+""")
+def q_user_stickiness_ratio(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """DAU/WAU stickiness per day — the product-engagement headline
+    ("what fraction of this week's users showed up today?"). The
+    trailing-7-day distinct count never runs a sliding window over
+    the fact table: events collapse once to DISTINCT (user, day)
+    (fact-sized, map-side), then each active day EXPLODES to the ≤7
+    future days it contributes to and a second distinct-count
+    aggregate per target day finishes — the bounded-fan-out plan of
+    `events_sliding_distinct_users` at day grain (the oracle states
+    it as the range join). Day-grain output, exact integers, one
+    exact division."""
+    e = table(spark, "events", sf_dir)
+    ud = (e.select("user_id", F.to_date("ts").alias("day")).distinct())
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    ud = tracked_persist(ud)
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = (ud.select("user_id",
+                       F.explode(F.sequence(
+                           F.col("day"),
+                           F.date_add(F.col("day"), 6)))
+                       .alias("wday"))
+             .join(days.select(F.col("day").alias("wday")).distinct(),
+                   "wday", "left_semi"))
+    wau = (cover.groupBy(F.col("wday").alias("day"))
+           .agg(F.countDistinct("user_id").alias("wau")))
+    return (dau.join(wau, "day")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau",
+                    (F.col("dau").cast("double") / F.col("wau"))
+                    .alias("stickiness")))
+
+
 @query("purchase_graph_hits", oracle="""
 WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -11042,6 +11147,7 @@ _PRIORITY: list[str] = [
     "dup_graph_threshold_sweep", "orderkey_contiguous_ranges",
     "cross_source_dup_matrix", "repeat_customer_revenue_split",
     "events_seasonal_anomaly", "nation_share_of_region",
+    "dedup_token_savings", "user_stickiness_ratio",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
