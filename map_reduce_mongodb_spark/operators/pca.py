@@ -117,3 +117,29 @@ def power_iteration_int(C: list[list[int]], iters: int = 8,
         m = max(abs(x) for x in w) // (1 << cap_bits) + 1
         v = [_idiv(x, m) for x in w]
     return v, D, cr
+
+
+def power_iteration_deflated(cr: list[list[int]], v1: list[int],
+                             iters: int = 8, cap_bits: int = 10
+                             ) -> list[int]:
+    """Second-component iterate: power iteration on ``cr`` with an
+    EXACT integer orthogonalization against the PC1 iterate each
+    step — ``o = t·(v1·v1) − (t·v1)·v1`` satisfies o·v1 = 0 with no
+    fractions (classic deflation C − λvvᵀ would need rational λ).
+    The subsequent magnitude cap (sign·(abs div m)) re-introduces a
+    bounded, DETERMINISTIC truncation — identical in both engines,
+    and re-orthogonalized away on the next step. Start vector
+    alternates ±1 (fixed, never parallel to a data-derived v1).
+    Intermediates exceed int64 (t·qq ~ 2^73) — pure Python ints here,
+    HUGEINT casts in the oracle."""
+    dim = len(cr)
+    qq = sum(x * x for x in v1)
+    u = [1 if i % 2 == 0 else -1 for i in range(dim)]
+    for _ in range(iters):
+        t = [sum(cr[i][j] * u[j] for j in range(dim))
+             for i in range(dim)]
+        d = sum(t[i] * v1[i] for i in range(dim))
+        o = [t[i] * qq - d * v1[i] for i in range(dim)]
+        m = max(abs(x) for x in o) // (1 << cap_bits) + 1
+        u = [_idiv(x, m) for x in o]
+    return u

@@ -9441,6 +9441,61 @@ CROSS JOIN vv CROSS JOIN vcv CROSS JOIN d CROSS JOIN nn
 """
 
 
+def _pca_pc2_oracle(dim: int = 64, iters: int = 8) -> str:
+    """PC2 chain: the PC1 CTEs (for cr, v8 = q, vv = q·q) plus 8
+    orthogonalized power steps — o = t·vv − (t·q)·q is EXACTLY
+    orthogonal to q in integers; products overflow int64 so the
+    orthogonalization runs in HUGEINT."""
+    chain = _pca_oracle(dim, iters)
+    chain = chain[:chain.index("vcv AS")].rstrip().rstrip(",")
+    steps, prev = [], "u0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+t{k} AS MATERIALIZED (
+  SELECT cr.i AS i, sum(cr.c * {prev}.v) AS t
+  FROM cr JOIN {prev} ON cr.j = {prev}.i GROUP BY cr.i),
+d{k} AS MATERIALIZED (
+  SELECT sum(t{k}.t * v{iters}.v) AS d
+  FROM t{k} JOIN v{iters} ON t{k}.i = v{iters}.i),
+o{k} AS MATERIALIZED (
+  SELECT t{k}.i,
+         CAST(t{k}.t AS HUGEINT) * vv.vv
+           - CAST(d{k}.d AS HUGEINT) * v{iters}.v AS o
+  FROM t{k} JOIN v{iters} ON t{k}.i = v{iters}.i
+  CROSS JOIN d{k} CROSS JOIN vv),
+mm{k} AS MATERIALIZED (
+  SELECT max(abs(o)) // 1024 + 1 AS m FROM o{k}),
+u{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN o < 0 THEN -((-o) // m)
+                 ELSE o // m END AS v
+  FROM o{k} CROSS JOIN mm{k})""")
+        prev = f"u{k}"
+    return chain + f""",
+u0 AS MATERIALIZED (
+  SELECT i, CASE WHEN (i - 1) % 2 = 0 THEN CAST(1 AS BIGINT)
+                 ELSE CAST(-1 AS BIGINT) END AS v
+  FROM s),{','.join(steps)},
+uu AS (SELECT sum(v * v) AS uu FROM u{iters}),
+ucu AS (
+  SELECT sum(a.v * cr.c * b.v) AS ucu
+  FROM cr JOIN u{iters} a ON cr.i = a.i
+          JOIN u{iters} b ON cr.j = b.i),
+uq AS (
+  SELECT sum(u{iters}.v * v{iters}.v) AS uq
+  FROM u{iters} JOIN v{iters} ON u{iters}.i = v{iters}.i)
+SELECT CAST(u{iters}.i AS INT) AS dim,
+       CAST(u{iters}.v AS DOUBLE) / sqrt(CAST(uu.uu AS DOUBLE))
+         AS loading_pc2,
+       CAST(ucu.ucu AS DOUBLE) * d.d / CAST(uu.uu AS DOUBLE)
+         / (nn.n * nn.n) / 1048576.0 AS eigval2,
+       CAST(uq.uq AS DOUBLE)
+         / (sqrt(CAST(uu.uu AS DOUBLE)) * sqrt(CAST(vv.vv AS DOUBLE)))
+         AS cos_with_pc1
+FROM u{iters} CROSS JOIN uu CROSS JOIN ucu CROSS JOIN uq
+CROSS JOIN d CROSS JOIN nn CROSS JOIN vv
+"""
+
+
 def _pca_projection_oracle(dim: int = 64, iters: int = 8) -> str:
     """Same integer chain as _pca_oracle, but the final SELECT applies
     the iterate as a projection: per-row integer dot v·xq, rolled up
@@ -9559,6 +9614,44 @@ def q_embedding_pc1_projection(spark: SparkSession, sf_dir: str
                  F.max("dot").cast("long").alias("max_dot"),
                  (F.sum("dot").cast("double") / F.count(F.lit(1)))
                  .alias("mean_dot")))
+
+
+@query("embedding_pca_second_component", oracle=_pca_pc2_oracle())
+def q_embedding_pca_second_component(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    """Second principal component by EXACT-INTEGER deflated power
+    iteration: same quantized scatter matrix as
+    `embedding_pca_power_iteration` (shared `_pca_state` memo), but
+    each step orthogonalizes the iterate against the PC1 iterate
+    with the fraction-free identity o = t·(q·q) − (t·q)·q (o ⟂ q
+    exactly, in integers — classic deflation needs a rational λ) —
+    giving the 2-D projection basis embedding-visualization and
+    whitening pipelines actually use. The per-step cap truncation is
+    deterministic and identical in both engines; intermediates pass
+    2^64 so the oracle orthogonalizes in HUGEINT while Python ints
+    are unbounded. Reports the loadings, the PC2 Rayleigh eigenvalue,
+    and cos(PC2, PC1) — the orthogonality diagnostic (≈0 by
+    construction, exact-operand doubles, no rounding anywhere)."""
+    import math
+
+    from map_reduce_mongodb_spark.operators.pca import (
+        power_iteration_deflated)
+    n, S, C, v, D, cr = _pca_state(spark, sf_dir)
+    dim = len(S)
+    u = power_iteration_deflated(cr, v)
+    uu = sum(x * x for x in u)
+    vvq = sum(x * x for x in v)
+    ucu = sum(u[i] * cr[i][j] * u[j]
+              for i in range(dim) for j in range(dim))
+    uq = sum(u[i] * v[i] for i in range(dim))
+    squ = math.sqrt(float(uu))
+    eig2 = float(ucu) * D / float(uu) / (n * n) / 1048576.0
+    cosv = float(uq) / (squ * math.sqrt(float(vvq)))
+    rows = [(i + 1, float(u[i]) / squ, eig2, cosv)
+            for i in range(dim)]
+    return spark.createDataFrame(
+        rows, "dim int, loading_pc2 double, eigval2 double, "
+              "cos_with_pc1 double")
 
 
 @query("brand_weighted_median_price", oracle="""
@@ -11148,6 +11241,7 @@ _PRIORITY: list[str] = [
     "cross_source_dup_matrix", "repeat_customer_revenue_split",
     "events_seasonal_anomaly", "nation_share_of_region",
     "dedup_token_savings", "user_stickiness_ratio",
+    "embedding_pca_second_component",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",

@@ -58,3 +58,21 @@ def test_gram_overflow_guard(spark):
         "vec_id long, embedding array<float>")
     with pytest.raises(AssertionError, match="overflow"):
         gram_matrix_int(big)
+
+
+def test_deflated_iterate_orthogonal_and_aligned(spark):
+    from map_reduce_mongodb_spark.operators.pca import (
+        power_iteration_deflated)
+    rows = _vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n, S, C = gram_matrix_int(df)
+    v, D, cr = power_iteration_int(C)
+    u = power_iteration_deflated(cr, v)
+    vn = np.array(v, float); vn /= np.linalg.norm(vn)
+    un = np.array(u, float); un /= np.linalg.norm(un)
+    # near-orthogonal to PC1 (exact orthogonalization, then one
+    # deterministic integer truncation)
+    assert abs(float(np.dot(un, vn))) < 1e-3
+    w, V = np.linalg.eigh(np.array(C, dtype=float))
+    pc2 = V[:, -2]
+    assert abs(float(np.dot(un, pc2))) > 0.99
