@@ -10942,6 +10942,83 @@ def q_jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str
                  F.bit_xor(chk).alias("content_xor")))
 
 
+_CSV_PATHS: dict[str, str] = {}
+
+
+def _lineitem_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once CSV materialization of lineitem (header, explicit
+    timestamp format with microseconds — the default CSV timestamp
+    pattern truncates to millis, a silent lossy trap)."""
+    if sf_dir not in _CSV_PATHS:
+        import re
+
+        from map_reduce_mongodb_spark.cache import _shared_dir
+        path = (_shared_dir() + "/lineitem_csv_"
+                + re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir))
+        (table(spark, "lineitem", sf_dir)
+         .write.mode("overwrite").option("header", "true")
+         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+         .csv(path))
+        _CSV_PATHS[sf_dir] = path
+    return _CSV_PATHS[sf_dir]
+
+
+@query("csv_roundtrip_lineitem", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS price_cents,
+       bit_xor(CAST(('0x' || substr(md5(
+           CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) || '|'
+           || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|'
+           || CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   AS VARCHAR) || '|'
+           || strftime(l_shipdate, '%Y-%m-%d')), 1, 15))
+         AS BIGINT)) AS content_xor
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_csv_roundtrip_lineitem(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """CSV source/sink surface, proven lossless: lineitem written to
+    headered CSV and read back with an EXPLICIT schema (schema-on-
+    read; CSV inference is both a second scan and a type lottery),
+    then checksummed per (returnflag, linestatus) against the parquet
+    original. The checksum fields are chosen to be FORMAT-STABLE:
+    integer keys, integer quantities, integer cents, and the DATE
+    part of the ship timestamp — float-to-text round-tripping is the
+    CSV trap (Java and C++ print doubles differently), so the
+    checksum never serializes a raw double; the microsecond
+    timestampFormat override avoids the default pattern's silent
+    millisecond truncation. One partition-parallel write + read +
+    map-side-combined aggregate."""
+    path = _lineitem_csv(spark, sf_dir)
+    li = (spark.read.option("header", "true")
+          .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .schema("l_orderkey long, l_partkey long, l_suppkey long, "
+                  "l_linenumber int, l_quantity double, "
+                  "l_extendedprice double, l_discount double, "
+                  "l_tax double, l_returnflag string, "
+                  "l_linestatus string, l_shipdate timestamp_ntz")
+          .csv(path))
+    key = F.expr("l_orderkey * 8 + l_linenumber")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    chk = F.conv(F.substring(F.md5(F.concat(
+        key.cast("string"), F.lit("|"), qty.cast("string"),
+        F.lit("|"), cents.cast("string"), F.lit("|"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"))), 1, 15), 16, 10) \
+        .cast("long")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(key).cast("long").alias("key_sum"),
+                 F.sum(qty).cast("long").alias("qty_sum"),
+                 F.sum(cents).cast("long").alias("price_cents"),
+                 F.bit_xor(chk).alias("content_xor")))
+
+
 @query("orders_backlog_aging", oracle="""
 WITH open_orders AS (
   SELECT o.o_orderkey, o.o_totalprice,
@@ -11241,7 +11318,7 @@ _PRIORITY: list[str] = [
     "cross_source_dup_matrix", "repeat_customer_revenue_split",
     "events_seasonal_anomaly", "nation_share_of_region",
     "dedup_token_savings", "user_stickiness_ratio",
-    "embedding_pca_second_component",
+    "embedding_pca_second_component", "csv_roundtrip_lineitem",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
