@@ -9616,6 +9616,21 @@ def q_embedding_pc1_projection(spark: SparkSession, sf_dir: str
                  .alias("mean_dot")))
 
 
+_PCA2_CACHE: dict[str, list] = {}
+
+
+def _pca2_state(spark: SparkSession, sf_dir: str) -> list:
+    """The PC2 iterate, memoized beside `_pca_state` (same
+    index-metadata rationale; consumed by the PC2 report and the 2-D
+    scatter binning)."""
+    if sf_dir not in _PCA2_CACHE:
+        from map_reduce_mongodb_spark.operators.pca import (
+            power_iteration_deflated)
+        n, S, C, v, D, cr = _pca_state(spark, sf_dir)
+        _PCA2_CACHE[sf_dir] = power_iteration_deflated(cr, v)
+    return _PCA2_CACHE[sf_dir]
+
+
 @query("embedding_pca_second_component", oracle=_pca_pc2_oracle())
 def q_embedding_pca_second_component(spark: SparkSession, sf_dir: str
                                      ) -> DataFrame:
@@ -9634,11 +9649,9 @@ def q_embedding_pca_second_component(spark: SparkSession, sf_dir: str
     construction, exact-operand doubles, no rounding anywhere)."""
     import math
 
-    from map_reduce_mongodb_spark.operators.pca import (
-        power_iteration_deflated)
     n, S, C, v, D, cr = _pca_state(spark, sf_dir)
     dim = len(S)
-    u = power_iteration_deflated(cr, v)
+    u = _pca2_state(spark, sf_dir)
     uu = sum(x * x for x in u)
     vvq = sum(x * x for x in v)
     ucu = sum(u[i] * cr[i][j] * u[j]
@@ -9652,6 +9665,81 @@ def q_embedding_pca_second_component(spark: SparkSession, sf_dir: str
     return spark.createDataFrame(
         rows, "dim int, loading_pc2 double, eigval2 double, "
               "cos_with_pc1 double")
+
+
+def _pca_scatter_oracle(dim: int = 64, iters: int = 8,
+                        bins: int = 16) -> str:
+    """2-D projection histogram: the PC2 chain (which embeds the PC1
+    chain) + one integer dot per component per row + non-negative
+    integer binning over the observed ranges."""
+    chain = _pca_pc2_oracle(dim, iters)
+    chain = chain[:chain.index("uu AS (SELECT")].rstrip().rstrip(",")
+    return chain + f""",
+pj1 AS MATERIALIZED (
+  SELECT x.r, sum(x.xq * v{iters}.v) AS dot
+  FROM x JOIN v{iters} ON x.i = v{iters}.i GROUP BY x.r),
+pj2 AS MATERIALIZED (
+  SELECT x.r, sum(x.xq * u{iters}.v) AS dot
+  FROM x JOIN u{iters} ON x.i = u{iters}.i GROUP BY x.r),
+rng AS (
+  SELECT min(pj1.dot) AS mn1, max(pj1.dot) AS mx1,
+         min(pj2.dot) AS mn2, max(pj2.dot) AS mx2
+  FROM pj1 JOIN pj2 ON pj1.r = pj2.r),
+bb AS (
+  SELECT pj1.r,
+         ((pj1.dot - rng.mn1) * {bins})
+           // (rng.mx1 - rng.mn1 + 1) AS bin1,
+         ((pj2.dot - rng.mn2) * {bins})
+           // (rng.mx2 - rng.mn2 + 1) AS bin2
+  FROM pj1 JOIN pj2 ON pj1.r = pj2.r CROSS JOIN rng)
+SELECT CAST(bb.bin1 AS INT) AS bin1, CAST(bb.bin2 AS INT) AS bin2,
+       CAST(e.label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM bb JOIN embeddings e ON e.vec_id = bb.r
+GROUP BY bb.bin1, bb.bin2, e.label
+"""
+
+
+@query("embedding_pca_scatter_bins", oracle=_pca_scatter_oracle())
+def q_embedding_pca_scatter_bins(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The 2-D embedding map, materialized: every vector projected
+    onto the (PC1, PC2) integer basis and binned into a 16×16 grid
+    with per-label counts — the scatter-plot artifact an embedding-
+    space dashboard renders, produced without floats (integer dots,
+    non-negative integer binning over the observed ranges, so `div`
+    and `//` agree). The projection pass is one posexplode + ONE
+    broadcast join against the 64-row two-column loading table (both
+    dots in the same map-side-combined aggregate — not a pass per
+    component); binning needs one 4-value broadcast range scalar.
+    The oracle re-derives both iterates and every dot."""
+    n, S, C, v, D, cr = _pca_state(spark, sf_dir)
+    u = _pca2_state(spark, sf_dir)
+    emb = table(spark, "embeddings", sf_dir)
+    vu = spark.createDataFrame(
+        [(i, int(a), int(b)) for i, (a, b) in enumerate(zip(v, u))],
+        "i int, v long, u long")
+    x = emb.select("vec_id", "label",
+                   F.posexplode("embedding").alias("i", "x"))
+    xq = F.floor(F.col("x").cast("double") * 1024 + F.lit(0.5)) \
+        .cast("long")
+    dots = (x.select("vec_id", "label", "i", xq.alias("xq"))
+            .join(F.broadcast(vu), "i")
+            .groupBy("vec_id", "label")
+            .agg(F.sum(F.col("xq") * F.col("v")).alias("dot1"),
+                 F.sum(F.col("xq") * F.col("u")).alias("dot2")))
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    dots = tracked_persist(dots)
+    rng = dots.agg(F.min("dot1").alias("mn1"), F.max("dot1").alias("mx1"),
+                   F.min("dot2").alias("mn2"), F.max("dot2").alias("mx2"))
+    b1 = F.expr("((dot1 - mn1) * 16) div (mx1 - mn1 + 1)")
+    b2 = F.expr("((dot2 - mn2) * 16) div (mx2 - mn2 + 1)")
+    return (dots.crossJoin(F.broadcast(rng))
+            .select(b1.cast("int").alias("bin1"),
+                    b2.cast("int").alias("bin2"),
+                    F.col("label").cast("int").alias("label"))
+            .groupBy("bin1", "bin2", "label")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))
 
 
 @query("brand_weighted_median_price", oracle="""
@@ -11319,6 +11407,7 @@ _PRIORITY: list[str] = [
     "events_seasonal_anomaly", "nation_share_of_region",
     "dedup_token_savings", "user_stickiness_ratio",
     "embedding_pca_second_component", "csv_roundtrip_lineitem",
+    "embedding_pca_scatter_bins",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
