@@ -10928,6 +10928,91 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str
                     .alias("authority")))
 
 
+@query("supplier_cf_similarity", oracle="""
+WITH e AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey),
+nrm AS (SELECT s, CAST(sum(w * w) AS BIGINT) AS n2
+        FROM e GROUP BY s),
+dots AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s),
+sym AS (
+  SELECT sa, sb, dot FROM dots
+  UNION ALL
+  SELECT sb, sa, dot FROM dots),
+scored AS (
+  SELECT sym.sa, sym.sb,
+         CAST(sym.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                                    * sqrt(CAST(nb.n2 AS DOUBLE)))
+           AS cosine
+  FROM sym JOIN nrm na ON sym.sa = na.s
+           JOIN nrm nb ON sym.sb = nb.s)
+SELECT sa AS suppkey, rank, sb AS neighbor, cosine
+FROM (
+  SELECT sa, sb, cosine,
+         CAST(row_number() OVER (PARTITION BY sa
+                                 ORDER BY cosine DESC, sb) AS INT)
+           AS rank
+  FROM scored)
+WHERE rank <= 3
+""")
+def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Item-item collaborative filtering: top-3 most-similar
+    suppliers by cosine over their customer-purchase count vectors —
+    the "customers who buy from X also buy from Y" recommender
+    primitive. The pair dot-products come from the INVERTED-INDEX
+    plan (self-join keyed by customer: only suppliers sharing a
+    customer ever pair, cost Σ per-customer-fanout², never
+    |suppliers|² — the `ngram_jaccard_pairs` shape on a purchase
+    graph), norms are one map-side aggregate, and the top-3 cut is a
+    per-supplier window over its candidate list with a deterministic
+    (cosine desc, id) order. Integer dots and norms; cosine is an
+    exact-operand double — identical in both engines, no rounding.
+    At 100 TB a hot mega-customer is the skew lever (cap or
+    sub-sample its basket — the max_df analogue, documented not
+    silently applied)."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    e = tracked_persist(
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("w")))
+    nrm = e.groupBy("s").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
+    a, b = e.alias("a"), e.alias("b")
+    dots = (a.join(b, (F.col("a.c") == F.col("b.c"))
+                   & (F.col("a.s") < F.col("b.s")))
+            .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long")
+                 .alias("dot")))
+    sym = dots.unionByName(
+        dots.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"),
+                    "dot"))
+    na = nrm.select(F.col("s").alias("sa"), F.col("n2").alias("na"))
+    nb = nrm.select(F.col("s").alias("sb"), F.col("n2").alias("nb"))
+    scored = (sym.join(F.broadcast(na), "sa")
+              .join(F.broadcast(nb), "sb")
+              .select("sa", "sb",
+                      (F.col("dot").cast("double")
+                       / (F.sqrt(F.col("na").cast("double"))
+                          * F.sqrt(F.col("nb").cast("double"))))
+                      .alias("cosine")))
+    w = Window.partitionBy("sa").orderBy(F.desc("cosine"), F.asc("sb"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 3)
+            .select(F.col("sa").alias("suppkey"), "rank",
+                    F.col("sb").alias("neighbor"), "cosine"))
+
+
 @query("audio_silence_runs", oracle=_AUDIO_BITS_CTE + """,
 sil AS (SELECT doc_id, w_id FROM bits WHERE bit = 0),
 isl AS (
@@ -11407,7 +11492,7 @@ _PRIORITY: list[str] = [
     "events_seasonal_anomaly", "nation_share_of_region",
     "dedup_token_savings", "user_stickiness_ratio",
     "embedding_pca_second_component", "csv_roundtrip_lineitem",
-    "embedding_pca_scatter_bins",
+    "embedding_pca_scatter_bins", "supplier_cf_similarity",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
