@@ -526,3 +526,14 @@ def test_gap_p90_lag_windows_are_user_scoped(spark):
     for m in re.finditer(r"lag\([^)]*\) windowspecdefinition\(([^)]*)\)",
                          ext):
         assert "user_id" in m.group(1), m.group(0)
+
+
+def test_supplier_cf_pairs_via_inverted_index(spark):
+    """CF pair generation must be the customer-keyed equi self-join
+    (inverted index) — never a cartesian/nested-loop over suppliers —
+    and the norm tables must broadcast."""
+    p = plan(QUERIES["supplier_cf_similarity"](spark, SF_DIR),
+             mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
