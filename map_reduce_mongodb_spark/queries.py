@@ -10928,6 +10928,141 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str
                     .alias("authority")))
 
 
+@query("negative_sampling_table", oracle=r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM w GROUP BY word),
+wt AS (
+  SELECT word, cnt,
+         CAST(floor(sqrt(sqrt(CAST(cnt AS DOUBLE) * cnt * cnt))
+                    * 1000) AS BIGINT) AS weight
+  FROM c),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM wt)
+SELECT word, cnt, weight,
+       CAST(weight AS DOUBLE) / tot.t AS sample_prob
+FROM (SELECT * FROM wt ORDER BY weight DESC, word LIMIT 30)
+CROSS JOIN tot
+""")
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """word2vec-style negative-sampling table: unigram counts raised
+    to the 3/4 power (the Mikolov smoothing that keeps frequent words
+    from dominating), integerized, and normalized into sampling
+    probabilities — the artifact a skip-gram/contrastive trainer
+    consumes. Exactness: c^0.75 is computed as sqrt(sqrt(c³)) — two
+    correctly-rounded IEEE sqrts of an exact integer, identical in
+    both engines, where a pow(c, 0.75) could differ by an ulp — then
+    floored to integer milli-weights so the normalizing SUM is exact
+    integer arithmetic (a float Σ over the vocabulary would be
+    order-dependent). Map-side-combined count, TakeOrdered top-30
+    cut, broadcast total."""
+    d = (table(spark, "documents", sf_dir)
+         .where(F.length(F.trim(F.col("text"))) > 0))
+    c = (d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                  .alias("word"))
+         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    wt = c.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.sqrt(F.col("cnt").cast("double")
+                              * F.col("cnt") * F.col("cnt")))
+                * 1000).cast("long"))
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    wt = tracked_persist(wt)
+    tot = wt.agg(F.sum("weight").cast("long").alias("t"))
+    top = wt.orderBy(F.desc("weight"), F.asc("word")).limit(30)
+    return (top.crossJoin(F.broadcast(tot))
+            .select("word", "cnt", "weight",
+                    (F.col("weight").cast("double") / F.col("t"))
+                    .alias("sample_prob")))
+
+
+@query("event_burstiness_fano", oracle="""
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM hc GROUP BY event_type)
+SELECT event_type, n AS n_hours, s AS n_events,
+       CAST(s AS DOUBLE) / n AS mean_per_hour,
+       CAST(n * ss - s * s AS DOUBLE) / (n * s) AS fano_factor
+FROM m WHERE s > 0
+""")
+def q_event_burstiness_fano(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of hourly counts) per
+    event type: ≈1 means Poisson-like arrivals, >1 means bursts —
+    the dispersion diagnostic that decides whether rate alerts need
+    burst-aware baselines (`events_seasonal_anomaly`'s per-cell
+    model) or plain thresholds. The factor reduces to one
+    exact-operand division of integer moments — (n·Σc² − (Σc)²) /
+    (n·Σc) — so no rounding; both aggregates are calendar-bounded
+    and map-side combined."""
+    e = table(spark, "events", sf_dir)
+    hc = (e.groupBy("event_type",
+                    F.date_trunc("hour", "ts").alias("hr"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    m = (hc.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("c").alias("s"),
+              F.sum(F.expr("c * c")).alias("ss")))
+    return (m.where(F.col("s") > 0)
+            .select("event_type",
+                    F.col("n").cast("long").alias("n_hours"),
+                    F.col("s").cast("long").alias("n_events"),
+                    (F.col("s").cast("double") / F.col("n"))
+                    .alias("mean_per_hour"),
+                    (F.expr("n * ss - s * s").cast("double")
+                     / F.expr("n * s")).alias("fano_factor")))
+
+
+@query("user_longest_streak", oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM ud),
+runs AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY user_id, grp),
+longest AS (
+  SELECT user_id, CAST(max(len) AS BIGINT) AS streak
+  FROM runs GROUP BY user_id)
+SELECT streak, CAST(count(*) AS BIGINT) AS n_users
+FROM longest GROUP BY streak
+""")
+def q_user_longest_streak(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Longest consecutive-active-day streak per user, rolled up to a
+    streak-length histogram — the engagement-streak metric behind
+    habit/retention features (and the per-user twin of
+    `orderkey_contiguous_ranges`' global islands). Per-user
+    gaps-and-islands: rank windows partition by user (bounded by a
+    user's active days — never global), runs aggregate map-side, and
+    the histogram is bounded by the calendar span."""
+    e = table(spark, "events", sf_dir)
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = ud.select(
+        "user_id",
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+         - F.row_number().over(w)).alias("grp"))
+    runs = (r.groupBy("user_id", "grp")
+            .agg(F.count(F.lit(1)).alias("len")))
+    longest = (runs.groupBy("user_id")
+               .agg(F.max("len").cast("long").alias("streak")))
+    return (longest.groupBy("streak")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
 @query("supplier_cf_similarity", oracle="""
 WITH e AS (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -11493,6 +11628,8 @@ _PRIORITY: list[str] = [
     "dedup_token_savings", "user_stickiness_ratio",
     "embedding_pca_second_component", "csv_roundtrip_lineitem",
     "embedding_pca_scatter_bins", "supplier_cf_similarity",
+    "negative_sampling_table", "event_burstiness_fano",
+    "user_longest_streak",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
