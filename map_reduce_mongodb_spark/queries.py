@@ -11063,6 +11063,69 @@ def q_user_longest_streak(spark: SparkSession, sf_dir: str
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+@query("event_type_profile_similarity", oracle="""
+WITH hw AS (
+  SELECT event_type,
+         ((dayofweek(ts) + 6) % 7) * 24 + hour(ts) AS slot,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, slot),
+nrm AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS n2
+        FROM hw GROUP BY event_type),
+dots AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM hw a JOIN hw b
+    ON a.slot = b.slot AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT d.ta AS type_a, d.tb AS type_b,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                                * sqrt(CAST(nb.n2 AS DOUBLE)))
+         AS profile_cosine
+FROM dots d JOIN nrm na ON d.ta = na.event_type
+            JOIN nrm nb ON d.tb = nb.event_type
+""")
+def q_event_type_profile_similarity(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """Behavioral similarity between event types: cosine over their
+    168-slot hour-of-week activity profiles — "do purchases follow
+    the same temporal rhythm as clicks?", the profile-matching
+    primitive behind metric grouping and synthetic-traffic detection
+    (near-1.0 everywhere = generated load). The profiles are the
+    calendar-bounded seasonality aggregate; the pair dots join on
+    the 168 shared slots (the inverted-index shape again — |types|²
+    never materializes unweighted); integer dots/norms, exact-operand
+    cosine, no rounding. dow normalized Monday-0 as in
+    events_seasonal_anomaly."""
+    e = table(spark, "events", sf_dir)
+    hw = (e.groupBy("event_type",
+                    (((F.dayofweek("ts") + 5) % 7) * 24
+                     + F.hour("ts")).alias("slot"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    hw = tracked_persist(hw)
+    nrm = hw.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"))
+    a, b = hw.alias("a"), hw.alias("b")
+    dots = (a.join(b, (F.col("a.slot") == F.col("b.slot"))
+                   & (F.col("a.event_type") < F.col("b.event_type")))
+            .groupBy(F.col("a.event_type").alias("ta"),
+                     F.col("b.event_type").alias("tb"))
+            .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long")
+                 .alias("dot")))
+    na = nrm.select(F.col("event_type").alias("ta"),
+                    F.col("n2").alias("na"))
+    nb = nrm.select(F.col("event_type").alias("tb"),
+                    F.col("n2").alias("nb"))
+    return (dots.join(F.broadcast(na), "ta")
+            .join(F.broadcast(nb), "tb")
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb").alias("type_b"),
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double"))))
+                    .alias("profile_cosine")))
+
+
 @query("supplier_cf_similarity", oracle="""
 WITH e AS (
   SELECT o.o_custkey AS c, l.l_suppkey AS s,
@@ -11629,7 +11692,7 @@ _PRIORITY: list[str] = [
     "embedding_pca_second_component", "csv_roundtrip_lineitem",
     "embedding_pca_scatter_bins", "supplier_cf_similarity",
     "negative_sampling_table", "event_burstiness_fano",
-    "user_longest_streak",
+    "user_longest_streak", "event_type_profile_similarity",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
