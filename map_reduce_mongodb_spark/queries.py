@@ -11063,6 +11063,72 @@ def q_user_longest_streak(spark: SparkSession, sf_dir: str
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+@query("supplier_rank_stability", oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS s,
+         CAST(sum(CASE WHEN year(l_shipdate) = 1995
+                       THEN CAST(round(l_extendedprice * 100)
+                                 AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(sum(CASE WHEN year(l_shipdate) = 1996
+                       THEN CAST(round(l_extendedprice * 100)
+                                 AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM lineitem
+  WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY l_suppkey),
+rk AS (
+  SELECT s,
+         row_number() OVER (ORDER BY c1 DESC, s) AS r1,
+         row_number() OVER (ORDER BY c2 DESC, s) AS r2
+  FROM rev),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2
+  FROM rk)
+SELECT n AS n_suppliers, d2 AS sum_sq_rank_diff,
+       1.0 - CAST(6 * d2 AS DOUBLE) / (n * (n * n - 1))
+         AS spearman_rho
+FROM m WHERE n > 1
+""")
+def q_supplier_rank_stability(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Year-over-year rank stability of supplier revenue: Spearman's
+    ρ between the 1995 and 1996 revenue rankings via the EXACT
+    permutation identity ρ = 1 − 6Σd²/(n(n²−1)) — Σd² is a plain
+    integer sum over rank differences, so the whole statistic is one
+    exact-operand division (no float moments at all; ties broken
+    deterministically by suppkey in BOTH engines, making the rank
+    permutations identical). "Did the supplier league table reshuffle
+    or hold?" — the concentration-dynamics readout beside
+    `nation_supplier_hhi`'s point-in-time concentration. The rank
+    windows run over the SUPPLIER-sized aggregate (dimension-bounded,
+    never the fact table); the fact pass is one conditional
+    integer-cents rollup."""
+    li = table(spark, "lineitem", sf_dir)
+    yr = F.year("l_shipdate")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    rev = (li.where(yr.isin(1995, 1996))
+           .groupBy(F.col("l_suppkey").alias("s"))
+           .agg(F.sum(F.when(yr == 1995, cents).otherwise(F.lit(0)))
+                .cast("long").alias("c1"),
+                F.sum(F.when(yr == 1996, cents).otherwise(F.lit(0)))
+                .cast("long").alias("c2")))
+    w1 = Window.orderBy(F.desc("c1"), F.asc("s"))
+    w2 = Window.orderBy(F.desc("c2"), F.asc("s"))
+    rk = rev.select("s", F.row_number().over(w1).alias("r1"),
+                    F.row_number().over(w2).alias("r2"))
+    m = rk.agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.expr("(r1 - r2) * (r1 - r2)")).cast("long")
+               .alias("d2"))
+    return (m.where(F.col("n") > 1)
+            .select(F.col("n").alias("n_suppliers"),
+                    F.col("d2").alias("sum_sq_rank_diff"),
+                    (F.lit(1.0) - F.expr("CAST(6 * d2 AS DOUBLE)")
+                     / F.expr("n * (n * n - 1)"))
+                    .alias("spearman_rho")))
+
+
 @query("event_type_profile_similarity", oracle="""
 WITH hw AS (
   SELECT event_type,
@@ -11693,6 +11759,7 @@ _PRIORITY: list[str] = [
     "embedding_pca_scatter_bins", "supplier_cf_similarity",
     "negative_sampling_table", "event_burstiness_fano",
     "user_longest_streak", "event_type_profile_similarity",
+    "supplier_rank_stability",
     # --- tier 2: the 7 remaining r1-only veterans (deferred from r4;
     #     all judge-re-verified green in the r3 session)
     "stats_aggregates", "events_sessionization", "salted_agg_skew",
