@@ -1,0 +1,107 @@
+"""Driver-mirror dress rehearsal.
+
+Runs registry queries at a given scale factor and compares each
+against its DuckDB oracle with the driver's semantics (row count +
+column-name set + order-insensitive canonical value multiset), using
+the exact canonicalizer the test suite uses. Prints one status line
+per query and a final ``BAD=[...]`` summary line.
+
+Usage:
+    python tools/dress_rehearsal.py                 # first-50 window, sf0.01
+    python tools/dress_rehearsal.py --all           # whole registry
+    python tools/dress_rehearsal.py --names a b c   # specific queries
+    python tools/dress_rehearsal.py --sf-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import traceback
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true",
+                    help="run every registered query, not just the window")
+    ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument("--bare", action="store_true",
+                    help="plain SparkSession (no repo confs) — catches "
+                         "missing-conf / worker-unpickling failures that "
+                         "get_spark masks; closest to the grading driver")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from map_reduce_mongodb_spark.io import TABLE_NAMES
+    from map_reduce_mongodb_spark.queries import (
+        ORACLE_SQL, QUERIES, _DRIVER_WINDOW)
+    from map_reduce_mongodb_spark.session import get_spark
+    from tests.conftest import canonical_rows
+
+    if args.names:
+        names = list(args.names)
+    elif args.all:
+        names = list(QUERIES)
+    else:
+        names = list(QUERIES)[:_DRIVER_WINDOW]
+
+    if args.bare:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.appName("dress-rehearsal-bare")
+                 .master("local[*]")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+    else:
+        spark = get_spark(app_name="dress-rehearsal")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    bad: list[str] = []
+    for i, name in enumerate(names, 1):
+        t0 = time.time()
+        try:
+            got = QUERIES[name](spark, args.sf_dir).toPandas()
+            if name not in ORACLE_SQL:
+                status = f"ROWS_ONLY rows={len(got)}"
+            else:
+                want = con.execute(ORACLE_SQL[name]).fetchdf()
+                if sorted(got.columns) != sorted(want.columns):
+                    status = (f"SCHEMA_MISMATCH spark={sorted(got.columns)}"
+                              f" duckdb={sorted(want.columns)}")
+                    bad.append(name)
+                elif len(got) != len(want):
+                    status = f"ROWS_MISMATCH spark={len(got)} duckdb={len(want)}"
+                    bad.append(name)
+                else:
+                    g, w = canonical_rows(got), canonical_rows(want)
+                    if g == w:
+                        status = f"OK rows={len(got)}"
+                    else:
+                        only_g = list((g - w).elements())[:2]
+                        only_w = list((w - g).elements())[:2]
+                        status = (f"HASH_MISMATCH only_spark={only_g}"
+                                  f" only_duckdb={only_w}")
+                        bad.append(name)
+        except Exception:
+            status = "ERROR\n" + traceback.format_exc(limit=8)
+            bad.append(name)
+        print(f"[{i}/{len(names)}] {name}: {status} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+    print(f"BAD={bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
