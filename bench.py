@@ -53,14 +53,24 @@ from map_reduce_mongodb_spark.session import get_spark  # noqa: E402
 # across rounds (r03 skipped the twins, which made its headline read
 # partly as a speedup that was actually queries removed — see
 # ADVICE r3); the summary additionally reports
-# ``value_production`` = the same total minus these four correctness
-# instruments, which is the number that reflects the engine's
-# production paths. Pass --prod to skip timing them entirely.
+# ``value_production`` = the same total minus these correctness
+# instruments (md5 oracle twins + ANN probe-all exactness gates),
+# which is the number that reflects the engine's production paths.
+# Pass --prod to skip timing them entirely.
 ORACLE_TWINS = {
     "winnow_fingerprints",   # production: winnow_fingerprints_fast
     "winnow_dup_pairs",      # production: winnow_dup_pairs_fast
     "ngram_jaccard_pairs",   # production: ngram_jaccard_pairs_fast
     "minhash_lsh_md5",       # production: minhash_dedup_pairs (xxhash64)
+    # ANN exactness instruments (r5): identical index builds probed /
+    # re-ranked EXHAUSTIVELY so the result provably equals brute force
+    # for ANY trained index — they exist to hash-check the rows-only
+    # production twins (queries.py::ROWS_ONLY_GATES) and are by
+    # construction the slow siblings (probe-everything is the point).
+    "ivf_kmeans_probe_all",  # production: ivf_kmeans_topk
+    "pq_rerank_all",         # production: pq_adc_topk
+    "nsw_probe_all",         # production: nsw_topk
+    "ivfpq_probe_all",       # production: ivfpq_topk
 }
 
 
@@ -132,8 +142,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        # Engine total minus the four md5 correctness instruments —
-        # the honest production number (see ORACLE_TWINS note).
+        # Engine total minus the correctness instruments — the honest
+        # production number (see ORACLE_TWINS note).
         "value_production": round(
             sum(t for n, t in times.items() if n not in ORACLE_TWINS),
             3),

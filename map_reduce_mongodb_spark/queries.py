@@ -8565,18 +8565,34 @@ def q_dup_graph_local_clustering(spark: SparkSession, sf_dir: str
     (`dup_graph_stats` reports the global transitivity; this is the
     node-level readout that separates template hubs — high degree,
     low clustering — from tight mutual-duplicate cliques). Triangle
-    enumeration is the ordered two-join (a<b<c, each edge from the
-    canonical id_a<id_b pair table — every triangle counted exactly
-    once), corners explode to per-node counts, degrees join from one
-    aggregate; all shuffles keyed by node/edge ids over the shared
-    0.7-Jaccard pair table."""
+    enumeration is the ordered two-join over DEGREE-ORIENTED edges
+    (each edge points low-(degree, id) → high, so every triangle is
+    counted exactly once under that total order AND the wedge join
+    fans out from the LOW-degree endpoint: max out-degree is O(√m),
+    the worst-case-optimal bound — an id-oriented join would explode
+    to ~deg²/4 wedges at a hot template hub). Corners explode to
+    per-node counts, degrees join from one aggregate; all shuffles
+    keyed by node/edge ids over the shared 0.7-Jaccard pair table.
+    The triangle SET is orientation-independent, so the id-ordered
+    oracle states the same per-node counts."""
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
     sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
                                    F.col("id_a").alias("id_b")))
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("degree"))
-    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    da = deg.select("id_a", F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("id_a").alias("id_b"),
+                    F.col("degree").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b"))
+        & (F.col("id_a") < F.col("id_b")))
+    o = (pairs.join(da, "id_a").join(db, "id_b")
+         .select(F.when(a_first, F.col("id_a"))
+                 .otherwise(F.col("id_b")).alias("src"),
+                 F.when(a_first, F.col("id_b"))
+                 .otherwise(F.col("id_a")).alias("dst")))
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     corner = (tri.select(F.col("a").alias("id"))
               .unionAll(tri.select(F.col("b").alias("id")))
@@ -8833,20 +8849,33 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixpoint isn't SQL-expressible; gated against an exact pure-Python
 # peel in tests/test_graph.py (set + degree equality).
 def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-CORE of the near-dup graph (iterative peeling to the maximal
-    subgraph where every document keeps ≥3 near-dup neighbours) — the
-    density filter that isolates the BOILERPLATE/TEMPLATE nucleus:
-    connected components merge through any chance pair, but surviving
-    the 3-core demands mutual, redundant duplication. Each peel round
+    """K-CORE depth profile of the near-dup graph (iterative peeling
+    to the maximal subgraph where every document keeps ≥k near-dup
+    neighbours, for k = 2, 3, 4) — the density filter that isolates
+    the BOILERPLATE/TEMPLATE nucleus: connected components merge
+    through any chance pair, but surviving a deep core demands
+    mutual, redundant duplication. One summary row per depth
+    (survivors + max in-core degree; 0s are meaningful — "no nucleus
+    this dense"), so the result is non-vacuous at every corpus scale
+    where a 3-core alone may legitimately be empty. Each peel round
     is one degree aggregate + two node-keyed semi-joins with
     checkpointed lineage (operators/graph.py:k_core); the driver sees
     one survivor count per round. Reads the shared 0.7-Jaccard pair
     table. Rows-only by design (data-dependent fixpoint); exactness
-    is pinned against a pure-Python peel in tests."""
+    is pinned against a pure-Python peel over the same depths in
+    tests/test_graph.py."""
+    from functools import reduce
+
     from map_reduce_mongodb_spark.operators.graph import k_core
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    return (k_core(pairs, k=3)
-            .select(F.col("id").alias("doc_id"), "core_degree"))
+    profiles = [
+        k_core(pairs, k=k)
+        .agg(F.count(F.lit(1)).alias("n_core_docs"),
+             F.coalesce(F.max("core_degree"), F.lit(0)).cast("long")
+              .alias("max_core_degree"))
+        .select(F.lit(k).alias("k"), "n_core_docs", "max_core_degree")
+        for k in (2, 3, 4)]
+    return reduce(DataFrame.unionByName, profiles)
 
 
 @query("brand_revenue_trend", oracle="""

@@ -73,6 +73,25 @@ def test_window_prefers_oracled_first_checks():
         f"first-checks wait: {waiting_oracled}")
 
 
+def test_bench_instruments_consistent_with_gates():
+    """bench.py's ORACLE_TWINS (timed but excluded from
+    value_production) must stay registered queries, and every ANN
+    probe-all instrument in it must be exactly the exactness gate its
+    rows-only production twin declares in ROWS_ONLY_GATES — one
+    source of truth for what counts as a correctness instrument."""
+    import bench
+    twins = bench.ORACLE_TWINS
+    assert twins <= set(QUERIES), f"unregistered: {twins - set(QUERIES)}"
+    assert twins <= set(ORACLE_SQL), (
+        "instruments must themselves be oracle-checked: "
+        f"{twins - set(ORACLE_SQL)}")
+    probe_gates = {g for g in ROWS_ONLY_GATES.values()
+                   if g.endswith(("_probe_all", "_rerank_all"))}
+    assert probe_gates <= twins, (
+        f"probe-all gates missing from ORACLE_TWINS: "
+        f"{probe_gates - twins}")
+
+
 def test_oracle_registry_is_subset_and_ordered():
     assert set(ORACLE_SQL) <= set(QUERIES)
     assert list(ORACLE_SQL) == [n for n in QUERIES if n in ORACLE_SQL]
