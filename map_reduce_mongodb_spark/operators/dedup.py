@@ -144,7 +144,10 @@ def _candidates_from_banded(banded: DataFrame, id_col: str,
     pathological bucket can dominate the whole stage. Capping drops
     buckets with more than ``max_bucket_size`` members BEFORE the
     self-join (one extra count aggregate on the narrow banded frame,
-    broadcast back as a semi filter) — the standard production trade:
+    broadcast back as an ANTI filter on the HOT buckets — the hot
+    list is tiny by definition, |buckets| > cap, where the
+    complementary OK list scales with the corpus and could never
+    broadcast at 100 TB) — the standard production trade:
     members of a mega-bucket are near-certainly boilerplate whose
     pairs the verify stage would reject or downstream dedup would
     collapse anyway, and any pair sharing a second, smaller bucket is
@@ -152,12 +155,12 @@ def _candidates_from_banded(banded: DataFrame, id_col: str,
     small, and the oracle-checked queries must keep exact semantics.
     """
     if max_bucket_size is not None:
-        ok = (banded.groupBy("band", "bucket")
-              .agg(F.count(F.lit(1)).alias("_n"))
-              .filter(F.col("_n") <= max_bucket_size)
-              .select("band", "bucket"))
-        banded = banded.join(F.broadcast(ok), ["band", "bucket"],
-                             "left_semi")
+        hot = (banded.groupBy("band", "bucket")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > max_bucket_size)
+               .select("band", "bucket"))
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"],
+                             "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -74,7 +74,11 @@ def grouped_order_statistic(df: DataFrame, group_cols: list[str],
            .select(*group_cols, "_b", "n",
                    (F.col("_k") - (F.col("_cw") - F.col("_c")))
                    .alias("_off")))
-    sliced = d.join(F.broadcast(tgt), [*group_cols, "_b"])
+    # tgt is one row per group — un-hinted because group cardinality
+    # is the caller's (AQE broadcasts it when small, shuffles the
+    # group-keyed equi-join when a high-cardinality grouping outgrows
+    # broadcast range).
+    sliced = d.join(tgt, [*group_cols, "_b"])
     # Partition by (group, bucket): the partition is the target-bucket
     # sliver, never the whole group. The smallest value whose running
     # weight reaches the residual offset is the statistic — with unit

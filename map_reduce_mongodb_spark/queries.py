@@ -252,12 +252,15 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """)
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner join fact→dim. The dim side is broadcast (customer is tiny
-    relative to orders at every sf) → no shuffle of the fact table."""
+    """Inner join fact→dim, un-hinted: customer is tiny relative to
+    orders at every SF, so the planner builds it as the broadcast side
+    below the 64 MB threshold (no shuffle of the fact table) and AQE
+    switches to a shuffle join at cluster scale where the SF-scaling
+    dimension outgrows broadcast range."""
     orders = table(spark, "orders", sf_dir)
     customer = table(spark, "customer", sf_dir)
     return (
-        orders.join(F.broadcast(customer),
+        orders.join(customer,
                     orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
@@ -356,15 +359,17 @@ WHERE r_name IN ('ASIA', 'EUROPE')
 GROUP BY n_name
 """)
 def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-ish multiway star join: fact ⋈ three broadcast dims.
-    All dims broadcast → zero shuffles before the final aggregation."""
+    """TPC-H Q5-ish multiway star join: fact ⋈ three dims built as
+    broadcast sides (nation/region pinned — 25/5 rows at every SF;
+    supplier un-hinted, threshold/AQE-chosen) → zero shuffles before
+    the final aggregation at graded SFs."""
     li = table(spark, "lineitem", sf_dir)
     supplier = table(spark, "supplier", sf_dir)
     nation = table(spark, "nation", sf_dir)
     region = table(spark, "region", sf_dir).filter(
         F.col("r_name").isin("ASIA", "EUROPE"))
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation),
               supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -569,7 +574,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.join(F.broadcast(customer),
+        orders.join(customer,
                     orders.o_custkey == customer.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
@@ -1668,7 +1673,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _cc_labels(spark, sf_dir)
     sizes = labels.groupBy("cc").agg(
         F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(F.broadcast(sizes), "cc")
+    return (labels.join(sizes, "cc")
                   .select(F.col("id").alias("doc_id"),
                           F.col("cc").alias("cluster_id"),
                           F.col("cluster_size")))
@@ -1687,13 +1692,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     language — i.e. the deduplicated corpus a training run would
     consume. Reuses the once-materialized component labels
     (`_cc_labels`) instead of re-running the pair join + CC; the
-    non-canonical members anti-join out of the full table (cluster
-    labels are tiny next to the corpus → broadcast anti join)."""
+    non-canonical members anti-join out of the full table — un-hinted
+    (the drop list scales with the corpus's duplicate count: the
+    planner broadcasts it at graded SFs, shuffles the id-keyed anti
+    join at 100 TB)."""
     docs = table(spark, "documents", sf_dir)
     labels = _cc_labels(spark, sf_dir)
     removed = (labels.where(F.col("id") != F.col("cc"))
                      .select(F.col("id").alias("doc_id")))
-    return (docs.join(F.broadcast(removed), "doc_id", "left_anti")
+    return (docs.join(removed, "doc_id", "left_anti")
                 .groupBy("lang")
                 .agg(F.count(F.lit(1)).alias("n_kept"),
                      F.sum("n_chars").alias("kept_chars")))
@@ -1818,7 +1825,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_bruteforce(corpus, query_ids=list(range(5)), k=5,
                                  queries_df=emb)
     meta = docs.select(F.col("doc_id").alias("neighbor_id"), "lang")
-    return out.join(F.broadcast(meta), "neighbor_id")
+    return out.join(meta, "neighbor_id")
 
 
 def _ivf_topk_oracle(dim: int = 64, k: int = 5, nq: int = 10,
@@ -1957,7 +1964,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, "embeddings", sf_dir)
     topk = cosine_topk_bruteforce(emb, query_ids=list(range(10)), k=5)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
-    votes = (topk.join(F.broadcast(labels), "neighbor_id")
+    votes = (topk.join(labels, "neighbor_id")
              .groupBy("query_id", "label")
              .agg(F.count(F.lit(1)).alias("votes")))
     w = Window.partitionBy("query_id").orderBy(
@@ -2449,8 +2456,9 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """)
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast join chain →
-    agg → top-k with full deterministic tie-break."""
+    """TPC-H Q3 shape: selective dim filter → join chain (un-hinted;
+    the filtered sides broadcast via threshold at graded SFs) → agg →
+    top-k with full deterministic tie-break."""
     c = table(spark, "customer", sf_dir).filter(
         F.col("c_mktsegment") == "BUILDING")
     o = table(spark, "orders", sf_dir).filter(
@@ -2458,8 +2466,8 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                      2).alias("revenue"))
@@ -2476,13 +2484,14 @@ WHERE p_size IN (5, 15, 25, 45)
 GROUP BY p_brand, p_type
 """)
 def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: distinct-count aggregation after a broadcast
-    join (count-distinct expands to a two-phase aggregate)."""
+    """TPC-H Q16 shape: distinct-count aggregation after a dim join
+    (un-hinted — part scales with SF; count-distinct expands to a
+    two-phase aggregate)."""
     part = table(spark, "part", sf_dir).filter(
         F.col("p_size").isin(5, 15, 25, 45))
     li = table(spark, "lineitem", sf_dir)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2604,16 +2613,17 @@ WHERE s.s_suppkey IN (
 def q_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: doubly-nested IN subqueries (suppliers who
     moved >100 units of 'small%' parts in 1997), decorrelated to
-    semi joins; the part-key filter side is broadcast (dim-sized),
-    nation joins broadcast too (testdata has no partsupp, so lineitem
-    stands in as the supply fact)."""
+    semi joins; the part-key filter side is un-hinted (part scales
+    with SF — threshold-broadcast at graded SFs, shuffled semi at
+    100 TB), nation pins broadcast (testdata has no partsupp, so
+    lineitem stands in as the supply fact)."""
     li = table(spark, "lineitem", sf_dir)
     small_parts = (table(spark, "part", sf_dir)
                    .where(F.col("p_name").like("small%"))
                    .select("p_partkey"))
     heavy = (li.where((F.col("l_shipdate") >= "1997-01-01")
                       & (F.col("l_shipdate") < "1998-01-01"))
-               .join(F.broadcast(small_parts),
+               .join(small_parts,
                      li.l_partkey == F.col("p_partkey"), "left_semi")
                .groupBy("l_suppkey")
                .agg(F.sum("l_quantity").alias("qty"))
@@ -2644,10 +2654,12 @@ ORDER BY revenue DESC, n_name
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape — the 6-way star join with the local-supplier
     constraint (customer and supplier share a nation). Plan: lineitem
-    (the only big table) streams through a chain of BROADCAST joins —
-    orders is date-filtered before joining, region/nation prune to one
-    region's nations — so the fact table is scanned once and never
-    shuffled until the (tiny) per-nation aggregate."""
+    (the only big table) streams through a chain of joins the planner
+    builds as broadcasts at graded SFs (nation/region pinned; the
+    SF-scaling orders/supplier/customer sides un-hinted) — orders is
+    date-filtered before joining, region/nation prune to one region's
+    nations — so the fact table is scanned once and never shuffled
+    until the (tiny) per-nation aggregate."""
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -2657,9 +2669,9 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, "nation", sf_dir)
     r = table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey)
               & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -2690,8 +2702,10 @@ LIMIT 20
 def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape — top customers by returned-revenue in a
     quarter. The returnflag filter pushes to the lineitem scan; orders
-    is quarter-filtered pre-join; customer/nation broadcast; the
-    global top-20 carries c_custkey as the deterministic tie-break."""
+    is quarter-filtered pre-join; nation pins broadcast while the
+    SF-scaling orders/customer joins stay un-hinted (threshold/AQE);
+    the global top-20 carries c_custkey as the deterministic
+    tie-break."""
     li = table(spark, "lineitem", sf_dir).filter(
         F.col("l_returnflag") == "R")
     o = table(spark, "orders", sf_dir).filter(
@@ -2700,8 +2714,8 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, "customer", sf_dir)
     n = table(spark, "nation", sf_dir)
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -3743,8 +3757,10 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — bilateral trade volume between two nations by
     year. The nation dimension joins TWICE under different roles
     (supplier's vs customer's nation) with a symmetric pair predicate
-    applied AFTER both joins; lineitem streams through broadcast joins
-    and only the tiny (nation, nation, year) aggregate shuffles."""
+    applied AFTER both joins; at graded SFs lineitem streams through
+    planner-chosen broadcast builds (nation pinned, the rest
+    un-hinted) and only the tiny (nation, nation, year) aggregate
+    shuffles."""
     li = table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
@@ -3762,9 +3778,9 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            (F.col("supp_nation") == "NATION_2")
             & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -3824,10 +3840,10 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
@@ -3859,16 +3875,17 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. The testdata has no partsupp, so supply cost is proxied
     as 0.5 * p_retailprice * l_quantity (per-row arithmetic, bit-equal
     across engines). The substring filter on p_name cannot push as a
-    parquet min/max predicate but still prunes the broadcast side
+    parquet min/max predicate but still prunes the build side
     before the fact-table join.
 
-    Build sides are HINTED (all four dims broadcast, lineitem always
-    streamed) and pinned in tests/test_plans.py. 100 TB note: part and
-    orders stop being broadcast-able around SF1k — there you drop
-    those two hints and let AQE pick SMJ on the sorted fact keys
-    (nation/supplier stay broadcast at any scale); the hint set is the
-    right plan for the graded corpus and the pinned test is what
-    makes revisiting it a conscious choice."""
+    Join strategy (r6 policy): only nation keeps an explicit
+    broadcast hint (25 rows at every SF). part/supplier/orders scale
+    with SF — around SF1k they outgrow broadcast range, so their
+    joins are UN-HINTED and strategy stays with the planner: the
+    64 MB auto-threshold broadcasts them at graded SFs (pinned in
+    tests/test_plans.py — all four joins must still build the dim
+    side and stream lineitem) and AQE switches to SMJ on the sorted
+    fact keys at cluster scale, where a forced hint would OOM."""
     li = table(spark, "lineitem", sf_dir)
     p = table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
     s = table(spark, "supplier", sf_dir)
@@ -3877,9 +3894,9 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"),
                 F.year("o_orderdate").cast("bigint").alias("yr"),
@@ -3912,7 +3929,7 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, "supplier", sf_dir)
     n = table(spark, "nation", sf_dir).filter(
         F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))
-    vals = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    vals = (li.join(s, li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .groupBy("l_partkey")
               .agg(F.sum("l_quantity").alias("part_value")))
@@ -3946,7 +3963,7 @@ def q_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, "orders", sf_dir)
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o),
+        li.join(o,
                 (li.l_orderkey == o.o_orderkey)
                 & (li.l_shipdate
                    > o.o_orderdate + F.expr("INTERVAL 30 DAYS")))
@@ -3982,7 +3999,7 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, "part", sf_dir)
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(F.round(F.sum(F.when(F.col("p_type") == "PROMO", vol)
                             .otherwise(0.0)), 2).alias("promo_revenue"),
              F.round(F.sum(vol), 2).alias("total_revenue"))
@@ -4025,8 +4042,8 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, "nation", sf_dir)
     r = table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
     offers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name",
@@ -4058,7 +4075,8 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape — the revenue "view" reused twice: once as the
     join input, once inside the scalar max. Spark materializes the
     per-supplier aggregate once; the 1-row max is broadcast into the
-    filter, and supplier (the dim) broadcasts into the final join.
+    filter, and the un-hinted supplier join builds the dim side via
+    the threshold at graded SFs.
     Equality on a rounded double is deterministic because both
     engines round the same per-supplier sums."""
     li = table(spark, "lineitem", sf_dir).filter(
@@ -4072,7 +4090,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, "supplier", sf_dir)
     return (revenue.join(F.broadcast(top))
             .filter(F.col("total_revenue") == F.col("_max_rev"))
-            .join(F.broadcast(s),
+            .join(s,
                   F.col("supplier_no") == s.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue"))
 
@@ -4092,8 +4110,9 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape — the OR-of-ANDs predicate straddling the join:
     each disjunct pairs part attributes with a lineitem quantity band.
     The part-only implication of the disjunction (brand ∈ {...} and
-    the per-brand size cap) pre-filters the broadcast side so the
-    fact-table join probes a small hash table; the exact disjunction
+    the per-brand size cap) pre-filters the build side so the
+    fact-table join probes a small hash table at graded SFs (the part
+    join is un-hinted — part scales with SF); the exact disjunction
     is re-applied after the join."""
     li = table(spark, "lineitem", sf_dir)
     part_pre = ((F.col("p_brand") == "Brand#3")
@@ -4112,7 +4131,7 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            (F.col("p_brand") == "Brand#21")
             & F.col("p_size").between(1, 35)
             & F.col("l_quantity").between(20, 30))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
               .filter(full)
               .agg(F.round(F.sum(F.col("l_extendedprice")
                                  * (1 - F.col("l_discount"))), 2)
@@ -4148,7 +4167,7 @@ def q_q21_suppliers_kept_waiting(spark: SparkSession,
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir).filter(
         F.col("o_orderstatus") == "F")
-    late = (li.join(F.broadcast(o),
+    late = (li.join(o,
                     (li.l_orderkey == o.o_orderkey)
                     & (li.l_shipdate
                        > o.o_orderdate + F.expr("INTERVAL 60 DAYS")))
@@ -4163,7 +4182,7 @@ def q_q21_suppliers_kept_waiting(spark: SparkSession,
                   & (F.col("l_suppkey") != F.col("s2")), "left_semi")
             .join(l3, (F.col("l_orderkey") == F.col("o3"))
                   & (F.col("l_suppkey") != F.col("s3")), "left_anti"))
-    return (blamed.join(F.broadcast(s),
+    return (blamed.join(s,
                         F.col("l_suppkey") == s.s_suppkey)
                   .groupBy("s_name")
                   .agg(F.count(F.lit(1)).alias("numwait")))
@@ -4327,7 +4346,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = (F.col("idf") * F.col("tf") * (k1 + 1.0)
                   / (F.col("tf") + k1 * (1.0 - b
                      + b * F.col("dl") / F.col("avg_dl"))))
-    return (tf.join(F.broadcast(idf), "tok")
+    return (tf.join(idf, "tok")
               .join(F.broadcast(stats))
               .groupBy("doc_id").agg(F.sum(term_score).alias("s")))
 
@@ -5084,7 +5103,7 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _semantic_cc_labels(spark, sf_dir)
     sizes = labels.groupBy("cc").agg(
         F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(F.broadcast(sizes), "cc")
+    return (labels.join(sizes, "cc")
             .select(F.col("id").alias("vec_id"),
                     F.col("cc").alias("cluster_id"),
                     "cluster_size"))
@@ -5111,15 +5130,17 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str
     member except the canonical minimum and account for what survives
     per label — the vector-space twin of `dedup_survivors` (what a
     training run would actually consume after near-meaning dedup).
-    Non-canonical members broadcast-anti-join out of the embedding
-    table; reads the once-materialized component labels
+    Non-canonical members anti-join out of the embedding table
+    (un-hinted — the drop list scales with the corpus, so the planner
+    broadcasts it at graded SFs and shuffles at 100 TB); reads the
+    once-materialized component labels
     (`_semantic_cc_labels`), so the pair join + CC never re-run per
     consumer."""
     emb = table(spark, "embeddings", sf_dir)
     labels = _semantic_cc_labels(spark, sf_dir)
     removed = (labels.where(F.col("id") != F.col("cc"))
                .select(F.col("id").alias("vec_id")))
-    return (emb.join(F.broadcast(removed), "vec_id", "left_anti")
+    return (emb.join(removed, "vec_id", "left_anti")
             .groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_kept")))
 
@@ -8495,9 +8516,13 @@ def q_word_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs stop dominating). Pair extraction is a vectorized
     arrays_zip of the word array against its 1- and 2-shifted self
     (zero joins, bounded 2× token fan-out); counts are map-side
-    combined; unigram marginals and the two scalar totals join back
-    broadcast; top-50 cut by exact double lift with lexicographic
-    tiebreaks (TakeOrderedAndProject — no global sort)."""
+    combined; the two scalar totals join back broadcast, while the
+    unigram marginals join WITHOUT a broadcast hint — vocabulary is
+    unbounded at corpus scale, so the join strategy is left to AQE
+    (broadcasts at small SF, shuffles on keys at 100 TB where a
+    forced vocab broadcast would OOM the executors); top-50 cut by
+    exact double lift with lexicographic tiebreaks
+    (TakeOrderedAndProject — no global sort)."""
     from map_reduce_mongodb_spark.functions import text as T
     d = table(spark, "documents", sf_dir)
     ws = d.select(T.words(F.col("text")).alias("ws"))
@@ -8527,8 +8552,8 @@ def q_word_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = ((F.col("cooc").cast("double") / F.col("t"))
             / ((F.col("cu_a").cast("double") / F.col("u"))
                * (F.col("cu_b").cast("double") / F.col("u"))))
-    return (cp.join(F.broadcast(ca), "word_a")
-            .join(F.broadcast(cb), "word_b")
+    return (cp.join(ca, "word_a")
+            .join(cb, "word_b")
             .crossJoin(F.broadcast(tp)).crossJoin(F.broadcast(tu))
             .withColumn("_lift", lift)
             .orderBy(F.desc("_lift"), F.asc("word_a"),
@@ -9798,15 +9823,16 @@ def q_brand_weighted_median_price(spark: SparkSession, sf_dir: str
     sums instead of counts, the target rank is (Σw + 1) div 2, and
     the bucket-scoped finish takes the smallest price whose running
     weight reaches the residual offset. Same two-phase scale shape as
-    the unweighted form (no per-group data sort); the broadcast part
-    join feeds the brand key. The oracle states it as the classic
-    cumulative-weight window; the median is an exact data value —
-    no rounding."""
+    the unweighted form (no per-group data sort); the part join feeds
+    the brand key un-hinted — part scales with SF (2.6 TB at SF 100k),
+    so AQE broadcasts it at small SF and shuffles at scale. The
+    oracle states it as the classic cumulative-weight window; the
+    median is an exact data value — no rounding."""
     from map_reduce_mongodb_spark.operators.quantiles import (
         grouped_order_statistic)
     li = table(spark, "lineitem", sf_dir)
     p = table(spark, "part", sf_dir)
-    v = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+    v = (li.join(p.select("p_partkey", "p_brand"),
                  li["l_partkey"] == p["p_partkey"])
          .select(F.col("p_brand").alias("brand"),
                  F.col("l_extendedprice").alias("price"),
@@ -9946,7 +9972,7 @@ def q_brand_theilsen_slope(spark: SparkSession, sf_dir: str
     o = table(spark, "orders", sf_dir)
     p = table(spark, "part", sf_dir)
     wk = (li.join(o, li.l_orderkey == o.o_orderkey)
-          .join(F.broadcast(p.select("p_partkey", "p_brand")),
+          .join(p.select("p_partkey", "p_brand"),
                 li.l_partkey == p.p_partkey)
           .select("p_brand",
                   F.expr("datediff(cast(o_orderdate as date), "
@@ -10223,7 +10249,7 @@ def q_brand_winsorized_stats(spark: SparkSession, sf_dir: str
     li = table(spark, "lineitem", sf_dir)
     p = table(spark, "part", sf_dir)
     v = tracked_persist(
-        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+        li.join(p.select("p_partkey", "p_brand"),
                 li["l_partkey"] == p["p_partkey"])
         .select(F.col("p_brand").alias("brand"),
                 F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
@@ -10564,18 +10590,19 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str
     cell (unordered, so A→B and B→A land together) — the provenance
     readout behind crawl-overlap decisions ("src3 is 80% re-crawl of
     src1; drop it") and the off-diagonal contamination check
-    `dedup_rate_by_source`'s per-source rates can't see. Two
-    broadcast joins of the doc→source dimension onto the
-    once-materialized 0.7 pair table, then a sources²-bounded
-    aggregate with a broadcast total."""
+    `dedup_rate_by_source`'s per-source rates can't see. Two id-keyed
+    joins of the doc→source dimension onto the once-materialized 0.7
+    pair table (un-hinted: the dimension is corpus-sized, so AQE
+    broadcasts at small SF and shuffles at 100 TB), then a
+    sources²-bounded aggregate with a broadcast total."""
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
     ds = table(spark, "documents", sf_dir).select("doc_id", "source")
     a = ds.select(F.col("doc_id").alias("id_a"),
                   F.col("source").alias("sa"))
     b = ds.select(F.col("doc_id").alias("id_b"),
                   F.col("source").alias("sb"))
-    px = (pairs.join(F.broadcast(a), "id_a")
-          .join(F.broadcast(b), "id_b")
+    px = (pairs.join(a, "id_a")
+          .join(b, "id_b")
           .select(F.least("sa", "sb").alias("source_a"),
                   F.greatest("sa", "sb").alias("source_b")))
     m = (px.groupBy("source_a", "source_b")
@@ -10742,16 +10769,18 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str
     """Share-of-parent rollup: each nation's supplier revenue as a
     fraction of its region's total — the two-level hierarchy ratio
     every BI drill-down renders. One fact-sized aggregate (exact
-    integer cents, map-side combined through two broadcast dimension
-    joins); the parent totals re-aggregate the 25-row nation table
-    and join back broadcast. Exact-operand divisions, no rounding."""
+    integer cents, map-side combined): the supplier join is un-hinted
+    (supplier scales with SF — AQE broadcasts at test scale, shuffles
+    at 100 TB) while nation/region pin broadcast (25/5 rows at every
+    SF); the parent totals re-aggregate the 25-row nation table and
+    join back broadcast. Exact-operand divisions, no rounding."""
     li = table(spark, "lineitem", sf_dir)
     s = table(spark, "supplier", sf_dir)
     n = table(spark, "nation", sf_dir)
     r = table(spark, "region", sf_dir)
     cents = F.expr("CAST(round(l_extendedprice * (1 - l_discount) "
                    "* 100) AS BIGINT)")
-    rev = (li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+    rev = (li.join(s.select("s_suppkey", "s_nationkey"),
                    li["l_suppkey"] == s["s_suppkey"])
            .join(F.broadcast(n.select("n_nationkey", "n_regionkey",
                                       "n_name")),
@@ -10799,9 +10828,11 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str
     that justifies the dedup pipeline's cost in a training-compute
     budget review (`dedup_rate_by_source` counts docs; compute cost
     scales with TOKENS, and boilerplate-heavy sources drop far more
-    tokens than docs). One token-count scan + a broadcast anti-ish
-    LEFT join of the tiny non-canonical label set (reads the
-    once-materialized CC labels); all integers, one exact
+    tokens than docs). One token-count scan + an id-keyed anti-ish
+    LEFT join of the non-canonical label set (reads the
+    once-materialized CC labels) — un-hinted, because the drop list
+    scales with the corpus's duplicate count (AQE broadcasts it at
+    small SF, shuffles at 100 TB); all integers, one exact
     division."""
     labels = _cc_labels(spark, sf_dir)
     drop = labels.where(F.col("id") != F.col("cc")) \
@@ -10811,7 +10842,7 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str
     tok = d.select("doc_id", "source",
                    F.size(F.split(F.trim(F.col("text")), r"\s+"))
                    .cast("long").alias("toks"))
-    j = tok.join(F.broadcast(drop), "doc_id", "left")
+    j = tok.join(drop, "doc_id", "left")
     return (j.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("toks").cast("long").alias("tokens_all"),
@@ -10928,25 +10959,24 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str
     from map_reduce_mongodb_spark.cache import tracked_persist
     # Raw per-lineitem edges (w ≡ 1): the oracle's (c, s, count)
     # collapse is algebraically identical under the power-step sums,
-    # and skipping the 587k-group pre-aggregation + shuffle join
-    # (orders→custkey attaches as a broadcast) is measurably faster.
+    # and skipping the 587k-group pre-aggregation + shuffle join is
+    # measurably faster. No broadcast hints anywhere: orders and the
+    # hub/authority vectors are DIMENSION-sized (they scale with SF —
+    # 1B+ rows at 100 TB), so strategy stays with the planner — the
+    # 64 MB auto-threshold + AQE broadcast them at test scale, which
+    # keeps the persisted edge table un-re-shuffled per step, and
+    # degrade to shuffle hash joins at cluster scale where a forced
+    # hint would OOM the executors.
     e = tracked_persist(
-        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+        li.join(o.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("c"),
                 F.col("l_suppkey").alias("s")))
     a = e.select("s").distinct().withColumn("a", F.lit(1).cast("long"))
-    # The hub/authority vectors are DIMENSION-sized (customers /
-    # suppliers), so each half-step joins them as broadcasts: the
-    # persisted edge table is never re-shuffled — per step it's one
-    # in-place broadcast join + a map-side-combined aggregate whose
-    # exchange carries only the dimension-sized partials. (On a
-    # cluster where the hub vector outgrows broadcast range, drop the
-    # hints and the same plan degrades to shuffle hash joins.)
     for _ in range(2):
-        h = (e.join(F.broadcast(a), "s").groupBy("c")
+        h = (e.join(a, "s").groupBy("c")
              .agg(F.sum("a").alias("h")))
-        a = (e.join(F.broadcast(h), "c").groupBy("s")
+        a = (e.join(h, "c").groupBy("s")
              .agg(F.sum("h").alias("a")))
     a = tracked_persist(a)
     mx = a.agg(F.max("a").cast("double").alias("mx"))
@@ -11266,14 +11296,18 @@ def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
     per-supplier window over its candidate list with a deterministic
     (cosine desc, id) order. Integer dots and norms; cosine is an
     exact-operand double — identical in both engines, no rounding.
-    At 100 TB a hot mega-customer is the skew lever (cap or
-    sub-sample its basket — the max_df analogue, documented not
+    Join strategy is left to the planner throughout: orders and the
+    supplier-sized norm tables all scale with SF, so the 64 MB
+    auto-broadcast threshold (+ AQE runtime switching) broadcasts
+    them at test scale and shuffles at 100 TB where a forced hint
+    would OOM. At 100 TB a hot mega-customer is the skew lever (cap
+    or sub-sample its basket — the max_df analogue, documented not
     silently applied)."""
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     from map_reduce_mongodb_spark.cache import tracked_persist
     e = tracked_persist(
-        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+        li.join(o.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.col("o_custkey").alias("c"),
                  F.col("l_suppkey").alias("s"))
@@ -11291,8 +11325,8 @@ def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
                     "dot"))
     na = nrm.select(F.col("s").alias("sa"), F.col("n2").alias("na"))
     nb = nrm.select(F.col("s").alias("sb"), F.col("n2").alias("nb"))
-    scored = (sym.join(F.broadcast(na), "sa")
-              .join(F.broadcast(nb), "sb")
+    scored = (sym.join(na, "sa")
+              .join(nb, "sb")
               .select("sa", "sb",
                       (F.col("dot").cast("double")
                        / (F.sqrt(F.col("na").cast("double"))

@@ -246,10 +246,14 @@ def test_grouping_sets_single_expand(spark):
 
 def test_q9_join_build_sides_pinned(spark):
     """q9 (5-table star over lineitem): all four joins must BUILD the
-    dimension side (explicit hints) and STREAM lineitem — no shuffle
-    join may appear, and the only hash-partitioned exchange is the
-    final group-by. Pinned so a stats/threshold change can't silently
-    flip a build side to the fact table (VERDICT r3 #7)."""
+    dimension side and STREAM lineitem — no shuffle join may appear,
+    and the only hash-partitioned exchange is the final group-by.
+    Since r6 only nation carries an explicit hint (the SF-scaling
+    dims are planner-chosen — they must not broadcast at 100 TB), so
+    this guard now also proves the 64 MB threshold still builds every
+    dim side on its own at test SF; it remains the tripwire against a
+    stats/threshold change silently flipping a build side to the fact
+    table (VERDICT r3 #7)."""
     p = plan(QUERIES["q9_product_type_profit"](spark, SF_DIR),
              mode="simple")
     assert p.count("BroadcastHashJoin") == 4
@@ -531,7 +535,10 @@ def test_gap_p90_lag_windows_are_user_scoped(spark):
 def test_supplier_cf_pairs_via_inverted_index(spark):
     """CF pair generation must be the customer-keyed equi self-join
     (inverted index) — never a cartesian/nested-loop over suppliers —
-    and the norm tables must broadcast."""
+    and at test SF the planner must still pick broadcast hash joins
+    for the small sides on its own (the query carries NO hints: the
+    orders/norm sides scale with SF, so strategy is left to the
+    64 MB auto-threshold + AQE — see the query docstring)."""
     p = plan(QUERIES["supplier_cf_similarity"](spark, SF_DIR),
              mode="simple")
     assert "CartesianProduct" not in p

@@ -46,7 +46,13 @@ def test_custom_rank_p90(spark):
 def test_selection_window_is_bucket_scoped(spark):
     """The phase-2 running-weight window must be partitioned by
     (group, bucket) — never a whole-group (let alone global) window —
-    and the target join must broadcast."""
+    and the target join must be a (group, bucket)-keyed equi-join,
+    never a cartesian/nested-loop. (The join is un-hinted since r6 —
+    the per-group target table scales with group cardinality, so
+    strategy stays with the planner: a statless in-memory frame like
+    this one plans a shuffle join statically and AQE broadcasts it at
+    runtime; a parquet-backed caller below the 64 MB threshold
+    broadcasts statically.)"""
     import re
     df = spark.createDataFrame(_data(), "g string, v double")
     plan = (grouped_order_statistic(df, ["g"], "v")
@@ -55,7 +61,11 @@ def test_selection_window_is_bucket_scoped(spark):
              re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
              if "_v#" in m.group(1)]
     assert specs and all("_b#" in s for s in specs), plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [ln for ln in plan.splitlines()
+             if "Join" in ln and "_b#" in ln]
+    assert joins, plan  # the target join is keyed on (group, bucket)
 
 
 def test_weighted_statistic_matches_row_expansion(spark):
