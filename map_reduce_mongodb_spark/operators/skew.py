@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def salted_aggregate(df: DataFrame, key: str, salts: int,
@@ -30,3 +30,29 @@ def salted_aggregate(df: DataFrame, key: str, salts: int,
                         F.lit(salts)))
     phase1 = salted.groupBy(key, "_salt").agg(*partial_aggs())
     return phase1.groupBy(key).agg(*final_aggs())
+
+
+def cap_group_fanout(df: DataFrame, key: str | list[str], max_n: int,
+                     order_col: str | Column) -> DataFrame:
+    """Deterministically keep at most ``max_n`` rows per key — the
+    skew defense for inverted-index SELF-joins, whose output is
+    Σ per-key-fanout²: one hot posting list (a mega-customer's
+    basket, a stopword's document list, a boilerplate shingle) of
+    |P| rows contributes |P|² pairs and can dominate the whole
+    stage. Capping bounds every key's contribution at max_n² at the
+    cost of recall on pairs that co-occur ONLY under hot keys — the
+    `max_shingle_df` / LSH hot-bucket trade (members of a hot list
+    are near-uninformative for similarity anyway, and pairs sharing
+    any other, colder key are still found).
+
+    ``order_col`` pins WHICH rows survive (rank by it ascending,
+    ties broken by the same column's values being distinct in
+    sensible callers), so results are reproducible run-to-run —
+    a nondeterministic cap would make dedup/CF outputs flap between
+    runs. Off-path by default everywhere: oracle-checked queries
+    keep exact semantics; this is the documented dial for the
+    100 TB deployment."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (df.withColumn("_fr", F.row_number().over(w))
+            .where(F.col("_fr") <= max_n).drop("_fr"))

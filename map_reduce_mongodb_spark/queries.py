@@ -11300,9 +11300,12 @@ def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
     supplier-sized norm tables all scale with SF, so the 64 MB
     auto-broadcast threshold (+ AQE runtime switching) broadcasts
     them at test scale and shuffles at 100 TB where a forced hint
-    would OOM. At 100 TB a hot mega-customer is the skew lever (cap
-    or sub-sample its basket — the max_df analogue, documented not
-    silently applied)."""
+    would OOM. At 100 TB a hot mega-customer is the skew lever: cap
+    its basket with `operators/skew.py:cap_group_fanout(e, "c",
+    max_basket, order_col="s")` before the self-join (the max_df
+    analogue — bounded max_basket² pairs per customer, deterministic
+    survivor set; dial kept OFF here so the oracle check stays
+    exact)."""
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     from map_reduce_mongodb_spark.cache import tracked_persist

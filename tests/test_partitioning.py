@@ -123,3 +123,44 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert got.where(F.col("b").isNull()).count() == 5
     # column pruning still reaches the scan on the merged schema
     assert got.select("a").where(F.col("a") > 10).count() == 4
+
+
+def test_cap_group_fanout_bounds_and_determinism(spark):
+    """cap_group_fanout: per-key survivors ≤ max_n, survivor choice is
+    the deterministic order_col prefix, and an inverted-index
+    self-join over the capped frame emits a SUBSET of the uncapped
+    pairs with every hot key's contribution bounded at max_n² — the
+    mega-customer / stopword-posting skew dial (off by default in
+    every oracle-checked query)."""
+    import pyspark.sql.functions as F
+    from map_reduce_mongodb_spark.operators.skew import cap_group_fanout
+
+    rows = ([("hot", i) for i in range(50)]
+            + [("cold", 100 + i) for i in range(3)]
+            + [("warm", 200 + i) for i in range(8)])
+    df = spark.createDataFrame(rows, "k string, item int")
+    capped = cap_group_fanout(df, "k", 5, F.col("item"))
+    per_key = {r.k: r.n for r in
+               capped.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert per_key == {"hot": 5, "cold": 3, "warm": 5}
+    # deterministic survivor set: ascending order_col prefix
+    hot_items = sorted(r.item for r in
+                       capped.where(F.col("k") == "hot").collect())
+    assert hot_items == [0, 1, 2, 3, 4]
+    # run-to-run stability
+    again = sorted((r.k, r.item) for r in
+                   cap_group_fanout(df, "k", 5, F.col("item")).collect())
+    assert again == sorted((r.k, r.item) for r in capped.collect())
+
+    def pairs(frame):
+        a, b = frame.alias("a"), frame.alias("b")
+        return {(r[0], r[1]) for r in
+                (a.join(b, (F.col("a.k") == F.col("b.k"))
+                        & (F.col("a.item") < F.col("b.item")))
+                 .select(F.col("a.item"), F.col("b.item")).collect())}
+
+    capped_pairs, full_pairs = pairs(capped), pairs(df)
+    assert capped_pairs <= full_pairs
+    # hot contributes max_n²-bounded C(5,2)=10 instead of C(50,2);
+    # under-cap keys are untouched: cold C(3,2)=3, warm→5 C(5,2)=10
+    assert len(capped_pairs) == 10 + 3 + 10
