@@ -47,6 +47,18 @@ def test_multiway_join_all_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_q5_unhinted_chain_still_all_broadcast(spark):
+    """q5's 6-way star (orders/customer/supplier un-hinted since r6;
+    nation/region pinned): at test SF the threshold must still build
+    every dim side, so lineitem streams through five broadcast joins
+    with zero shuffle joins — the guard that locks the no-hints
+    policy against an autoBroadcastJoinThreshold conf regression."""
+    p = plan(QUERIES["q5_local_supplier_volume"](spark, SF_DIR),
+             mode="simple")
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
 def test_aggregate_is_partial_then_final(spark):
     p = plan(QUERIES["q1_pricing_summary"](spark, SF_DIR))
     # two HashAggregate nodes (partial + final) around one exchange
