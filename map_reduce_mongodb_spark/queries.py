@@ -2074,14 +2074,18 @@ WITH expanded AS (
          event_type, value
   FROM events)
 SELECT window_start, event_type,
-       round(avg(value), 4) AS avg_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100.0 AS avg_value,
        count(*) AS n
 FROM expanded
 GROUP BY window_start, event_type
 """)
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1h window sliding by 30min (each event lands in exactly two
-    windows; the oracle expands them explicitly)."""
+    windows; the oracle expands them explicitly). The average is
+    exact-cents accumulation / one trailing division (see
+    streaming/windows.py:sliding_avg — round(avg(double), 4) straddled
+    ulp boundaries between engines at sf0.1)."""
     from map_reduce_mongodb_spark.streaming.windows import sliding_avg
     return sliding_avg(table(spark, "events", sf_dir),
                        window="1 hour", slide="30 minutes")
@@ -4012,7 +4016,7 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH offers AS (
   SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
          n_name,
-         round(l_extendedprice / l_quantity, 4) AS unit_cost
+         l_extendedprice / l_quantity AS unit_cost
   FROM lineitem
   JOIN part     ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -4033,8 +4037,12 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DISTINCT (part, supplier, unit price) rows derived from
     lineitem. The correlated `= (SELECT min ...)` decorrelates to a
     per-part window min — one shuffle on p_partkey instead of a
-    rescan, the classic Catalyst rewrite. Unit cost is per-row
-    division (bit-equal across engines) rounded to 4."""
+    rescan, the classic Catalyst rewrite. Unit cost is the RAW
+    per-row IEEE division — bit-identical across engines — never
+    rounded: a round(x, 4) here flipped half-ulp boundaries between
+    Spark and DuckDB at sf0.1, which not only shifted the printed
+    cost but changed WHICH offer tied the per-part minimum (60.27125
+    → .2712 vs .2713 selected different supplier rows)."""
     li = table(spark, "lineitem", sf_dir)
     p = table(spark, "part", sf_dir).filter(
         (F.col("p_type") == "SMALL") & F.col("p_size").between(10, 20))
@@ -4048,8 +4056,8 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name",
                 "s_acctbal", "n_name",
-                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
-                 .alias("unit_cost"))
+                (F.col("l_extendedprice") / F.col("l_quantity"))
+                .alias("unit_cost"))
         .distinct())
     w = Window.partitionBy("p_partkey")
     return (offers
@@ -5241,7 +5249,7 @@ WITH g AS (
   FROM events)
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_gaps,
-       round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 6)
+       CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000
          AS avg_gap_s,
        CAST(min(gap_us) AS BIGINT) AS min_gap_us,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us
@@ -5256,8 +5264,11 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     engagement scoring. Hash-robust by construction: gaps are BIGINT
     microseconds (``unix_micros`` / ``epoch_us`` — identical integers
     in both engines), so sums are order-independent and the mean is
-    one exact-integer division; nothing accumulates in floats. One
-    user_id-keyed shuffle for the window, map-side partial agg after."""
+    the same exact-operand division chain in both engines, emitted
+    UNROUNDED — a trailing round(x, 6) flipped a half-ulp boundary
+    between the engines at sf0.1 (33374.0610425 → …43 vs …42), the
+    known Spark/DuckDB round() divergence. One user_id-keyed shuffle
+    for the window, map-side partial agg after."""
     events = table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC
@@ -5270,9 +5281,9 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("gap_us").isNotNull()))
     return (gaps.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_gaps"),
-                 F.round(F.sum("gap_us").cast("double")
-                         / F.count(F.lit(1)) / F.lit(1000000.0), 6)
-                  .alias("avg_gap_s"),
+                 (F.sum("gap_us").cast("double")
+                  / F.count(F.lit(1)) / F.lit(1000000.0))
+                 .alias("avg_gap_s"),
                  F.min("gap_us").alias("min_gap_us"),
                  F.max("gap_us").alias("max_gap_us")))
 
@@ -11782,6 +11793,12 @@ _REWIRED: dict[str, int] = {
     "dedup_clusters": 6, "dedup_survivors": 6,
     "jaccard_prefix_pairs": 6, "dup_provenance": 6,
     "simhash_pairs": 6, "minhash_lsh_md5": 6,
+    # r6 sf0.1 parity sweep fixes: round() half-ulp divergences made
+    # bit-exact (exact-cents avg / unrounded exact-operand division)
+    # — outputs changed, so the old green rows no longer describe
+    # the current code.
+    "q2_min_cost_supplier": 7, "events_sliding_window": 7,
+    "events_interarrival": 7,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

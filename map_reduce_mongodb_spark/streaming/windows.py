@@ -80,15 +80,24 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
 def sliding_avg(events: DataFrame, window: str = "1 hour",
                 slide: str = "30 minutes",
                 watermark: str | None = None) -> DataFrame:
-    """Sliding window average value per event_type."""
+    """Sliding window average value per event_type.
+
+    The average accumulates EXACT integer cents (events.value sits on
+    a 2-decimal grid) and divides once at the end — order-independent
+    and bit-identical across engines, where `round(avg(double), 4)`
+    flipped ulp boundaries between Spark and DuckDB at sf0.1 (9 of
+    7205 windows: different partial-sum orders round 43.82375 to
+    .8237 vs .8238)."""
     if watermark and events.isStreaming:
         events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+             .alias("_cents"),
              F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type",
-                "avg_value", "n")
+                F.expr("CAST(_cents AS DOUBLE) / n / 100.0")
+                .alias("avg_value"), "n")
     )
 
 
