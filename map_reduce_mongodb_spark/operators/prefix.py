@@ -28,14 +28,24 @@ Determinism: the caller must supply a TOTAL order (include a unique
 tiebreak column) — with a total order, any range partitioning yields
 the same global prefix sums regardless of where the cuts land.
 
-Consistency of ``_pid`` between the two passes: both branches (the
-within-partition window and the per-partition totals) hang off the
-SAME range exchange, which Spark's ReuseExchange executes once — so
-even though ``repartitionByRange`` samples its boundaries, every
-consumer sees identical partition assignments (pinned in
-tests/test_prefix.py::test_cumsum_range_exchange_is_reused; if that
-rule ever stopped firing the fallback is a tracked_persist of the
-ranged frame, not correct-by-luck recomputation).
+Consistency of ``_pid`` between the two passes — the r6 lesson: the
+within-partition window and the per-partition totals both reference
+the ranged frame, but Catalyst DEDUPLICATES the twice-referenced
+subtree into two independent range exchanges (fresh expression ids;
+ReuseExchange does NOT fire — observed: four rangepartitioning
+exchanges, zero ReusedExchange in orders_rfm's executed plan), and
+``repartitionByRange`` SAMPLES its boundaries from whatever row order
+the shuffle fetch happens to deliver. Unloaded, the two samplings
+coincide and everything looks fine — including five driver rounds of
+green checks. Under concurrent load they diverge, the two branches
+disagree on ``_pid``, and ranks come back corrupted in
+partition-sized chunks (caught by the r6 sf0.1 parity sweep running
+against a busy machine). The fix is structural: ``tracked_persist``
+the ranged frame, so both branches read ONE materialized
+InMemoryRelation — boundaries are sampled exactly once, under any
+load. The persist is released by the standard cache hygiene
+(cache.py) when the next query builds; at cluster scale it is
+disk-backed and costs what the equivalent global sort would.
 
 Scale notes: two shuffles (the range exchange; the per-partition totals
 aggregate is map-side) — the same cost as any global sort. The offset
@@ -58,11 +68,18 @@ def distributed_cumsum(df: DataFrame, order_by: list[Column],
     computed with the two-pass range-partitioned scan described in the
     module docstring. Returns ``df``'s columns plus ``out``.
     """
+    from map_reduce_mongodb_spark.cache import tracked_persist
+
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (df.repartitionByRange(num_partitions, *order_by)
-                .withColumn("_pid", F.spark_partition_id())
-                .withColumn("_v", value))
+    # Persisted: both consumers below MUST see one materialization of
+    # the sampled range boundaries (see module docstring — without
+    # this, Catalyst plans two independent exchanges whose samplings
+    # can diverge under load and corrupt the ranks).
+    ranged = tracked_persist(
+        df.repartitionByRange(num_partitions, *order_by)
+          .withColumn("_pid", F.spark_partition_id())
+          .withColumn("_v", value))
     w_local = (Window.partitionBy("_pid").orderBy(*order_by)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = ranged.withColumn("_local", F.sum("_v").over(w_local))
@@ -99,11 +116,16 @@ def distributed_cummax_exclusive(df: DataFrame, order_by: list[Column],
     skips NULLs, handling both the partition-first and global-first
     rows).
     """
+    from map_reduce_mongodb_spark.cache import tracked_persist
+
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (df.repartitionByRange(num_partitions, *order_by)
-                .withColumn("_pid", F.spark_partition_id())
-                .withColumn("_v", value))
+    # Persisted for the same _pid-consistency reason as
+    # distributed_cumsum (module docstring).
+    ranged = tracked_persist(
+        df.repartitionByRange(num_partitions, *order_by)
+          .withColumn("_pid", F.spark_partition_id())
+          .withColumn("_v", value))
     w_local = (Window.partitionBy("_pid").orderBy(*order_by)
                .rowsBetween(Window.unboundedPreceding, -1))
     local = ranged.withColumn("_local", F.max("_v").over(w_local))

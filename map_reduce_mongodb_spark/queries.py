@@ -4750,7 +4750,8 @@ WITH rfm AS (
          CAST(date_diff('day', max(o_orderdate),
                         TIMESTAMP '2002-01-01') AS BIGINT) AS recency_days,
          CAST(count(*) AS BIGINT) AS frequency,
-         round(sum(o_totalprice), 2) AS monetary
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS monetary
   FROM orders GROUP BY o_custkey)
 SELECT custkey, recency_days, frequency, monetary,
        CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
@@ -4768,10 +4769,13 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (monetary DESC, custkey) total order, and ntile(5)'s exact bucket
     arithmetic — first n%5 buckets get ceil(n/5) rows, the rest
     floor(n/5) — is then a per-row integer expression against the
-    broadcast customer count. Ordering on the ROUNDED monetary (cent
-    sums exact at 2 decimals) with a custkey tiebreak keeps bucket
-    boundaries deterministic across engines; integer `div` keeps the
-    ceil exact at any row count."""
+    broadcast customer count. monetary is an EXACT integer-cents sum
+    divided once at the end (round(sum(double), 2) let a cent-level
+    accumulation difference elsewhere in the order shift every later
+    rank by one at sf0.1, swapping boundary customers' quintiles);
+    the (monetary DESC, custkey) order is therefore bit-deterministic
+    across engines, and integer `div` keeps the ceil exact at any
+    row count."""
     from map_reduce_mongodb_spark.operators.prefix import (
         distributed_cumsum)
     o = table(spark, "orders", sf_dir)
@@ -4780,7 +4784,8 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.max("o_orderdate")).cast("long")
                 .alias("recency_days"),
                 F.count(F.lit(1)).alias("frequency"),
-                F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+                F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS "
+                       "BIGINT)) AS DOUBLE) / 100.0").alias("monetary")))
     tot = rfm.agg(F.count(F.lit(1)).alias("_n"))
     ranked = (distributed_cumsum(
                   rfm, [F.desc("monetary"), F.asc("custkey")],
@@ -11799,6 +11804,14 @@ _REWIRED: dict[str, int] = {
     # the current code.
     "q2_min_cost_supplier": 7, "events_sliding_window": 7,
     "events_interarrival": 7,
+    # distributed_cumsum/_cummax _pid-desync fix (prefix.py now
+    # persists the ranged frame — the old plan could return corrupted
+    # ranks under concurrent load): every evidenced consumer of the
+    # operator re-evidences on the fixed plan.
+    "orders_rfm": 7, "seq_packing": 7, "weighted_sample": 7,
+    "orders_running_quantile": 7, "equidepth_histogram": 7,
+    "revenue_gini": 7, "pareto_revenue_abc": 7,
+    "sorted_neighborhood_pairs": 7, "skyline_parts": 7,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

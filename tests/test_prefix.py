@@ -56,11 +56,17 @@ def test_cumsum_plan_has_no_global_single_partition_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
-def test_cumsum_range_exchange_is_reused(spark):
-    """Both passes must read the SAME range exchange (sampled
-    boundaries!) — ReuseExchange makes _pid consistent between the
-    window branch and the totals branch. If this ever breaks, the
-    operator needs an explicit persist of the ranged frame."""
+def test_cumsum_ranged_frame_is_persisted_once(spark):
+    """Both passes must read ONE materialization of the sampled range
+    boundaries. ReuseExchange is NOT sufficient — in real query plans
+    Catalyst deduplicates the twice-referenced ranged frame into two
+    independent exchanges with fresh expression ids, each sampling
+    its own boundaries from a load-dependent shuffle-fetch order
+    (r6: orders_rfm's executed plan held four rangepartitioning
+    exchanges, zero ReusedExchange, and returned different quintiles
+    per execution on a busy machine). The operator therefore persists
+    the ranged frame; both branches must scan the cached relation,
+    and exactly one range exchange may exist beneath it."""
     df = spark.range(0, 10_000).select(
         F.col("id"), (F.col("id") % 97).alias("v"))
     out = distributed_cumsum(
@@ -68,7 +74,12 @@ def test_cumsum_range_exchange_is_reused(spark):
         num_partitions=8)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    # Two cache scans (the window branch and the totals branch), both
+    # resolving to ONE canonicalized InMemoryRelation — the range
+    # exchanges printed inside the relation are its stored recipe,
+    # materialized once by whichever scan runs first.
+    assert plan.count("TableCacheQueryStage") >= 2, plan
+    assert "InMemoryRelation" in plan, plan
 
 
 def test_cummax_exclusive_matches_sequential_reference(spark):
