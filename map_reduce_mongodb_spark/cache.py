@@ -12,11 +12,20 @@ Contract: operators call :func:`tracked_persist` instead of
 PREVIOUS query's caches on entry (see ``queries.query``), so live
 cache is bounded by one query regardless of how many the session runs;
 ``release_caches()`` at the end of a sweep drops the last one.
-Releasing a persisted DataFrame is always safe — the plan silently
-recomputes. Released checkpoint RDDs (:func:`track_rdd`) are NOT
-recomputable: a query result built on one must be consumed before the
-next registered query is built (true of every driver/bench/test flow
-here, which collect each query before building the next).
+
+Releasing a persisted DataFrame is safe ONLY when recomputation
+reproduces the same result. That is true of ordinary caches (pure
+plans recompute bit-identically) but NOT of plans whose correctness
+depends on a single materialization — e.g. a range-partitioned frame
+read by two branches, where recomputation re-samples partition
+boundaries per branch and can diverge under load (the r6
+``distributed_cumsum`` bug). Such plans must use
+:func:`eager_checkpoint` instead: a released checkpoint is DEAD, so a
+stale consumer fails loudly rather than silently recomputing wrong.
+Checkpoint-backed results (:func:`track_rdd` /
+:func:`eager_checkpoint`) must therefore be consumed before the next
+registered query is built (true of every driver/bench/test flow here,
+which collect each query before building the next).
 """
 
 from __future__ import annotations
@@ -39,6 +48,13 @@ _SHARED_DIR: str | None = None
 # bench.py reads this to attribute family build cost to the shared
 # artifact instead of smearing it into whichever consumer ran first.
 _BUILD_SECONDS: dict[str, float] = {}
+# Stack of shared-build keys currently being materialized, so nested
+# operators (connected_components' round count, k-core's peel depth)
+# can attribute scalar metrics to the build that ran them — regressions
+# in iterative builds become attributable in BENCH artifacts instead of
+# reading as anonymous slowdowns (VERDICT r6 #3).
+_CURRENT_BUILD: list[str] = []
+_BUILD_METRICS: dict[str, dict[str, object]] = {}
 
 
 def _shared_dir() -> str:
@@ -77,10 +93,35 @@ def shared_parquet(spark: SparkSession, key: str,
         fname = re.sub(r"[^A-Za-z0-9_.-]+", "_", key)
         path = f"{_shared_dir()}/{fname}"
         t0 = time.perf_counter()
-        build().write.mode("overwrite").parquet(path)
+        _CURRENT_BUILD.append(key)
+        try:
+            build().write.mode("overwrite").parquet(path)
+        finally:
+            _CURRENT_BUILD.pop()
         _BUILD_SECONDS[key] = round(time.perf_counter() - t0, 3)
         _SHARED[key] = path
     return spark.read.parquet(_SHARED[key])
+
+
+def note_build_metric(name: str, value) -> None:
+    """Attach a scalar metric (e.g. an iterative operator's round
+    count) to the shared build currently materializing — or to the
+    ``_unattributed`` bucket when called outside one. Repeated notes
+    under the same key accumulate into a list so multi-invocation
+    builds stay visible."""
+    key = _CURRENT_BUILD[-1] if _CURRENT_BUILD else "_unattributed"
+    slot = _BUILD_METRICS.setdefault(key, {})
+    if name in slot:
+        prev = slot[name]
+        slot[name] = (prev if isinstance(prev, list) else [prev]) + [value]
+    else:
+        slot[name] = value
+
+
+def shared_build_metrics() -> dict[str, dict[str, object]]:
+    """Per-build-key metrics noted during materialization (round
+    counts etc.); bench.py emits this beside shared_builds."""
+    return {k: dict(v) for k, v in _BUILD_METRICS.items()}
 
 
 def shared_build_seconds() -> dict[str, float]:
@@ -102,6 +143,54 @@ def tracked_persist(df: DataFrame,
     df = df.persist(level)
     _LIVE.append(df)
     return df
+
+
+def _persistent_rdds(spark) -> dict:
+    """id → JVM RDD handle of every currently-persisted RDD.
+
+    Deliberate private-API use, version-pinned: ``SparkContext._jsc``
+    (the Py4J JavaSparkContext) and ``sc().getPersistentRDDs()`` (a
+    PUBLIC Scala API, reached through the private Python handle) are
+    stable across Spark 3.x/4.x (developed against 4.1). There is no
+    public PySpark surface that enumerates persisted RDDs, and
+    ``DataFrame.unpersist`` does not release localCheckpoint blocks —
+    this is the only way to free them. If a future Spark moves the
+    handle, the except below degrades GRACEFULLY: checkpoint blocks
+    are simply not freed early (they still die with the session /
+    ContextCleaner), trading memory hygiene for correctness instead of
+    crashing the query."""
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        out = {}
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+    except Exception:  # AttributeError (API moved) or Py4J errors
+        return {}
+
+
+def eager_checkpoint(df: DataFrame):
+    """``localCheckpoint(eager=True)`` + the JVM handles of the RDD
+    blocks it just persisted (``DataFrame.unpersist`` does NOT release
+    those — they must be dropped at the RDD level; register them with
+    :func:`track_rdd` or release them when a loop supersedes them).
+    Assumes the single-threaded query-builder context: no concurrent
+    persists.
+
+    Use this instead of :func:`tracked_persist` whenever the plan's
+    CORRECTNESS (not just its cost) depends on a single
+    materialization — a checkpoint severs lineage, so a released/lost
+    block fails loudly instead of silently recomputing a divergent
+    result (module docstring). On a multi-executor cluster swap for
+    reliable ``checkpoint()`` against a fault-tolerant checkpoint dir;
+    same plan shape."""
+    spark = df.sparkSession
+    before = set(_persistent_rdds(spark))
+    out = df.localCheckpoint(eager=True)
+    handles = [r for i, r in _persistent_rdds(spark).items()
+               if i not in before]
+    return out, handles
 
 
 def track_rdd(handle) -> None:

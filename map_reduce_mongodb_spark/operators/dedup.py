@@ -159,8 +159,16 @@ def _candidates_from_banded(banded: DataFrame, id_col: str,
                .agg(F.count(F.lit(1)).alias("_n"))
                .filter(F.col("_n") > max_bucket_size)
                .select("band", "bucket"))
-        banded = banded.join(F.broadcast(hot), ["band", "bucket"],
-                             "left_anti")
+        # PRECONDITION: band (a literal) and bucket (F.hash) are
+        # non-null today, which is what makes this anti-join on the
+        # HOT list equivalent to the old semi-join on the OK list —
+        # left_anti KEEPS null-keyed rows where left_semi dropped
+        # them, so a future banding change that can emit NULL buckets
+        # would silently bypass the cap. The isNotNull guard pins the
+        # old semantics either way (ADVICE r6).
+        banded = (banded.where(F.col("bucket").isNotNull())
+                  .join(F.broadcast(hot), ["band", "bucket"],
+                        "left_anti"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (

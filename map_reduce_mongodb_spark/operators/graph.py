@@ -21,14 +21,22 @@ Scale notes:
   a real cluster with lineage-failure concerns, swap for
   ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` — same
   plan shape.
-- Convergence is detected with a deterministic (count, xxhash64-sum)
-  checksum of the edge set: one tiny aggregate per round instead of a
-  full set-difference join.
+- Convergence is detected with a deterministic (count, xxhash64-xor)
+  checksum of the edge set, OBSERVED during the checkpoint job itself
+  (``DataFrame.observe`` + ``Observation``): one blocking job per
+  round total. r6 ran a separate checksum aggregate after each
+  checkpoint — two blocking jobs per round — and that many-small-jobs
+  cadence was the bench's biggest load amplifier (the shared CC build
+  degraded 4.8× under driver-machine contention while everything else
+  held ~1.1×; VERDICT r6). Piggybacking halves the job count and the
+  scheduling-latency exposure; round counts are recorded into the
+  owning shared build's metrics (cache.note_build_metric) so any
+  future regression is attributable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -62,52 +70,29 @@ def _small_star(edges: DataFrame) -> DataFrame:
                   .distinct())
 
 
-def _persistent_rdds(spark) -> dict:
-    """id → JVM RDD handle of every currently-persisted RDD.
-
-    Deliberate private-API use, version-pinned: ``SparkContext._jsc``
-    (the Py4J JavaSparkContext) and ``sc().getPersistentRDDs()`` (a
-    PUBLIC Scala API, reached through the private Python handle) are
-    stable across Spark 3.x/4.x (developed against 4.1). There is no
-    public PySpark surface that enumerates persisted RDDs, and
-    ``DataFrame.unpersist`` does not release localCheckpoint blocks —
-    this is the only way to free them. If a future Spark moves the
-    handle, the except below degrades GRACEFULLY: checkpoint blocks
-    are simply not freed early (they still die with the session /
-    ContextCleaner), trading memory hygiene for correctness instead of
-    crashing the query."""
-    try:
-        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-        out = {}
-        while it.hasNext():
-            t = it.next()
-            out[t._1()] = t._2()
-        return out
-    except Exception:  # AttributeError (API moved) or Py4J errors
-        return {}
-
-
 def _checkpoint(df: DataFrame):
-    """``localCheckpoint(eager=True)`` + the JVM handles of the RDD
-    blocks it just persisted (``DataFrame.unpersist`` does NOT release
-    those — they must be dropped at the RDD level). Assumes the
-    single-threaded query-builder context: no concurrent persists."""
-    spark = df.sparkSession
-    before = set(_persistent_rdds(spark))
-    out = df.localCheckpoint(eager=True)
-    handles = [r for i, r in _persistent_rdds(spark).items()
-               if i not in before]
-    return out, handles
+    """Back-compat delegate — the checkpoint/handle plumbing now lives
+    with the rest of the persistence hygiene in
+    ``cache.eager_checkpoint`` (prefix.py needs the same fail-loud
+    materialization)."""
+    from map_reduce_mongodb_spark.cache import eager_checkpoint
+    return eager_checkpoint(df)
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    # bit_xor (not sum) of the row hashes: order-insensitive and free
-    # of ANSI long-overflow on sums of 64-bit hashes.
-    row = edges.agg(
+def _checkpoint_checksummed(edges: DataFrame):
+    """Eager-checkpoint ``edges`` while OBSERVING its deterministic
+    (count, xxhash64-xor) checksum inside the same job — bit_xor (not
+    sum) of the row hashes is order-insensitive and free of ANSI
+    long-overflow. Returns (checkpointed_df, rdd_handles, (n, h));
+    the convergence test costs zero extra jobs."""
+    obs = Observation()
+    ck, handles = _checkpoint(edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).first()
-    return int(row["n"]), int(row["h"])
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")),
+                   F.lit(0)).alias("h")))
+    got = obs.get
+    return ck, handles, (int(got["n"]), int(got["h"]))
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -121,16 +106,17 @@ def connected_components(edges: DataFrame, src: str = "src",
     nodes never appear in an edge list; callers union them back with
     cc = id if needed).
     """
-    from map_reduce_mongodb_spark.cache import track_rdd
+    from map_reduce_mongodb_spark.cache import note_build_metric, track_rdd
 
-    e, handles = _checkpoint(
+    e, handles, prev = _checkpoint_checksummed(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
              .where(F.col(src) != F.col(dst))
              .distinct())
-    prev = _checksum(e)
+    rounds = 0
     for _ in range(max_iter):
-        nxt, nxt_handles = _checkpoint(_small_star(_large_star(e)))
-        cur = _checksum(nxt)
+        nxt, nxt_handles, cur = _checkpoint_checksummed(
+            _small_star(_large_star(e)))
+        rounds += 1
         for h in handles:  # superseded iteration's blocks
             h.unpersist(False)
         e, handles = nxt, nxt_handles
@@ -140,6 +126,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
+    note_build_metric("cc_rounds", rounds)
     # The returned plan hangs off the FINAL checkpoint; its blocks are
     # handed to the cache registry, so they live until the next
     # registered query is built (same lifetime as tracked_persist
@@ -180,40 +167,41 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
     aggregate + two semi-joins keyed by node id — O(edges) per round,
     no driver-side graph state; rounds cut lineage with the module's
     localCheckpoint discipline (superseded rounds' RDD blocks released
-    immediately). The only driver value per round is the survivor
-    COUNT (the convergence scalar — same footprint as
-    connected_components' checksum). Round count is bounded by the
-    peeling depth (the graph's degeneracy ordering length), not by
-    data size; ``max_iter`` is a guard rail, and the loop raises if
+    immediately). Convergence is the module's observed edge-set
+    checksum (edges unchanged ⟺ degrees unchanged ⟺ peel fixpoint),
+    measured INSIDE each round's checkpoint job — one blocking job per
+    round, no separate count job (the r6 two-jobs-per-round cadence
+    was the load amplifier; module docstring). Round count is bounded
+    by the peeling depth (the graph's degeneracy ordering length), not
+    by data size; ``max_iter`` is a guard rail, and the loop raises if
     it trips without converging (a silently partial core would be
     wrong, not slow)."""
-    from map_reduce_mongodb_spark.cache import track_rdd
+    from map_reduce_mongodb_spark.cache import note_build_metric, track_rdd
     sym = pairs.select(F.col(id_a).alias("src"),
                        F.col(id_b).alias("dst"))
     edges = sym.union(sym.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
     handles: list = []
-    prev_n = -1
+    prev = None
+    rounds = 0
     for _ in range(max_iter):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select("src")
-        n = keep.count()
-        if n == prev_n:
-            break
-        prev_n = n
-        if n == 0:
-            edges = edges.limit(0)
-            break
-        edges, nxt = _checkpoint(
+        edges, nxt, cur = _checkpoint_checksummed(
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst",
                   "left_semi"))
+        rounds += 1
         for h in handles:
             h.unpersist(False)
         handles = nxt
+        if cur[0] == 0 or cur == prev:
+            break
+        prev = cur
     else:
         raise RuntimeError(
             f"k_core did not converge within {max_iter} rounds")
+    note_build_metric("kcore_rounds", rounds)
     for h in handles:
         track_rdd(h)
     return (edges.groupBy("src").agg(F.count(F.lit(1))

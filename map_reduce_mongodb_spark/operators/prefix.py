@@ -40,12 +40,22 @@ coincide and everything looks fine — including five driver rounds of
 green checks. Under concurrent load they diverge, the two branches
 disagree on ``_pid``, and ranks come back corrupted in
 partition-sized chunks (caught by the r6 sf0.1 parity sweep running
-against a busy machine). The fix is structural: ``tracked_persist``
-the ranged frame, so both branches read ONE materialized
-InMemoryRelation — boundaries are sampled exactly once, under any
-load. The persist is released by the standard cache hygiene
-(cache.py) when the next query builds; at cluster scale it is
-disk-backed and costs what the equivalent global sort would.
+against a busy machine). The fix is structural: the ranged frame is
+MATERIALIZED once and both branches read that one materialization —
+boundaries are sampled exactly once, under any load.
+
+Why ``eager_checkpoint`` and not ``tracked_persist`` (the r6 shape):
+a persist is advisory — ``release_caches()`` (which every registered
+query builder fires on entry) or memory-pressure eviction silently
+REPLANS the frame on next touch, re-opening the exact two-exchange
+divergence this operator exists to close, with no error (ADVICE r6).
+A localCheckpoint severs lineage instead: the sampled partitioning is
+frozen into RDD blocks, and a consumer touching the result after the
+blocks are released fails LOUDLY — the standard consume-before-next-
+build contract for checkpoint-backed results (cache.py module
+docstring). At cluster scale the blocks are executor-local and cost
+what the equivalent global sort's shuffle files would; swap for a
+reliable ``checkpoint()`` dir where executor loss matters.
 
 Scale notes: two shuffles (the range exchange; the per-partition totals
 aggregate is map-side) — the same cost as any global sort. The offset
@@ -68,18 +78,20 @@ def distributed_cumsum(df: DataFrame, order_by: list[Column],
     computed with the two-pass range-partitioned scan described in the
     module docstring. Returns ``df``'s columns plus ``out``.
     """
-    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.cache import eager_checkpoint, track_rdd
 
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    # Persisted: both consumers below MUST see one materialization of
-    # the sampled range boundaries (see module docstring — without
-    # this, Catalyst plans two independent exchanges whose samplings
-    # can diverge under load and corrupt the ranks).
-    ranged = tracked_persist(
+    # Checkpointed: both consumers below MUST see one materialization
+    # of the sampled range boundaries (see module docstring — a
+    # recomputable persist can silently re-sample after release and
+    # corrupt the ranks; a checkpoint fails loudly instead).
+    ranged, handles = eager_checkpoint(
         df.repartitionByRange(num_partitions, *order_by)
           .withColumn("_pid", F.spark_partition_id())
           .withColumn("_v", value))
+    for h in handles:
+        track_rdd(h)
     w_local = (Window.partitionBy("_pid").orderBy(*order_by)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = ranged.withColumn("_local", F.sum("_v").over(w_local))
@@ -116,16 +128,18 @@ def distributed_cummax_exclusive(df: DataFrame, order_by: list[Column],
     skips NULLs, handling both the partition-first and global-first
     rows).
     """
-    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.cache import eager_checkpoint, track_rdd
 
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    # Persisted for the same _pid-consistency reason as
+    # Checkpointed for the same _pid-consistency reason as
     # distributed_cumsum (module docstring).
-    ranged = tracked_persist(
+    ranged, handles = eager_checkpoint(
         df.repartitionByRange(num_partitions, *order_by)
           .withColumn("_pid", F.spark_partition_id())
           .withColumn("_v", value))
+    for h in handles:
+        track_rdd(h)
     w_local = (Window.partitionBy("_pid").orderBy(*order_by)
                .rowsBetween(Window.unboundedPreceding, -1))
     local = ranged.withColumn("_local", F.max("_v").over(w_local))

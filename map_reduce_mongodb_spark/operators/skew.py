@@ -33,7 +33,8 @@ def salted_aggregate(df: DataFrame, key: str, salts: int,
 
 
 def cap_group_fanout(df: DataFrame, key: str | list[str], max_n: int,
-                     order_col: str | Column) -> DataFrame:
+                     order_col: str | Column | list[str | Column]
+                     ) -> DataFrame:
     """Deterministically keep at most ``max_n`` rows per key — the
     skew defense for inverted-index SELF-joins, whose output is
     Σ per-key-fanout²: one hot posting list (a mega-customer's
@@ -45,14 +46,17 @@ def cap_group_fanout(df: DataFrame, key: str | list[str], max_n: int,
     are near-uninformative for similarity anyway, and pairs sharing
     any other, colder key are still found).
 
-    ``order_col`` pins WHICH rows survive (rank by it ascending,
-    ties broken by the same column's values being distinct in
-    sensible callers), so results are reproducible run-to-run —
-    a nondeterministic cap would make dedup/CF outputs flap between
-    runs. Off-path by default everywhere: oracle-checked queries
-    keep exact semantics; this is the documented dial for the
-    100 TB deployment."""
+    ``order_col`` pins WHICH rows survive (rank ascending; a single
+    column or a LIST whose concatenation must be UNIQUE per key —
+    with duplicate order values row_number breaks ties by physical
+    row order and the survivor set flaps between runs, the exact
+    nondeterminism this dial exists to prevent; pass tiebreak columns
+    until the order is total, ADVICE r6). Off-path by default
+    everywhere: oracle-checked queries keep exact semantics; this is
+    the documented dial for the 100 TB deployment."""
     keys = [key] if isinstance(key, str) else list(key)
-    w = Window.partitionBy(*keys).orderBy(order_col)
+    order = (list(order_col) if isinstance(order_col, (list, tuple))
+             else [order_col])
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (df.withColumn("_fr", F.row_number().over(w))
             .where(F.col("_fr") <= max_n).drop("_fr"))

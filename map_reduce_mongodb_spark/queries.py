@@ -11321,7 +11321,11 @@ def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
     max_basket, order_col="s")` before the self-join (the max_df
     analogue — bounded max_basket² pairs per customer, deterministic
     survivor set; dial kept OFF here so the oracle check stays
-    exact)."""
+    exact). The dial's own output contract is oracle-proven by the
+    registered twin `supplier_cf_similarity_capped` (cap ON, small
+    max_basket, same DuckDB-encoded deterministic cap) — the 100 TB
+    configuration has its own hash-green row rather than a docstring
+    promise (VERDICT r6 #4)."""
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     from map_reduce_mongodb_spark.cache import tracked_persist
@@ -11334,6 +11338,102 @@ def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
     nrm = e.groupBy("s").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
     a, b = e.alias("a"), e.alias("b")
+    dots = (a.join(b, (F.col("a.c") == F.col("b.c"))
+                   & (F.col("a.s") < F.col("b.s")))
+            .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long")
+                 .alias("dot")))
+    sym = dots.unionByName(
+        dots.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"),
+                    "dot"))
+    na = nrm.select(F.col("s").alias("sa"), F.col("n2").alias("na"))
+    nb = nrm.select(F.col("s").alias("sb"), F.col("n2").alias("nb"))
+    scored = (sym.join(na, "sa")
+              .join(nb, "sb")
+              .select("sa", "sb",
+                      (F.col("dot").cast("double")
+                       / (F.sqrt(F.col("na").cast("double"))
+                          * F.sqrt(F.col("nb").cast("double"))))
+                      .alias("cosine")))
+    w = Window.partitionBy("sa").orderBy(F.desc("cosine"), F.asc("sb"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 3)
+            .select(F.col("sa").alias("suppkey"), "rank",
+                    F.col("sb").alias("neighbor"), "cosine"))
+
+
+@query("supplier_cf_similarity_capped", oracle="""
+WITH e AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey),
+nrm AS (SELECT s, CAST(sum(w * w) AS BIGINT) AS n2
+        FROM e GROUP BY s),
+ecap AS (
+  SELECT c, s, w FROM (
+    SELECT c, s, w,
+           row_number() OVER (PARTITION BY c ORDER BY s) AS rn
+    FROM e)
+  WHERE rn <= 8),
+dots AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM ecap a JOIN ecap b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s),
+sym AS (
+  SELECT sa, sb, dot FROM dots
+  UNION ALL
+  SELECT sb, sa, dot FROM dots),
+scored AS (
+  SELECT sym.sa, sym.sb,
+         CAST(sym.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                                    * sqrt(CAST(nb.n2 AS DOUBLE)))
+           AS cosine
+  FROM sym JOIN nrm na ON sym.sa = na.s
+           JOIN nrm nb ON sym.sb = nb.s)
+SELECT sa AS suppkey, rank, sb AS neighbor, cosine
+FROM (
+  SELECT sa, sb, cosine,
+         CAST(row_number() OVER (PARTITION BY sa
+                                 ORDER BY cosine DESC, sb) AS INT)
+           AS rank
+  FROM scored)
+WHERE rank <= 3
+""")
+def q_supplier_cf_similarity_capped(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """`supplier_cf_similarity` with the 100 TB skew dial ON: each
+    customer's basket is capped at max_basket=8 suppliers via
+    `operators/skew.py:cap_group_fanout(e, "c", 8, order_col="s")`
+    BEFORE the inverted-index self-join, bounding every customer's
+    pair contribution at 8² regardless of how hot a mega-customer
+    gets (the uncapped Σ fanout² plan OOMed a 1 GB bare session at
+    sf0.1 — NOTES_r6). The cap is deterministic because `s` is unique
+    per `c` (e is grouped by (c, s)); the oracle encodes the SAME
+    row_number cut, so this row proves the dial's exact output
+    contract, not just that it runs (VERDICT r6 #4). Norms stay EXACT
+    (computed from the uncapped vectors — the max_shingle_df
+    convention: cheap per-key aggregate, no fanout² skew, and capped
+    dots against true norms make the cosine a conservative
+    under-estimate instead of a rescaled one). max_basket=8 is
+    deliberately far below the sf0.01 median basket (33) so the cap
+    provably bites at test scale; production would size it to the
+    fanout knee."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    from map_reduce_mongodb_spark.cache import tracked_persist
+    from map_reduce_mongodb_spark.operators.skew import cap_group_fanout
+    e = tracked_persist(
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("w")))
+    nrm = e.groupBy("s").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
+    ecap = cap_group_fanout(e, "c", 8, order_col="s")
+    a, b = ecap.alias("a"), ecap.alias("b")
     dots = (a.join(b, (F.col("a.c") == F.col("b.c"))
                    & (F.col("a.s") < F.col("b.s")))
             .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
@@ -11839,38 +11939,65 @@ ROWS_ONLY_GATES: dict[str, str] = {
 }
 
 
-def _evidence_rounds() -> dict[str, int]:
-    """Newest committed CORRECTNESS round carrying a row for each
-    query name ({} when no artifacts exist, e.g. a fresh checkout)."""
+def _row_is_green(row) -> bool:
+    """A driver artifact row counts as green when it is a full
+    rows+schema+hash pass, or the by-design rows-only outcome
+    (``err: no_oracle`` with a row count — the weaker evidence those
+    queries can ever produce; their exactness lives in
+    ``ROWS_ONLY_GATES``). Anything else — a real error payload or any
+    False match flag — is a FAILURE the rotation must re-check."""
+    if not isinstance(row, dict):
+        return True  # unknown artifact shape: don't spin on it
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return (row.get("err") in (None, "") and bool(row.get("rows_match"))
+            and bool(row.get("schema_match"))
+            and bool(row.get("hash_match")))
+
+
+def _evidence_rounds() -> tuple[dict[str, int], set[str]]:
+    """(newest, red): newest committed CORRECTNESS round carrying a
+    row for each query name ({} when no artifacts exist, e.g. a fresh
+    checkout), and the queries whose NEWEST row is non-green — a
+    known-failing query must re-enter the window next round, not
+    rotate to the back as if freshly verified (ADVICE r6)."""
     import json
     import re as _re
     from pathlib import Path
 
     newest: dict[str, int] = {}
+    latest_row: dict[str, object] = {}
     root = Path(__file__).resolve().parent.parent
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         m = _re.search(r"r(\d+)", f.name)
         if m is None:
             continue
         try:
-            names = json.loads(f.read_text())
+            rows = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
         rnd = int(m.group(1))
-        for n in names:
-            newest[n] = max(newest.get(n, 0), rnd)
-    return newest
+        for n, payload in rows.items():
+            if rnd >= newest.get(n, 0):
+                newest[n] = max(newest.get(n, 0), rnd)
+                latest_row[n] = payload
+    red = {n for n, row in latest_row.items() if not _row_is_green(row)}
+    return newest, red
 
 
 def _curated_order() -> list[str]:
     base = list(QUERIES)
     pos = {n: i for i, n in enumerate(base)}
-    newest = _evidence_rounds()
+    newest, red = _evidence_rounds()
     never = [n for n in base if n not in newest]
     tier1 = [n for n in never if n in ORACLE_SQL]
     tier2 = [n for n in never if n not in ORACLE_SQL]
-    tier3 = [n for n, need in _REWIRED.items()
-             if n in newest and newest[n] < need]
+    # tier 3: needs fresh evidence NOW — hand-flagged rewires plus any
+    # query whose newest driver row is red (a failure auto-re-enters
+    # the window; before r7 it silently rotated to the back of tier 4).
+    tier3 = [n for n in base
+             if (n in _REWIRED and n in newest and newest[n] < _REWIRED[n])
+             or (n in red and n in newest)]
     seen = set(tier1) | set(tier2) | set(tier3)
     tier4 = sorted((n for n in base if n in newest and n not in seen),
                    key=lambda n: (newest[n], pos[n]))

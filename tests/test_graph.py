@@ -168,3 +168,43 @@ def test_k_core_matches_exact_python_peel(spark):
                for r in k_core(pdf, k=k).collect()}
         assert got == want, f"k={k}: {got} != {want}"
     assert k_core(pdf, k=2).count() > 0  # non-degenerate fixture
+
+
+def test_iteration_round_counts_are_recorded(spark):
+    """connected_components / k_core note their round counts into the
+    cache module's build metrics (attributed to the enclosing shared
+    build, or _unattributed outside one) — iterative-build regressions
+    must be attributable in BENCH artifacts, not anonymous slowdowns
+    (VERDICT r6 #3)."""
+    from map_reduce_mongodb_spark import cache
+    from map_reduce_mongodb_spark.operators.graph import k_core
+
+    cache._BUILD_METRICS.clear()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src: long, dst: long")
+    connected_components(edges).collect()
+    got = cache.shared_build_metrics().get("_unattributed", {})
+    assert "cc_rounds" in got, got
+    rounds = got["cc_rounds"]
+    rounds = rounds if isinstance(rounds, list) else [rounds]
+    assert all(1 <= r <= 25 for r in rounds), rounds
+
+    k_core(spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "id_a: long, id_b: long"),
+        k=2).collect()
+    got = cache.shared_build_metrics().get("_unattributed", {})
+    assert "kcore_rounds" in got, got
+
+    # attribution: a metric noted during a shared_parquet build lands
+    # under that build's key
+    cache._BUILD_METRICS.clear()
+    cache.clear_shared()
+
+    def build():
+        cache.note_build_metric("cc_rounds", 3)
+        return spark.range(2)
+
+    cache.shared_parquet(spark, "metric_attr_test", build)
+    assert cache.shared_build_metrics()[
+        "metric_attr_test"]["cc_rounds"] == 3
+    cache.clear_shared()

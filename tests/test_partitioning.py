@@ -152,6 +152,19 @@ def test_cap_group_fanout_bounds_and_determinism(spark):
                    cap_group_fanout(df, "k", 5, F.col("item")).collect())
     assert again == sorted((r.k, r.item) for r in capped.collect())
 
+    # list-of-columns order: duplicate primary order values are made
+    # total by the tiebreak column, so the survivor set is pinned
+    # (ADVICE r6: a non-unique single order_col would let row_number
+    # pick survivors nondeterministically)
+    dup = spark.createDataFrame(
+        [("k", 1, i) for i in range(10)] + [("k", 0, 99)],
+        "k string, prio int, uid int")
+    survivors = sorted(
+        (r.prio, r.uid) for r in
+        cap_group_fanout(dup, "k", 3,
+                         [F.col("prio"), F.col("uid")]).collect())
+    assert survivors == [(0, 99), (1, 0), (1, 1)]
+
     def pairs(frame):
         a, b = frame.alias("a"), frame.alias("b")
         return {(r[0], r[1]) for r in

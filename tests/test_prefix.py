@@ -56,7 +56,7 @@ def test_cumsum_plan_has_no_global_single_partition_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
-def test_cumsum_ranged_frame_is_persisted_once(spark):
+def test_cumsum_ranged_frame_is_materialized_once(spark):
     """Both passes must read ONE materialization of the sampled range
     boundaries. ReuseExchange is NOT sufficient — in real query plans
     Catalyst deduplicates the twice-referenced ranged frame into two
@@ -64,9 +64,12 @@ def test_cumsum_ranged_frame_is_persisted_once(spark):
     its own boundaries from a load-dependent shuffle-fetch order
     (r6: orders_rfm's executed plan held four rangepartitioning
     exchanges, zero ReusedExchange, and returned different quintiles
-    per execution on a busy machine). The operator therefore persists
-    the ranged frame; both branches must scan the cached relation,
-    and exactly one range exchange may exist beneath it."""
+    per execution on a busy machine). The operator therefore
+    eager-localCheckpoints the ranged frame (r7 — a persist would
+    silently re-sample if released before consumption, ADVICE r6):
+    the consumer plan must contain ZERO range exchanges (the sampling
+    is frozen inside the checkpoint blocks) and both branches must
+    scan the checkpoint RDD."""
     df = spark.range(0, 10_000).select(
         F.col("id"), (F.col("id") % 97).alias("v"))
     out = distributed_cumsum(
@@ -74,12 +77,30 @@ def test_cumsum_ranged_frame_is_persisted_once(spark):
         num_partitions=8)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # Two cache scans (the window branch and the totals branch), both
-    # resolving to ONE canonicalized InMemoryRelation — the range
-    # exchanges printed inside the relation are its stored recipe,
-    # materialized once by whichever scan runs first.
-    assert plan.count("TableCacheQueryStage") >= 2, plan
-    assert "InMemoryRelation" in plan, plan
+    assert plan.count("rangepartitioning") == 0, plan
+    assert plan.count("ExistingRDD") >= 2, plan
+
+
+def test_cumsum_result_dies_loudly_after_cache_release(spark):
+    """The consume-before-next-build contract, enforced: touching a
+    distributed_cumsum result AFTER its checkpoint blocks are released
+    must raise (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), never silently
+    recompute — a recompute re-samples two independent range exchanges
+    whose boundaries can diverge under load, reintroducing the r6
+    rank-corruption bug without an error (ADVICE r6 medium)."""
+    import pytest
+
+    from map_reduce_mongodb_spark.cache import release_caches
+
+    df = spark.range(0, 1_000).select(
+        F.col("id"), (F.col("id") % 13).alias("v"))
+    out = distributed_cumsum(
+        df, [F.col("v").desc(), F.col("id").asc()], F.col("v"), "cum",
+        num_partitions=4)
+    assert out.count() == 1_000  # consumable while blocks live
+    release_caches()
+    with pytest.raises(Exception, match="CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"):
+        out.collect()
 
 
 def test_cummax_exclusive_matches_sequential_reference(spark):

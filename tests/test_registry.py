@@ -117,3 +117,53 @@ def test_rows_only_queries_all_name_an_exactness_gate():
         else:
             assert gate in ORACLE_SQL, (
                 f"{name}: gate {gate} is not an oracle-checked query")
+
+
+def test_row_green_classifier():
+    """_row_is_green: full pass and by-design rows-only rows are green;
+    error payloads, False match flags, and row-count-less no_oracle
+    rows are red (ADVICE r6: red latest rows must re-enter the
+    window, not rotate to the back as freshly verified)."""
+    from map_reduce_mongodb_spark.queries import _row_is_green
+
+    full = {"rows_match": True, "schema_match": True,
+            "hash_match": True, "spark_rows": 5, "oracle_rows": 5,
+            "err": None}
+    assert _row_is_green(full)
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 25,
+                 "oracle_rows": None, "err": "no_oracle"}
+    assert _row_is_green(rows_only)
+    assert not _row_is_green({**full, "hash_match": False})
+    assert not _row_is_green({**full, "rows_match": False})
+    assert not _row_is_green({**full, "err": "Traceback ..."})
+    assert not _row_is_green({**rows_only, "spark_rows": None})
+
+
+def test_red_latest_rows_sit_inside_window():
+    """Any registered query whose NEWEST committed driver row is red
+    must occupy a window slot (auto-re-check) — by construction of
+    _curated_order's tier 3; this trips if the derivation regresses
+    or a red row is ever left to rotate out."""
+    from map_reduce_mongodb_spark.queries import _evidence_rounds
+
+    _, red = _evidence_rounds()
+    window = set(list(QUERIES)[:_DRIVER_WINDOW])
+    stranded = (red & set(QUERIES)) - window
+    assert not stranded, f"red latest rows outside window: {stranded}"
+
+
+def test_bench_contention_telemetry_helpers():
+    """bench.py's self-diagnosis helpers: the committed BENCH_LOCAL
+    per-query map parses (it is the retry baseline), loadavg returns
+    the 3-tuple, and the retry thresholds are sane."""
+    import bench
+
+    base = bench._baseline_queries()
+    assert isinstance(base, dict)
+    if base:  # committed tree always has one; fresh checkout may not
+        assert all(isinstance(v, float) for v in base.values())
+        assert set(base) <= set(QUERIES) | set(base)  # names are query-like
+    load = bench._loadavg()
+    assert load == [] or len(load) == 3
+    assert bench.RETRY_FACTOR > 1.0 and bench.RETRY_FLOOR_SEC > 0

@@ -27,7 +27,7 @@ def main() -> int:
         ORACLE_SQL, QUERIES, ROWS_ONLY_GATES, _DRIVER_WINDOW, _REWIRED,
         _evidence_rounds)
 
-    newest = _evidence_rounds()
+    newest, red = _evidence_rounds()
     names = list(QUERIES)
     window = set(names[:_DRIVER_WINDOW])
 
@@ -39,6 +39,8 @@ def main() -> int:
             flags = []
             if i <= _DRIVER_WINDOW:
                 flags.append("WINDOW")
+            if n in red:
+                flags.append("RED")
             if n in _REWIRED:
                 flags.append(f"rewired>=r{_REWIRED[n]}")
             print(f"{i:3d} {n:42s} {ev:6s} {kind}"
@@ -58,6 +60,7 @@ def main() -> int:
     pending = {n: r for n, r in _REWIRED.items()
                if newest.get(n, 0) < r}
     print(f"rewired awaiting fresh evidence: {sorted(pending)}")
+    print(f"red latest rows: {sorted(red & set(names))}")
     return 0
 
 
