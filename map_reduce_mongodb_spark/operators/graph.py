@@ -181,6 +181,20 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
                        F.col(id_b).alias("dst"))
     edges = sym.union(sym.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
+    edges, handles, rounds = _peel(edges, k, max_iter)
+    note_build_metric("kcore_rounds", rounds)
+    for h in handles:
+        track_rdd(h)
+    return (_core_degrees(edges, k)
+            .select(F.col("src").alias("id"), "core_degree"))
+
+
+def _peel(edges: DataFrame, k: int, max_iter: int):
+    """Peel an already-SYMMETRIC edge set to its k-core fixpoint.
+    Returns (fixpoint_edges, final_checkpoint_handles, rounds). The
+    input's own checkpoint blocks (if any) are the caller's to manage
+    — only this peel's superseded intermediates are released here, so
+    peels can be CHAINED off one another's fixpoints."""
     handles: list = []
     prev = None
     rounds = 0
@@ -201,10 +215,52 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
     else:
         raise RuntimeError(
             f"k_core did not converge within {max_iter} rounds")
-    note_build_metric("kcore_rounds", rounds)
-    for h in handles:
-        track_rdd(h)
+    return edges, handles, rounds
+
+
+def _core_degrees(edges: DataFrame, k: int) -> DataFrame:
     return (edges.groupBy("src").agg(F.count(F.lit(1))
                                      .alias("core_degree"))
-            .where(F.col("core_degree") >= k)
-            .select(F.col("src").alias("id"), "core_degree"))
+            .where(F.col("core_degree") >= k))
+
+
+def k_core_profile(pairs: DataFrame, ks: list[int], id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Depth profile over increasing k: one row per requested depth —
+    ``(k, n_core_docs, max_core_degree)`` (0s when the core is empty).
+
+    Exploits k-core MONOTONICITY — the (k+1)-core is a subgraph of
+    the k-core, so each deeper peel starts from the PREVIOUS fixpoint
+    instead of the full graph (textbook degeneracy-decomposition
+    nesting). Independent peels per k re-scan the full edge set every
+    time; chained peels touch a strictly shrinking nucleus, so at
+    corpus scale the k=3,4 passes cost near-nothing once the 2-core
+    has collapsed the graph. Every intermediate core's checkpoint
+    blocks stay registered (track_rdd) until the next registered
+    query builds — the returned per-depth aggregates read them
+    lazily."""
+    from map_reduce_mongodb_spark.cache import note_build_metric, track_rdd
+
+    sym = pairs.select(F.col(id_a).alias("src"),
+                       F.col(id_b).alias("dst"))
+    edges = sym.union(sym.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    profiles = []
+    keep_handles: list = []
+    for k in sorted(ks):
+        edges, handles, rounds = _peel(edges, k, max_iter)
+        note_build_metric("kcore_rounds", rounds)
+        keep_handles.extend(handles)
+        profiles.append(
+            _core_degrees(edges, k)
+            .agg(F.count(F.lit(1)).alias("n_core_docs"),
+                 F.coalesce(F.max("core_degree"), F.lit(0))
+                  .cast("long").alias("max_core_degree"))
+            .select(F.lit(k).alias("k"), "n_core_docs",
+                    "max_core_degree"))
+    for h in keep_handles:
+        track_rdd(h)
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out

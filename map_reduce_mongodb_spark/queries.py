@@ -8900,23 +8900,17 @@ def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     this dense"), so the result is non-vacuous at every corpus scale
     where a 3-core alone may legitimately be empty. Each peel round
     is one degree aggregate + two node-keyed semi-joins with
-    checkpointed lineage (operators/graph.py:k_core); the driver sees
-    one survivor count per round. Reads the shared 0.7-Jaccard pair
-    table. Rows-only by design (data-dependent fixpoint); exactness
-    is pinned against a pure-Python peel over the same depths in
-    tests/test_graph.py."""
-    from functools import reduce
-
-    from map_reduce_mongodb_spark.operators.graph import k_core
+    checkpointed lineage, its convergence checksum observed inside
+    the checkpoint job; the three depths CHAIN — the (k+1)-core is
+    peeled from the k-core fixpoint, never from the full graph
+    (operators/graph.py:k_core_profile; monotonicity), so the deeper
+    passes scan a strictly shrinking nucleus. Reads the shared
+    0.7-Jaccard pair table. Rows-only by design (data-dependent
+    fixpoint); exactness is pinned against a pure-Python peel over
+    the same depths in tests/test_graph.py."""
+    from map_reduce_mongodb_spark.operators.graph import k_core_profile
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    profiles = [
-        k_core(pairs, k=k)
-        .agg(F.count(F.lit(1)).alias("n_core_docs"),
-             F.coalesce(F.max("core_degree"), F.lit(0)).cast("long")
-              .alias("max_core_degree"))
-        .select(F.lit(k).alias("k"), "n_core_docs", "max_core_degree")
-        for k in (2, 3, 4)]
-    return reduce(DataFrame.unionByName, profiles)
+    return k_core_profile(pairs, ks=[2, 3, 4])
 
 
 @query("brand_revenue_trend", oracle="""

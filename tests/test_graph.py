@@ -208,3 +208,39 @@ def test_iteration_round_counts_are_recorded(spark):
     assert cache.shared_build_metrics()[
         "metric_attr_test"]["cc_rounds"] == 3
     cache.clear_shared()
+
+
+def test_k_core_profile_matches_independent_peels(spark):
+    """k_core_profile (chained peels exploiting (k+1)-core ⊆ k-core)
+    must produce exactly the per-depth aggregates of INDEPENDENT
+    k_core runs — on a random graph with a planted dense nucleus and
+    on the sf0.001 dup graph, including depths whose core is empty."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_mongodb_spark.operators.graph import (
+        k_core, k_core_profile)
+    from map_reduce_mongodb_spark.queries import _jaccard_pairs_07
+    from tests.conftest import SF_DIR
+
+    rng = random.Random(11)
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    sparse = [(rng.randrange(6, 60), rng.randrange(6, 60))
+              for _ in range(40)]
+    cases = [
+        spark.createDataFrame(
+            [(a, b) for a, b in clique + sparse if a != b],
+            "id_a long, id_b long"),
+        _jaccard_pairs_07(spark, SF_DIR).select("id_a", "id_b"),
+    ]
+    for pdf in cases:
+        ks = [2, 3, 4, 7]  # 7-core is empty for both fixtures
+        got = {r.k: (r.n_core_docs, r.max_core_degree)
+               for r in k_core_profile(pdf, ks=ks).collect()}
+        for k in ks:
+            row = (k_core(pdf, k=k)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.coalesce(F.max("core_degree"), F.lit(0))
+                         .cast("long").alias("mx")).first())
+            assert got[k] == (row.n, row.mx), (k, got[k], row)
