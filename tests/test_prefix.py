@@ -144,3 +144,39 @@ def test_cumsum_property_sweep(spark):
     ]
     for values in cases:
         _prefix_property_check(spark, values)
+
+
+def test_reliable_checkpoint_engages_when_dir_configured(spark):
+    """Cluster fault-tolerance path: with a checkpoint dir configured
+    (production: HDFS/S3), eager_checkpoint must switch from
+    executor-local blocks to reliable DataFrame.checkpoint — same
+    frozen-sampling contract (zero range exchanges in the consumer
+    plan), files written under the dir, results unchanged. The test
+    pins conf spark.graft.reliableCheckpoint=off afterwards so the
+    shared session's remaining tests keep the local path (the dir
+    cannot be unset)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ckdir_")
+    spark.sparkContext.setCheckpointDir(d)
+    try:
+        df = spark.range(0, 5_000).select(
+            F.col("id"), (F.col("id") % 97).alias("v"))
+        out = distributed_cumsum(
+            df, [F.col("v").desc(), F.col("id").asc()], F.col("v"),
+            "cum", num_partitions=8)
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("rangepartitioning") == 0, plan
+        want, acc = {}, 0
+        for rid, v in sorted(((r.id, r.v) for r in df.collect()),
+                             key=lambda t: (-t[1], t[0])):
+            acc += v
+            want[rid] = acc
+        assert all(r.cum == want[r.id] for r in rows)
+        assert any(os.scandir(d)), "no checkpoint files written"
+    finally:
+        spark.conf.set("spark.graft.reliableCheckpoint", "off")
+        shutil.rmtree(d, ignore_errors=True)
