@@ -96,9 +96,25 @@ def _baseline_queries() -> dict[str, float]:
 
 # Retry a query once when its wall time exceeds BOTH this multiple of
 # its committed baseline AND the absolute floor (sub-2 s queries jitter
-# multiplicatively without meaning anything).
+# multiplicatively without meaning anything). RETRY_BUDGET_SEC bounds
+# the total wall time spent on second attempts: on a machine loaded
+# for the WHOLE run, unbounded retries would double the bench instead
+# of diagnosing it (and flirt with any harness-side timeout) — after
+# the budget, first-attempt times stand and the loadavg tells the
+# story.
 RETRY_FACTOR = 1.6
 RETRY_FLOOR_SEC = 2.0
+RETRY_BUDGET_SEC = 90.0
+
+
+def _should_retry(t1: float, base: float | None,
+                  retry_spent: float) -> bool:
+    """One re-run iff: a committed reference exists for the query, the
+    first attempt exceeded both the absolute floor and FACTOR× the
+    reference, and the total seconds already spent on second attempts
+    are under budget."""
+    return (base is not None and retry_spent < RETRY_BUDGET_SEC
+            and t1 > max(RETRY_FLOOR_SEC, RETRY_FACTOR * base))
 
 
 def _loadavg() -> list[float]:
@@ -174,9 +190,8 @@ def main() -> None:
             release_caches()
             spark.catalog.clearCache()
         t1 = _timed(fn)
-        base = baseline.get(name)
-        if base is not None and t1 > max(RETRY_FLOOR_SEC,
-                                         RETRY_FACTOR * base):
+        if _should_retry(t1, baseline.get(name),
+                         sum(ts[1] for ts in retries.values())):
             # Contention suspect: one re-run, keep the min, record
             # both so a loaded artifact is self-diagnosing. (The
             # retry can ride caches the first run warmed — shared

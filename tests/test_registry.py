@@ -167,3 +167,20 @@ def test_bench_contention_telemetry_helpers():
     load = bench._loadavg()
     assert load == [] or len(load) == 3
     assert bench.RETRY_FACTOR > 1.0 and bench.RETRY_FLOOR_SEC > 0
+
+
+def test_bench_retry_decision():
+    """Retry fires only past both thresholds, never without a
+    committed reference, and stops once the retry budget is spent —
+    unbounded retries on a whole-run-loaded machine would double the
+    bench instead of diagnosing it."""
+    import bench
+
+    f, floor = bench.RETRY_FACTOR, bench.RETRY_FLOOR_SEC
+    assert not bench._should_retry(100.0, None, 0.0)   # no reference
+    assert not bench._should_retry(floor, 0.1, 0.0)    # at floor, not past
+    assert bench._should_retry(floor + 0.1, 0.1, 0.0)  # past floor+factor
+    assert not bench._should_retry(f * 10 - 0.1, 10.0, 0.0)  # under factor
+    assert bench._should_retry(f * 10 + 0.1, 10.0, 0.0)
+    assert not bench._should_retry(
+        f * 10 + 0.1, 10.0, bench.RETRY_BUDGET_SEC)    # budget spent
