@@ -264,3 +264,82 @@ def k_core_profile(pairs: DataFrame, ks: list[int], id_a: str = "id_a",
     for p in profiles[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cc_threshold_sweep(pairs: DataFrame, weight: str,
+                       thresholds: list[float], id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iter: int = 25) -> list[tuple[float, DataFrame]]:
+    """Connected-component labels of the weighted pair graph at EVERY
+    threshold in ``thresholds`` — the dedup threshold-response curve —
+    computed by SUPERNODE CONTRACTION instead of one full CC run per
+    level. Returns ``[(threshold, labels)]`` in the input's order;
+    each ``labels`` is ``(id, cc)`` over the nodes with an incident
+    edge at that threshold, ``cc`` = min node id in the component
+    (identical contract to :func:`connected_components`).
+
+    Thresholds are monotone (``E_t ⊆ E_s`` for ``t > s``), so the
+    sweep runs highest-first: full CC once at the top level, then for
+    each lower level every known component is CONTRACTED to its label
+    (which IS the component's min id) and CC runs over only the NEW
+    edges — endpoints mapped through the previous labels, self-loops
+    (edges internal to an existing component) dropped. Labels compose
+    as min-of-mins: ``cc_s(v) = cc_contracted(cc_t(v))``, exact
+    because the supernode id is already the min of its t-component,
+    so the contracted component's min equals the true s-component's
+    min. At corpus scale this is the difference between re-clustering
+    the whole near-dup graph per curve point and touching each edge
+    once at the level where it first appears — the incremental /
+    hierarchical-clustering shape (single-linkage dendrogram cut at
+    several heights).
+
+    Shuffle budget: one full CC at the top threshold + per lower
+    level: one broadcast-scale join per endpoint to map through prior
+    labels (labels tables are node-scaled — joined as ordinary
+    shuffle joins, NOT hinted, per the ARCHITECTURE §4 keep-list
+    policy), one CC over the contracted delta graph (typically tiny:
+    only inter-component new edges survive contraction), and one
+    label-composition join.
+    """
+    order = {t: i for i, t in enumerate(thresholds)}
+    out: list[tuple[float, DataFrame]] = [None] * len(thresholds)  # type: ignore
+    labels = None  # (id, cc) at the previous (higher) threshold
+    prev_t = None
+    for t in sorted(thresholds, reverse=True):
+        if labels is None:
+            e = pairs.where(F.col(weight) >= t)
+            labels = connected_components(e, src=id_a, dst=id_b,
+                                          max_iter=max_iter)
+        else:
+            delta = pairs.where((F.col(weight) >= t)
+                                & (F.col(weight) < prev_t))
+            # Map both endpoints through the prior labels; nodes not
+            # seen at the higher threshold are their own supernode.
+            la = labels.select(F.col("id").alias(id_a),
+                               F.col("cc").alias("_ca"))
+            lb = labels.select(F.col("id").alias(id_b),
+                               F.col("cc").alias("_cb"))
+            contracted = (delta.select(id_a, id_b)
+                          .join(la, id_a, "left")
+                          .join(lb, id_b, "left")
+                          .select(F.coalesce("_ca", F.col(id_a))
+                                  .alias("src"),
+                                  F.coalesce("_cb", F.col(id_b))
+                                  .alias("dst"))
+                          .where(F.col("src") != F.col("dst")))
+            sup = connected_components(contracted, max_iter=max_iter)
+            # Compose: every prior node follows its supernode's new
+            # label (if the supernode merged), else keeps its own;
+            # supernodes themselves appear in `sup` directly, and
+            # nodes first seen at this level enter via sup too.
+            sup_l = sup.select(F.col("id").alias("cc"),
+                               F.col("cc").alias("_new"))
+            relabelled = (labels.join(sup_l, "cc", "left")
+                          .select("id", F.coalesce("_new", "cc")
+                                  .alias("cc")))
+            fresh = (sup.join(labels.select(F.col("id")), "id",
+                              "left_anti"))
+            labels = relabelled.unionByName(fresh)
+        out[order[t]] = (t, labels)
+        prev_t = t
+    return out

@@ -244,3 +244,69 @@ def test_k_core_profile_matches_independent_peels(spark):
                         F.coalesce(F.max("core_degree"), F.lit(0))
                          .cast("long").alias("mx")).first())
             assert got[k] == (row.n, row.mx), (k, got[k], row)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_cc_threshold_sweep_matches_independent_cc(spark, seed):
+    """cc_threshold_sweep (supernode contraction down the threshold
+    ladder) must label every level exactly like an independent
+    connected_components run on that level's edge set — on random
+    weighted graphs whose lower levels both MERGE higher-level
+    components and introduce brand-new nodes."""
+    from map_reduce_mongodb_spark.operators.graph import (
+        cc_threshold_sweep, connected_components)
+
+    rng = random.Random(seed)
+    n = 80
+    rows = [(rng.randrange(n), rng.randrange(n),
+             rng.choice([0.72, 0.75, 0.82, 0.85, 0.91, 0.95]))
+            for _ in range(70)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, w double")
+    thresholds = [0.7, 0.8, 0.9]
+    swept = cc_threshold_sweep(pairs, "w", thresholds)
+    _assert_sweep_matches_independent(pairs, thresholds, swept)
+
+
+def _assert_sweep_matches_independent(pairs, thresholds, swept):
+    from map_reduce_mongodb_spark.operators.graph import (
+        connected_components)
+    assert [t for t, _ in swept] == thresholds
+    for t, labels in swept:
+        got = {r["id"]: r["cc"] for r in labels.collect()}
+        want = {r["id"]: r["cc"]
+                for r in connected_components(
+                    pairs.where(F.col(pairs.columns[2]) >= t),
+                    src="id_a", dst="id_b").collect()}
+        assert got == want, (t, got, want)
+
+
+def test_cc_threshold_sweep_on_dup_graph(spark):
+    """The sweep on the real sf0.001 near-dup pair graph (the exact
+    input dup_graph_threshold_sweep feeds it in r8) matches
+    independent per-threshold CC."""
+    from map_reduce_mongodb_spark.operators.graph import (
+        cc_threshold_sweep)
+    from map_reduce_mongodb_spark.queries import _jaccard_pairs_07
+    from tests.conftest import SF_DIR
+
+    pairs = _jaccard_pairs_07(spark, SF_DIR) \
+        .select("id_a", "id_b", "jaccard")
+    thresholds = [0.7, 0.8, 0.9]
+    swept = cc_threshold_sweep(pairs, "jaccard", thresholds)
+    _assert_sweep_matches_independent(pairs, thresholds, swept)
+
+
+def test_cc_threshold_sweep_empty_top_level(spark):
+    """A top threshold above every weight yields an empty label set,
+    and the next level down must still cluster from scratch (every
+    node is its own supernode)."""
+    from map_reduce_mongodb_spark.operators.graph import (
+        cc_threshold_sweep)
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.75), (2, 3, 0.75), (7, 8, 0.85)],
+        "id_a long, id_b long, w double")
+    swept = dict(cc_threshold_sweep(pairs, "w", [0.7, 0.9]))
+    assert swept[0.9].count() == 0
+    got = {r["id"]: r["cc"] for r in swept[0.7].collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
