@@ -2369,20 +2369,33 @@ FROM lineitem
 GROUP BY l_returnflag
 """)
 def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (sort-based, engine-deterministic) + second-
-    moment aggregates; rounded because accumulation order differs."""
+    """Exact interpolated percentiles + second-moment aggregates;
+    rounded because accumulation order differs. The percentiles go
+    through operators/quantiles.py:grouped_quantile_cont — bit-equal
+    to the percentile() aggregate (pinned by tests/test_quantiles.py)
+    but histogram+sliver-selected, so no group's full price list ever
+    sits in one task's aggregation buffer (the hotspot percentile()
+    would OOM on first at 100 TB with only 3 return-flag groups);
+    both quantiles share one histogram and one probe. The moments stay
+    a plain one-pass map-side-combinable aggregate; the stitch join is
+    3 rows a side."""
+    from map_reduce_mongodb_spark.operators.quantiles import (
+        grouped_quantile_cont)
     li = table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-        .alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
-        .alias("p90_price"),
+    qc = grouped_quantile_cont(li, ["l_returnflag"], "l_extendedprice",
+                               [0.5, 0.9], out_cols=["_med", "_p90"])
+    mom = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6)
         .alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
         .alias("cov_qty_price"),
     )
+    return (mom.join(qc, "l_returnflag")
+            .select("l_returnflag",
+                    F.round("_med", 4).alias("median_price"),
+                    F.round("_p90", 4).alias("p90_price"),
+                    "sd_price", "corr_qty_price", "cov_qty_price"))
 
 
 # =====================================================================
@@ -10245,17 +10258,17 @@ def q_brand_winsorized_stats(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
     """Winsorized (p5/p95-clipped) price statistics per brand — the
     outlier-robust normalization applied before any mean-based
-    comparison: both clip bounds are EXACT order statistics from
-    `grouped_order_statistic` with custom ranks ((n+19) div 20 and
-    (19n+19) div 20 — fourth and fifth consumers of the operator),
-    and the clipped mean accumulates exact integer cents so the
-    final doubles are exact-operand divisions, no rounding. Scale
-    shape: two histogram selections + one clip aggregate over the
-    fact table, all map-side combinable; the bounds join back as a
-    broadcast brand-sized table."""
+    comparison: both clip bounds are EXACT order statistics from ONE
+    `grouped_order_statistics` call with custom ranks ((n+19) div 20
+    and (19n+19) div 20 — both bounds share a single histogram pass
+    and sliver probe), and the clipped mean accumulates exact integer
+    cents so the final doubles are exact-operand divisions, no
+    rounding. Scale shape: one histogram selection + one clip
+    aggregate over the fact table, all map-side combinable; the
+    bounds join back as a broadcast brand-sized table."""
     from map_reduce_mongodb_spark.cache import tracked_persist
     from map_reduce_mongodb_spark.operators.quantiles import (
-        grouped_order_statistic)
+        grouped_order_statistics)
     li = table(spark, "lineitem", sf_dir)
     p = table(spark, "part", sf_dir)
     v = tracked_persist(
@@ -10265,13 +10278,10 @@ def q_brand_winsorized_stats(spark: SparkSession, sf_dir: str
                 F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
                 .alias("cents")))
     bkt = F.expr("cents div 100000")
-    lo = grouped_order_statistic(v, ["brand"], "cents",
-                                 rank_sql="(n + 19) div 20",
-                                 bucket=bkt, out_col="lo")
-    hi = grouped_order_statistic(v, ["brand"], "cents",
-                                 rank_sql="(19 * n + 19) div 20",
-                                 bucket=bkt, out_col="hi")
-    b = (lo.join(hi.select("brand", "hi"), "brand")
+    b = (grouped_order_statistics(
+            v, ["brand"], "cents",
+            {"lo": "(n + 19) div 20", "hi": "(19 * n + 19) div 20"},
+            bucket=bkt)
          .select("brand", F.col("n").cast("long").alias("n"),
                  "lo", "hi"))
     clip = (F.when(F.col("cents") < F.col("lo"), F.col("lo"))
@@ -11750,15 +11760,17 @@ def q_event_gap_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90 of per-user inter-event gaps by event type — the
     latency-SLO percentile readout, on CONTINUOUS microsecond gaps.
     Gaps come from a per-user lag window (per-user partitions, never
-    global); both percentiles are EXACT order statistics via
-    `operators/quantiles.py:grouped_order_statistic` (minute-bucket
-    histogram locates each target, a bucket-scoped sort finishes —
-    p90 is just rank (9n+9) div 10, the operator takes any integer
-    rank expression). Gap arithmetic is integer microseconds
-    (`unix_micros`/`epoch_us` — never fractional-second datediff), so
-    the only doubles are exact-int divisions by 10^6."""
+    global); both percentiles are EXACT order statistics via ONE
+    `operators/quantiles.py:grouped_order_statistics` call
+    (minute-bucket histogram locates both targets, a bucket-scoped
+    sort finishes — p90 is just rank (9n+9) div 10, the operator
+    takes any integer rank expressions), so the per-user lag window
+    and the histogram are computed once, not per percentile. Gap
+    arithmetic is integer microseconds (`unix_micros`/`epoch_us` —
+    never fractional-second datediff), so the only doubles are
+    exact-int divisions by 10^6."""
     from map_reduce_mongodb_spark.operators.quantiles import (
-        grouped_order_statistic)
+        grouped_order_statistics)
     e = table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -11766,12 +11778,11 @@ def q_event_gap_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (us - F.lag(us).over(w)).alias("gap"))
          .where(F.col("gap").isNotNull()))
     bkt = F.expr("gap div 60000000")
-    p50 = grouped_order_statistic(g, ["event_type"], "gap",
-                                  bucket=bkt, out_col="p50")
-    p90 = grouped_order_statistic(g, ["event_type"], "gap",
-                                  rank_sql="(9 * n + 9) div 10",
-                                  bucket=bkt, out_col="p90")
-    return (p50.join(p90.select("event_type", "p90"), "event_type")
+    pq = grouped_order_statistics(
+        g, ["event_type"], "gap",
+        {"p50": "(n + 1) div 2", "p90": "(9 * n + 9) div 10"},
+        bucket=bkt)
+    return (pq
             .select("event_type",
                     F.col("n").cast("long").alias("n_gaps"),
                     (F.col("p50").cast("double") / 1000000.0)

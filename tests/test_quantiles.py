@@ -82,3 +82,36 @@ def test_weighted_statistic_matches_row_expansion(spark):
                           for _ in range(w))
         k = (len(expanded) + 1) // 2
         assert out[g] == (len(expanded), expanded[k - 1]), g
+
+
+def test_quantile_cont_bit_equals_percentile(spark):
+    """grouped_quantile_cont must reproduce Spark's percentile()
+    EXACTLY (==, no tolerance) — that bit-compatibility is what lets
+    it replace the aggregate under a stored result hash. Covers
+    interpolating and integral positions (n=11, p=0.5 lands on a row),
+    singleton and pair groups, duplicate values straddling a bucket
+    boundary, the p=0/p=1 endpoints, and ignored nulls."""
+    from map_reduce_mongodb_spark.operators.quantiles import (
+        grouped_quantile_cont)
+    rows, x = [], 7
+    for i in range(200):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        rows.append(("g" + str(i % 2), float(x % 400) / 10.0))
+    rows += [("g0", 17.0)] * 15 + [("g1", 17.0)] * 5
+    rows += [("one", 42.5)]
+    rows += [("two", 3.25), ("two", -9.75)]
+    rows += [("eleven", float(v)) for v in range(11)]
+    rows += [("g0", None), ("one", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {r.g: [r.n] + [r[f"q{i}"] for i in range(len(ps))]
+           for r in grouped_quantile_cont(
+               df, ["g"], "v", ps,
+               out_cols=[f"q{i}" for i in range(len(ps))]).collect()}
+    arr = ", ".join(repr(p) for p in ps)
+    want = {r.g: [r.n] + list(r.qs)
+            for r in df.groupBy("g").agg(
+                F.count("v").alias("n"),
+                F.expr(f"percentile(v, array({arr}))").alias("qs"))
+            .collect()}
+    assert got == want
