@@ -150,7 +150,11 @@ def grouped_quantile_cont(df: DataFrame, group_cols: list[str],
     non-null value count.
 
     Semantics are bit-compatible with ``percentile()`` (pinned by
-    tests/test_quantiles.py): nulls ignored; 0-based position
+    tests/test_quantiles.py) with ONE documented divergence: a group
+    whose every value is null is ABSENT from the output (it has no
+    order statistic), where the aggregate would emit a NULL row —
+    callers needing those groups must outer-join them back. Otherwise:
+    nulls ignored; 0-based position
     ``pos = p * (n - 1)``; the result is ``v[pos]`` when ``pos`` is
     integral, else ``v[floor] * (ceil - pos) + v[ceil] * (pos -
     floor)`` with the factors computed in exactly that operand order,

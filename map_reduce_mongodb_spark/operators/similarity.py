@@ -568,7 +568,9 @@ def ivf_kmeans_topk(embeddings: DataFrame, query_ids: list[int],
                     k: int = 5, dim: int = 64, n_centroids: int = 16,
                     nprobe: int = 4, n_iters: int = 3,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    cents: list[tuple[int, list[float]]] | None = None,
+                    ) -> DataFrame:
     """IVF top-k over k-means-REFINED centroids — same index structure
     and probe join as :func:`ivf_topk` (assignment window → probe
     window → equality join on the cell id → exact re-rank), but the
@@ -579,14 +581,21 @@ def ivf_kmeans_topk(embeddings: DataFrame, query_ids: list[int],
     check; exactness is gated the closed-loop way instead: probing all
     cells must equal brute force (tests/test_similarity.py), which
     holds for ANY centroid set — the probe machinery, not the
-    centroids, carries correctness."""
+    centroids, carries correctness.
+
+    ``cents``: precomputed trained centroids (``kmeans_centroids``
+    output, typically via ``cache.shared_value`` so a production query
+    and its probe-all gate search the SAME index instance and the
+    multi-pass training runs once per process); trained here when
+    omitted."""
     v = tracked_persist(
         embeddings.select(F.col(id_col).alias("vid"),
                           F.col(vec_col).alias("vv"),
                           norm_sq_unrolled(vec_col, dim).alias("nsq"))
         .repartition(_data_sized_partitions(embeddings)))
-    cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
-                             id_col, vec_col, corpus=v.select("vv"))
+    if cents is None:
+        cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
+                                 id_col, vec_col, corpus=v.select("vv"))
     topcells = _topcells_udf(cents, nprobe)
     assign = v.select(
         F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv_n"),
@@ -822,7 +831,8 @@ def pq_adc_topk(embeddings: DataFrame, query_ids: list[int],
                 k: int = 5, m: int = 8, ks: int = 16,
                 rerank: int = 50, dim: int = 64,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                ) -> DataFrame:
+                books: "np.ndarray | None" = None,
+                codes: DataFrame | None = None) -> DataFrame:
     """PQ search with ADC + exact re-rank — the standard two-stage
     ANN: (1) each query precomputes an (m × ks) distance table
     (driver-side — |Q|·m·ks floats); every corpus CODE then scores in
@@ -833,11 +843,24 @@ def pq_adc_topk(embeddings: DataFrame, query_ids: list[int],
     top-k. Approximation error lives only in stage-1 candidate
     selection — reported cosines are exact. Rows-only under the
     driver (approximate by design); recall gates live in
-    tests/test_similarity.py."""
-    books = pq_train(embeddings, m=m, ks=ks, dim=dim,
-                     id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(embeddings, books, id_col=id_col,
-                      vec_col=vec_col)
+    tests/test_similarity.py.
+
+    ``books`` / ``codes``: precomputed codebooks and (vec_id, code)
+    table (via ``cache.shared_value`` / ``shared_parquet``, so the
+    production query and its rerank-all gate score the SAME trained
+    index and the corpus encodes once per process — the production
+    shape, where the code table IS the stored index); trained/encoded
+    here when omitted. ``codes`` requires ``books`` (the ADC tables
+    must come from the codebooks that produced the codes)."""
+    if codes is not None and books is None:
+        raise ValueError("codes without books: ADC tables need the "
+                         "codebooks that produced the codes")
+    if books is None:
+        books = pq_train(embeddings, m=m, ks=ks, dim=dim,
+                         id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, books, id_col=id_col,
+                          vec_col=vec_col)
     qrows = sorted(
         (int(r[0]), np.asarray([float(x) for x in r[1]]))
         for r in embeddings.filter(F.col(id_col).isin(query_ids))
@@ -1088,6 +1111,41 @@ def nsw_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 # PQ-coded RESIDUALS, ADC scoring within probed cells, exact re-rank.
 # ---------------------------------------------------------------------
 
+def ivfpq_train_books(embeddings: DataFrame,
+                      cents: list[tuple[int, list[float]]],
+                      m: int = 8, ks: int = 16, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> "np.ndarray":
+    """Residual PQ codebooks for the given coarse centroids: one
+    residual pass, then per-subspace Lloyd training with
+    normalize=False (residuals are displacements — re-normalizing
+    would destroy the geometry being quantized)."""
+    rdf = tracked_persist(
+        ivf_residuals(embeddings, cents, id_col, vec_col)
+        .repartition(_data_sized_partitions(embeddings)))
+    return pq_train(rdf, m=m, ks=ks, dim=dim, id_col="vec_id",
+                    vec_col="resid", normalize=False)
+
+
+def ivfpq_encode_codes(embeddings: DataFrame,
+                       cents: list[tuple[int, list[float]]],
+                       books: "np.ndarray",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The IVF-PQ stored index table: (vec_id, code, cell) — every
+    vector's coarse-cell assignment plus the PQ code of its residual
+    under the given trained ``cents``/``books``. One residual pass +
+    one encode pass; this 12 B/vector frame is what a production store
+    materializes (and what ``cache.shared_parquet`` shares across a
+    production query and its probe-all gate)."""
+    rdf = tracked_persist(
+        ivf_residuals(embeddings, cents, id_col, vec_col)
+        .repartition(_data_sized_partitions(embeddings)))
+    return (pq_encode(rdf, books, id_col="vec_id", vec_col="resid",
+                      normalize=False)
+            .join(rdf.select("vec_id", "cell"), "vec_id"))
+
+
 def ivf_residuals(embeddings: DataFrame,
                   cents: list[tuple[int, list[float]]],
                   id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1129,7 +1187,10 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int],
                nprobe: int = 4, m: int = 8, ks: int = 16,
                rerank: int = 32, n_iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               probe_all: bool = False) -> DataFrame:
+               probe_all: bool = False,
+               cents: list[tuple[int, list[float]]] | None = None,
+               books: "np.ndarray | None" = None,
+               codes: DataFrame | None = None) -> DataFrame:
     """IVF-PQ search — the two-level index every billion-scale vector
     store runs (FAISS IVFPQ): spherical-k-means coarse cells prune
     the corpus to nprobe Voronoi regions, PQ codes over the CELL
@@ -1151,17 +1212,39 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int],
     billions), the scoring pass is one Arrow scan with numpy table
     lookups, per-partition cuts keep the shuffle at
     O(partitions·|Q|·rerank), and every driver-side object is index
-    metadata (C·dim + m·ks·dsub floats)."""
-    cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
-                             id_col, vec_col)
-    rdf = tracked_persist(
-        ivf_residuals(embeddings, cents, id_col, vec_col)
-        .repartition(_data_sized_partitions(embeddings)))
-    books = pq_train(rdf, m=m, ks=ks, dim=dim, id_col="vec_id",
-                     vec_col="resid", normalize=False)
-    codes = (pq_encode(rdf, books, id_col="vec_id", vec_col="resid",
-                       normalize=False)
-             .join(rdf.select("vec_id", "cell"), "vec_id"))
+    metadata (C·dim + m·ks·dsub floats).
+
+    ``cents`` / ``books`` / ``codes``: precomputed index pieces
+    (coarse centroids, residual codebooks, and the
+    (vec_id, code, cell) table — via ``cache.shared_value`` /
+    ``shared_parquet``, so the production query and its probe-all
+    gate search the SAME trained index and the corpus
+    residual-encodes once per process; codes+cells are the 12 B/vector
+    layout a production store persists); trained/encoded here when
+    omitted. ``books``/``codes`` require ``cents`` (they quantize ITS
+    residual geometry), ``codes`` requires ``books``."""
+    if (books is not None or codes is not None) and cents is None:
+        raise ValueError("books/codes without cents: residual "
+                         "codebooks are relative to the coarse cells")
+    if codes is not None and books is None:
+        raise ValueError("codes without books: ADC tables need the "
+                         "codebooks that produced the codes")
+    if cents is None:
+        cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
+                                 id_col, vec_col)
+    if books is None:
+        rdf = tracked_persist(
+            ivf_residuals(embeddings, cents, id_col, vec_col)
+            .repartition(_data_sized_partitions(embeddings)))
+        books = pq_train(rdf, m=m, ks=ks, dim=dim, id_col="vec_id",
+                         vec_col="resid", normalize=False)
+        if codes is None:
+            codes = (pq_encode(rdf, books, id_col="vec_id",
+                               vec_col="resid", normalize=False)
+                     .join(rdf.select("vec_id", "cell"), "vec_id"))
+    if codes is None:
+        codes = ivfpq_encode_codes(embeddings, cents, books,
+                                   id_col, vec_col)
 
     if probe_all:
         nprobe = n_centroids

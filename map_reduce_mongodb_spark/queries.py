@@ -1874,6 +1874,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     query_ids=list(range(10)), k=5)
 
 
+def _ivf_kmeans_cents(spark: SparkSession, sf_dir: str):
+    """The trained coarse quantizer (16 centroids, 2 Lloyd passes)
+    shared by `ivf_kmeans_topk` AND its probe-all gate via
+    `cache.shared_value`: the gate then certifies the SAME index
+    instance the production query serves (stronger than relying on
+    retraining determinism, which is partition-layout-sensitive in
+    the last bit), and the multi-pass training scan — the expensive
+    stage at 100 TB — runs once per process."""
+    from map_reduce_mongodb_spark.cache import shared_value
+    from map_reduce_mongodb_spark.operators.similarity import (
+        kmeans_centroids)
+    return shared_value(
+        f"ivf_kmeans_cents_16x2_{sf_dir}",
+        lambda: kmeans_centroids(table(spark, "embeddings", sf_dir),
+                                 n_centroids=16, n_iters=2))
+
+
 @query("ivf_kmeans_topk")  # no oracle: iterative Lloyd refinement
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 over spherical-k-means-REFINED centroids (2 Lloyd
@@ -1882,11 +1899,14 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement isn't SQL-reproducible); correctness is gated closed-
     loop in tests/test_similarity.py: probing ALL cells equals brute
     force for ANY centroids, clustered-corpus recall ≥0.9 at
-    nprobe=1, and results are deterministic."""
+    nprobe=1, and results are deterministic. Searches the shared
+    trained quantizer (`_ivf_kmeans_cents`) — the probe-all gate
+    hash-checks this exact index instance."""
     from map_reduce_mongodb_spark.operators.similarity import (
         ivf_kmeans_topk)
     return ivf_kmeans_topk(table(spark, "embeddings", sf_dir),
-                           query_ids=list(range(10)), k=5, n_iters=2)
+                           query_ids=list(range(10)), k=5, n_iters=2,
+                           cents=_ivf_kmeans_cents(spark, sf_dir))
 
 
 @query("ivf_kmeans_probe_all", oracle=_cosine_topk_oracle())
@@ -1900,12 +1920,16 @@ def q_ivf_kmeans_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid set the result is PROVABLY the exact top-k, and the
     DuckDB brute-force oracle can hash-check the whole k-means
     pipeline end-to-end (the closed-loop gate from
-    tests/test_similarity.py, promoted to a driver row)."""
+    tests/test_similarity.py, promoted to a driver row). "Identical
+    index" is literal: both twins search the ONE shared trained
+    quantizer (`_ivf_kmeans_cents`), so this hash-green row certifies
+    the index instance `ivf_kmeans_topk` actually serves."""
     from map_reduce_mongodb_spark.operators.similarity import (
         ivf_kmeans_topk)
     return ivf_kmeans_topk(table(spark, "embeddings", sf_dir),
                            query_ids=list(range(10)), k=5, n_iters=2,
-                           n_centroids=16, nprobe=16)
+                           n_centroids=16, nprobe=16,
+                           cents=_ivf_kmeans_cents(spark, sf_dir))
 
 
 @query("cosine_topk", oracle=_cosine_topk_oracle())
@@ -6670,6 +6694,26 @@ def q_video_shot_boundaries(spark: SparkSession, sf_dir: str
                     "ahash", "hamming_prev", "is_cut"))
 
 
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """The trained PQ index shared by `pq_adc_topk` AND its rerank-all
+    gate: codebooks via `cache.shared_value` (driver-side metadata),
+    the encoded (vec_id, code) table via `cache.shared_parquet` — the
+    8-byte-per-vector frame IS what a production store persists, so
+    materializing it once per process is the production shape, the
+    corpus encode pass runs once, and the gate hash-checks the exact
+    code table the production query scores."""
+    from map_reduce_mongodb_spark.cache import (shared_parquet,
+                                                shared_value)
+    from map_reduce_mongodb_spark.operators.similarity import (
+        pq_encode, pq_train)
+    emb = table(spark, "embeddings", sf_dir)
+    books = shared_value(f"pq_books_8x16_{sf_dir}",
+                         lambda: pq_train(emb))
+    codes = shared_parquet(spark, f"pq_codes_8x16_{sf_dir}",
+                           lambda: pq_encode(emb, books))
+    return books, codes
+
+
 @query("pq_adc_topk")  # no oracle: PQ candidates approximate by design
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: codebooks k-means-trained per
@@ -6680,11 +6724,15 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~8 bytes/vector (RAM-resident at 10⁹ vectors), the corpus never
     shuffles during scoring, and only candidates reach the re-rank
     join. Approximate by design → rows-only under the driver; recall
-    vs the exact brute force is gated in tests/test_similarity.py."""
+    vs the exact brute force is gated in tests/test_similarity.py.
+    Scores the shared trained index (`_pq_index`) — the rerank-all
+    gate hash-checks this exact codebook + code table."""
     from map_reduce_mongodb_spark.operators.similarity import (
         pq_adc_topk)
     emb = table(spark, "embeddings", sf_dir)
-    return pq_adc_topk(emb, query_ids=list(range(10)), k=5)
+    books, codes = _pq_index(spark, sf_dir)
+    return pq_adc_topk(emb, query_ids=list(range(10)), k=5,
+                       books=books, codes=codes)
 
 
 @query("pq_rerank_all", oracle=_cosine_topk_oracle())
@@ -6697,12 +6745,17 @@ def q_pq_rerank_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer for ANY trained codebooks — which makes the entire
     train/encode/score/re-rank pipeline hash-checkable against the
     same SQL oracle as `cosine_topk`. Complements the production-
-    shaped `pq_adc_topk` (tight cuts, rows-only + recall gates)."""
+    shaped `pq_adc_topk` (tight cuts, rows-only + recall gates).
+    "Full machinery" is literal: both twins score the ONE shared
+    trained index (`_pq_index`), so this hash-green row certifies the
+    codebook + code table `pq_adc_topk` actually serves."""
     from map_reduce_mongodb_spark.operators.similarity import (
         pq_adc_topk)
     emb = table(spark, "embeddings", sf_dir)
+    books, codes = _pq_index(spark, sf_dir)
     return pq_adc_topk(emb, query_ids=list(range(10)), k=5,
-                       rerank=1 << 31)  # cut wider than any partition
+                       rerank=1 << 31,  # cut wider than any partition
+                       books=books, codes=codes)
 
 
 def _jl_projection_oracle(dim: int = 64, k: int = 8) -> str:
@@ -8693,6 +8746,30 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), F.asc("path")).limit(25))
 
 
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """The full trained IVF-PQ index shared by `ivfpq_topk` AND its
+    probe-all gate: coarse centroids + residual codebooks via
+    `cache.shared_value` (driver metadata), the (vec_id, code, cell)
+    table via `cache.shared_parquet` — 12 B/vector, the layout a
+    production store persists. Training (Lloyd passes) and the corpus
+    residual-encode run once per process, and the gate hash-checks
+    the exact index instance the production query serves."""
+    from map_reduce_mongodb_spark.cache import (shared_parquet,
+                                                shared_value)
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivfpq_encode_codes, ivfpq_train_books, kmeans_centroids)
+    emb = table(spark, "embeddings", sf_dir)
+    cents = shared_value(
+        f"ivfpq_cents_16x2_{sf_dir}",
+        lambda: kmeans_centroids(emb, n_centroids=16, n_iters=2))
+    books = shared_value(f"ivfpq_books_8x16_{sf_dir}",
+                         lambda: ivfpq_train_books(emb, cents))
+    codes = shared_parquet(
+        spark, f"ivfpq_codes_{sf_dir}",
+        lambda: ivfpq_encode_codes(emb, cents, books))
+    return cents, books, codes
+
+
 @query("ivfpq_topk")  # no oracle: Lloyd-refined centroids + trained
 # residual codebooks aren't SQL-reproducible; gated closed-loop —
 # ivfpq_probe_all (below) is hash-checked ≡ brute force, and recall /
@@ -8705,11 +8782,15 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score candidates without touching floats, per-partition top-32
     cuts bound the stream, exact JVM cosine re-ranks. Composes the
     repo's coarse quantizer and PQ stages into the architecture
-    production vector stores actually deploy."""
+    production vector stores actually deploy. Searches the shared
+    trained index (`_ivfpq_index`) — the probe-all gate hash-checks
+    this exact instance."""
     from map_reduce_mongodb_spark.operators.similarity import (
         ivfpq_topk)
+    cents, books, codes = _ivfpq_index(spark, sf_dir)
     return ivfpq_topk(table(spark, "embeddings", sf_dir),
-                      query_ids=list(range(10)), k=5)
+                      query_ids=list(range(10)), k=5,
+                      cents=cents, books=books, codes=codes)
 
 
 @query("ivfpq_probe_all", oracle=_cosine_topk_oracle())
@@ -8719,11 +8800,15 @@ def q_ivfpq_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably everything, so the exact re-rank is provably brute-force
     top-k for ANY centroids and codebooks — hash-checked against the
     cosine oracle (the same closed loop that certifies
-    ivf_kmeans_probe_all, pq_rerank_all, and nsw_probe_all)."""
+    ivf_kmeans_probe_all, pq_rerank_all, and nsw_probe_all). Probes
+    the ONE shared trained index (`_ivfpq_index`), so this hash-green
+    row certifies the exact instance `ivfpq_topk` serves."""
     from map_reduce_mongodb_spark.operators.similarity import (
         ivfpq_topk)
+    cents, books, codes = _ivfpq_index(spark, sf_dir)
     return ivfpq_topk(table(spark, "embeddings", sf_dir),
-                      query_ids=list(range(10)), k=5, probe_all=True)
+                      query_ids=list(range(10)), k=5, probe_all=True,
+                      cents=cents, books=books, codes=codes)
 
 
 @query("source_vocab_overlap", oracle=r"""

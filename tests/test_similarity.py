@@ -420,3 +420,76 @@ def test_nsw_and_ivfpq_tiny_corpus_edge_cases(spark):
     got = {(r.query_id, r.neighbor_id) for r in res}
     # every non-self pair is reachable through the rerank union
     assert got == {(0, 1), (0, 2), (1, 0), (1, 2)}
+
+
+def test_precomputed_index_equals_inline_training(spark):
+    """Passing a pretrained index (cents/books/codes — the
+    cache.shared_value/shared_parquet path the registered twins use)
+    must reproduce the inline-training result exactly: training is
+    deterministic within one session/partition layout, so the shared
+    path is the same index, just trained once."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivf_kmeans_topk, ivfpq_encode_codes, ivfpq_topk,
+        ivfpq_train_books, kmeans_centroids, pq_adc_topk, pq_encode,
+        pq_train)
+    emb = table(spark, "embeddings", SF_DIR)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
+    assert rows(ivf_kmeans_topk(emb, QUERY_IDS, k=5, n_iters=2,
+                                cents=cents)) \
+        == rows(ivf_kmeans_topk(emb, QUERY_IDS, k=5, n_iters=2))
+
+    books = pq_train(emb)
+    codes = pq_encode(emb, books)
+    assert rows(pq_adc_topk(emb, QUERY_IDS, k=5, books=books,
+                            codes=codes)) \
+        == rows(pq_adc_topk(emb, QUERY_IDS, k=5))
+
+    icents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
+    ibooks = ivfpq_train_books(emb, icents)
+    icodes = ivfpq_encode_codes(emb, icents, ibooks)
+    assert rows(ivfpq_topk(emb, QUERY_IDS, k=5, cents=icents,
+                           books=ibooks, codes=icodes)) \
+        == rows(ivfpq_topk(emb, QUERY_IDS, k=5))
+
+
+def test_precomputed_index_partial_args_rejected(spark):
+    """codes without the codebooks that produced them (or residual
+    books/codes without their coarse cells) would silently mis-score —
+    the operators must refuse the inconsistent combinations."""
+    import numpy as np
+    import pytest
+    from map_reduce_mongodb_spark.operators.similarity import (
+        ivfpq_topk, pq_adc_topk)
+    emb = table(spark, "embeddings", SF_DIR)
+    fake_codes = emb.select(
+        F.col("vec_id"),
+        F.array(*[F.lit(0)] * 8).alias("code"))
+    with pytest.raises(ValueError):
+        pq_adc_topk(emb, QUERY_IDS, codes=fake_codes)
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, QUERY_IDS,
+                   books=np.zeros((8, 16, 8)))
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, QUERY_IDS, cents=[(0, [0.0] * 64)],
+                   codes=fake_codes)
+
+
+def test_shared_value_memoizes_and_attributes():
+    """shared_value must build once per key, record first-build wall
+    seconds for bench attribution, and forget on clear_shared."""
+    from map_reduce_mongodb_spark import cache
+    calls = []
+    try:
+        v1 = cache.shared_value("t_sv_key", lambda: calls.append(1) or 41)
+        v2 = cache.shared_value("t_sv_key", lambda: calls.append(1) or 42)
+        assert (v1, v2) == (41, 41) and calls == [1]
+        assert "t_sv_key" in cache.shared_build_seconds()
+        cache.clear_shared()
+        v3 = cache.shared_value("t_sv_key", lambda: calls.append(1) or 43)
+        assert v3 == 43 and calls == [1, 1]
+    finally:
+        cache._SHARED_VALUES.pop("t_sv_key", None)
