@@ -45,8 +45,11 @@ def query(name: str, oracle: str | None = None):
     caches tracked by the PREVIOUSLY built one (operators persist
     intermediates via cache.tracked_persist), so a session sweeping
     all queries holds at most one query's caches at a time instead of
-    accumulating ~58 of them. Releasing is safe even if an earlier
-    returned DataFrame is re-collected later — it just recomputes."""
+    accumulating ~58 of them. Plain persists recompute if an earlier
+    returned DataFrame is re-collected later; checkpoint-BACKED
+    results (distributed_cumsum/_cummax, CC labels) instead fail
+    loudly once released — consume every result before the next
+    query builds (cache.py release contract, r7)."""
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -493,3 +493,36 @@ def test_shared_value_memoizes_and_attributes():
         assert v3 == 43 and calls == [1, 1]
     finally:
         cache._SHARED_VALUES.pop("t_sv_key", None)
+
+
+def test_registered_ann_twins_share_one_trained_index(spark, monkeypatch):
+    """The REGISTERED twin wiring, not just the operator params: a
+    production ANN query and its exactness gate must search one
+    shared trained index — k-means training runs once across both,
+    and the build is attributed for the bench's shared_builds map.
+    (Guards the queries.py plumbing: if a twin ever drops its
+    cents=... argument, the gate silently reverts to certifying a
+    retrained copy — results stay right, the certification claim
+    doesn't.)"""
+    from map_reduce_mongodb_spark import cache
+    from map_reduce_mongodb_spark.operators import similarity as sim
+    from map_reduce_mongodb_spark.queries import QUERIES
+
+    calls = {"n": 0}
+    real = sim.kmeans_centroids
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "kmeans_centroids", counting)
+    cache.clear_shared()
+    try:
+        prod = QUERIES["ivf_kmeans_topk"](spark, SF_DIR).collect()
+        assert calls["n"] == 1 and len(prod) > 0
+        gate = QUERIES["ivf_kmeans_probe_all"](spark, SF_DIR).collect()
+        assert calls["n"] == 1 and len(gate) > 0  # gate reused it
+        assert any(k.startswith("ivf_kmeans_cents_16x2_")
+                   for k in cache.shared_build_seconds())
+    finally:
+        cache.clear_shared()
