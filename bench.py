@@ -178,9 +178,12 @@ def main() -> None:
     times: dict[str, float] = {}
     retries: dict[str, list[float]] = {}
 
-    def _timed(fn) -> float:
+    def _timed(name, fn) -> float:
+        from map_reduce_mongodb_spark.cache import consumer_scope
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        with consumer_scope(name):
+            fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
     for name, fn in QUERIES.items():
@@ -189,7 +192,7 @@ def main() -> None:
         if fresh:
             release_caches()
             spark.catalog.clearCache()
-        t1 = _timed(fn)
+        t1 = _timed(name, fn)
         if _should_retry(t1, baseline.get(name),
                          sum(ts[1] for ts in retries.values())):
             # Contention suspect: one re-run, keep the min, record
@@ -200,7 +203,7 @@ def main() -> None:
             if fresh:
                 release_caches()
                 spark.catalog.clearCache()
-            t2 = _timed(fn)
+            t2 = _timed(name, fn)
             retries[name] = [t1, t2]
             times[name] = min(t1, t2)
         else:

@@ -131,13 +131,39 @@ def shared_value(key: str, build: Callable[[], object]) -> object:
 _SHARED_VALUES: dict[str, object] = {}
 
 
+class consumer_scope:
+    """Attribute build metrics noted OUTSIDE a shared-build
+    materialization (an iterative operator running inline in a query —
+    e.g. the k-core peel's round counts) to the named consumer instead
+    of the ``_unattributed`` bucket. bench.py wraps each timed query in
+    this scope so ``shared_build_metrics`` regressions name the query
+    they belong to. Shared builds still win: a build materializing
+    inside the scope attributes to its own key, as before."""
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def __enter__(self):
+        _CURRENT_CONSUMER.append(self._name)
+        return self
+
+    def __exit__(self, *exc):
+        _CURRENT_CONSUMER.pop()
+        return False
+
+
+_CURRENT_CONSUMER: list[str] = []
+
+
 def note_build_metric(name: str, value) -> None:
     """Attach a scalar metric (e.g. an iterative operator's round
-    count) to the shared build currently materializing — or to the
-    ``_unattributed`` bucket when called outside one. Repeated notes
-    under the same key accumulate into a list so multi-invocation
-    builds stay visible."""
-    key = _CURRENT_BUILD[-1] if _CURRENT_BUILD else "_unattributed"
+    count) to the shared build currently materializing — else to the
+    enclosing :class:`consumer_scope`'s query — else to the
+    ``_unattributed`` bucket. Repeated notes under the same key
+    accumulate into a list so multi-invocation builds stay visible."""
+    key = (_CURRENT_BUILD[-1] if _CURRENT_BUILD
+           else _CURRENT_CONSUMER[-1] if _CURRENT_CONSUMER
+           else "_unattributed")
     slot = _BUILD_METRICS.setdefault(key, {})
     if name in slot:
         prev = slot[name]

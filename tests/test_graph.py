@@ -195,6 +195,18 @@ def test_iteration_round_counts_are_recorded(spark):
     got = cache.shared_build_metrics().get("_unattributed", {})
     assert "kcore_rounds" in got, got
 
+    # consumer_scope: the same inline metric attributes to the named
+    # query when the caller (bench.py's timed loop) opens a scope —
+    # iterative-round regressions name the query they belong to.
+    cache._BUILD_METRICS.clear()
+    with cache.consumer_scope("dup_graph_kcore"):
+        k_core(spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "id_a: long, id_b: long"),
+            k=2).collect()
+    got = cache.shared_build_metrics()
+    assert "kcore_rounds" in got.get("dup_graph_kcore", {}), got
+    assert "kcore_rounds" not in got.get("_unattributed", {}), got
+
     # attribution: a metric noted during a shared_parquet build lands
     # under that build's key
     cache._BUILD_METRICS.clear()
