@@ -36,6 +36,14 @@ def main() -> int:
                     help="plain SparkSession (no repo confs) — catches "
                          "missing-conf / worker-unpickling failures that "
                          "get_spark masks; closest to the grading driver")
+    ap.add_argument("--master", default="local[*]",
+                    help="bare-session master override (e.g. local[5]) "
+                         "— partition-LAYOUT sensitivity sweeps: every "
+                         "oracled query must stay exact under any "
+                         "parallelism (the r6 cumsum bug class)")
+    ap.add_argument("--conf", nargs="*", default=[],
+                    help="extra bare-session k=v confs (e.g. "
+                         "spark.sql.shuffle.partitions=13)")
     args = ap.parse_args()
 
     import duckdb
@@ -55,11 +63,14 @@ def main() -> int:
 
     if args.bare:
         from pyspark.sql import SparkSession
-        spark = (SparkSession.builder.appName("dress-rehearsal-bare")
-                 .master("local[*]")
-                 .config("spark.ui.enabled", "false")
-                 .config("spark.ui.showConsoleProgress", "false")
-                 .getOrCreate())
+        b = (SparkSession.builder.appName("dress-rehearsal-bare")
+             .master(args.master)
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false"))
+        for kv in args.conf:
+            k, _, v = kv.partition("=")
+            b = b.config(k, v)
+        spark = b.getOrCreate()
     else:
         spark = get_spark(app_name="dress-rehearsal")
     con = duckdb.connect()
