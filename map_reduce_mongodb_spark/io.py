@@ -82,8 +82,15 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # Integer DIV, not `/`: float division of epoch-nanos loses
-            # precision beyond double's 53-bit mantissa.
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+            # precision beyond double's 53-bit mantissa. timestampadd on
+            # an NTZ epoch base, NOT timestamp_micros: the parquet
+            # values are naive (no zone), and micros files read natively
+            # as TIMESTAMP_NTZ — producing LTZ here would make the
+            # column's rendered values depend on the session timezone
+            # AND on which unit the corpus was written with.
+            df = df.withColumn(c, F.expr(
+                f"timestampadd(MICROSECOND, {c} DIV 1000, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     return df
 
 

@@ -2933,7 +2933,7 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (sess.readStream
-              .schema("event_id long, ts timestamp, user_id long,"
+              .schema("event_id long, ts timestamp_ntz, user_id long,"
                       " event_type string, value double, props string")
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
@@ -2964,7 +2964,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def read_once() -> DataFrame:
         return (sess.readStream
-                .schema("event_id long, ts timestamp, user_id long,"
+                .schema("event_id long, ts timestamp_ntz, user_id long,"
                         " event_type string, value double, props string")
                 .option("pathGlobFilter", "events.parquet")
                 .parquet(sf_dir))
@@ -3002,6 +3002,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.conf.set("spark.sql.shuffle.partitions", "8")
 
     def read_side(alias: str) -> DataFrame:
+        # ts declared LTZ (not the batch scan's NTZ): watermarks
+        # reject NTZ event time, and the join runs in instant space —
+        # timezone-stable because no timestamp reaches the output
+        # (counts/sums only).
         raw = (sess.readStream
                .schema("event_id long, ts timestamp, user_id long,"
                        " event_type string, value double, props string")
@@ -7244,7 +7248,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str
     sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (sess.readStream
-              .schema("event_id long, ts timestamp, user_id long,"
+              .schema("event_id long, ts timestamp_ntz, user_id long,"
                       " event_type string, value double, props string")
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))

@@ -25,22 +25,26 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
+# NTZ throughout, matching the naive event-time column the scans
+# produce: TimestampType (LTZ) here would make the Arrow state/output
+# round-trip render first/last_ts in the session timezone (caught by a
+# TZ=America/New_York full-registry sweep, r7).
 PROFILE_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),
     StructField("total_value", DoubleType()),
-    StructField("first_ts", TimestampType()),
-    StructField("last_ts", TimestampType()),
+    StructField("first_ts", TimestampNTZType()),
+    StructField("last_ts", TimestampNTZType()),
 ])
 
 _STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("total_value", DoubleType()),
-    StructField("first_ts", TimestampType()),
-    StructField("last_ts", TimestampType()),
+    StructField("first_ts", TimestampNTZType()),
+    StructField("last_ts", TimestampNTZType()),
 ])
 
 

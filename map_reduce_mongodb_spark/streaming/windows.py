@@ -54,6 +54,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     driver testdata has used: MICROS streams natively; NANOS is
     declared as long and converted with integer DIV (never float —
     epoch-nanos overflow double's 53-bit mantissa)."""
+    # ts stays TIMESTAMP (LTZ) here, NOT the NTZ the batch scan
+    # produces: Structured Streaming watermarks reject NTZ event time
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and this source feeds the
+    # watermarked operators. The instant semantics are timezone-STABLE
+    # (naive parquet micros read as epoch instants); only RENDERING of
+    # an LTZ value is session-zone-dependent, which is why every
+    # window function below converts exposed timestamps back to NTZ
+    # UTC fields via ntz_utc() before returning.
     if _ts_is_nanos(path):
         stream = spark.readStream.schema(
             _EVENTS_DDL.format(ts_type="long")).parquet(path)
@@ -63,17 +71,37 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         _EVENTS_DDL.format(ts_type="timestamp")).parquet(path)
 
 
+def _ts_is_ltz(events: DataFrame) -> bool:
+    from pyspark.sql.types import TimestampType
+    return isinstance(events.schema["ts"].dataType, TimestampType)
+
+
+def ntz_utc(col):
+    """Exact TIMESTAMP (LTZ) → TIMESTAMP_NTZ carrying the instant's
+    UTC calendar fields: epoch micros via unix_micros (pure integer,
+    no zone), re-based onto an NTZ epoch literal. Unlike
+    CAST(.. AS TIMESTAMP_NTZ) this never consults the session
+    timezone, so outputs match the batch scan's naive values on ANY
+    driver box (a TZ=America/New_York sweep caught LTZ rendering
+    shifting streaming outputs, r7) and have no DST-ambiguity hour."""
+    return F.timestamp_add(
+        "MICROSECOND", F.unix_micros(col),
+        F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"))
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
                     watermark: str | None = None) -> DataFrame:
     """Tumbling event-time window per event_type: count + sum(value)."""
+    ltz = _ts_is_ltz(events)
     if watermark and events.isStreaming:
         events = events.withWatermark("ts", watermark)
+    start = F.col("w.start")
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n",
-                "total_value")
+        .select((ntz_utc(start) if ltz else start).alias("window_start"),
+                "event_type", "n", "total_value")
     )
 
 
@@ -88,14 +116,17 @@ def sliding_avg(events: DataFrame, window: str = "1 hour",
     flipped ulp boundaries between Spark and DuckDB at sf0.1 (9 of
     7205 windows: different partial-sum orders round 43.82375 to
     .8237 vs .8238)."""
+    ltz = _ts_is_ltz(events)
     if watermark and events.isStreaming:
         events = events.withWatermark("ts", watermark)
+    start = F.col("w.start")
     return (
         events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
              .alias("_cents"),
              F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type",
+        .select((ntz_utc(start) if ltz else start).alias("window_start"),
+                "event_type",
                 F.expr("CAST(_cents AS DOUBLE) / n / 100.0")
                 .alias("avg_value"), "n")
     )
@@ -105,14 +136,16 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str | None = None) -> DataFrame:
     """Sessionization per user: events within `gap` of each other merge
     into one session (dynamic-length `session_window`)."""
+    ltz = _ts_is_ltz(events)
     if watermark and events.isStreaming:
         events = events.withWatermark("ts", watermark)
+    start, end = F.col("w.start"), F.col("w.end")
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("session_value"))
-        .select(F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"),
+        .select((ntz_utc(start) if ltz else start).alias("session_start"),
+                (ntz_utc(end) if ltz else end).alias("session_end"),
                 "user_id", "n_events", "session_value")
     )
 
@@ -132,8 +165,14 @@ def exactly_once_dedup(events: DataFrame,
     O(|keys|) state — fine for bounded backfills/AvailableNow runs,
     not for unbounded streams)."""
     if watermark and events.isStreaming:
-        return (events.withWatermark("ts", watermark)
-                      .dropDuplicatesWithinWatermark(list(keys)))
+        deduped = (events.withWatermark("ts", watermark)
+                         .dropDuplicatesWithinWatermark(list(keys)))
+        # rows pass through unchanged except the event-time column,
+        # normalized to the batch scan's NTZ so downstream values are
+        # session-timezone-independent
+        if _ts_is_ltz(events):
+            deduped = deduped.withColumn("ts", ntz_utc(F.col("ts")))
+        return deduped
     return events.dropDuplicates(list(keys))
 
 

@@ -9,6 +9,7 @@ import pytest
 
 from map_reduce_mongodb_spark.io import table
 from map_reduce_mongodb_spark.streaming.windows import (
+    ntz_utc,
     read_events_stream,
     run_to_memory_sink,
     session_counts,
@@ -265,3 +266,43 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(str(sink))
     assert got.count() == events.count()  # no loss, no double-count
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_outputs_are_session_timezone_independent(
+        spark, events_stream_dir):
+    """Watermarked streams carry LTZ event time internally (Spark
+    rejects NTZ there), but every EXPOSED timestamp must come back as
+    the batch scan's naive NTZ values regardless of
+    spark.sql.session.timeZone — a non-UTC driver box must not shift
+    windowed/stateful outputs (r7 TZ sweep regression)."""
+    batch = tumbling_counts(table(spark, "events", SF_DIR)).collect()
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.session.timeZone", "America/New_York")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    stream_df = tumbling_counts(
+        read_events_stream(sess, events_stream_dir), watermark="2 hours")
+    assert dict(stream_df.dtypes)["window_start"] == "timestamp_ntz"
+    run_to_memory_sink(stream_df, "tumbling_tz_test")
+    streamed = sess.table("tumbling_tz_test").collect()
+    assert _canon(batch) == _canon(streamed)
+
+    # the stateful operator's NTZ pipeline end-to-end under the same
+    # shifted session: first/last_ts must equal the batch min/max
+    from pyspark.sql import functions as F
+
+    from map_reduce_mongodb_spark.streaming.stateful import (
+        user_profiles_stateful)
+    stream = read_events_stream(sess, events_stream_dir) \
+        .withColumn("ts", ntz_utc(F.col("ts")))
+    run_to_memory_sink(user_profiles_stateful(stream),
+                       "profiles_tz_test", output_mode="update")
+    got = _canon(sess.table("profiles_tz_test").collect())
+    want = _canon(
+        table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"),
+             F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .collect())
+    assert got == want
