@@ -1111,18 +1111,33 @@ def nsw_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 # PQ-coded RESIDUALS, ADC scoring within probed cells, exact re-rank.
 # ---------------------------------------------------------------------
 
+def ivfpq_residual_frame(embeddings: DataFrame,
+                         cents: list[tuple[int, list[float]]],
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """The persisted (vec_id, cell, resid) residual frame — THE
+    corpus-scaled pass of IVF-PQ index construction. Build it once and
+    hand it to both :func:`ivfpq_train_books` and
+    :func:`ivfpq_encode_codes`; letting each derive its own would scan
+    and residual-encode the corpus twice per index build."""
+    return tracked_persist(
+        ivf_residuals(embeddings, cents, id_col, vec_col)
+        .repartition(_data_sized_partitions(embeddings)))
+
+
 def ivfpq_train_books(embeddings: DataFrame,
                       cents: list[tuple[int, list[float]]],
                       m: int = 8, ks: int = 16, dim: int = 64,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> "np.ndarray":
+                      vec_col: str = "embedding",
+                      resid: DataFrame | None = None) -> "np.ndarray":
     """Residual PQ codebooks for the given coarse centroids: one
-    residual pass, then per-subspace Lloyd training with
-    normalize=False (residuals are displacements — re-normalizing
+    residual pass (or the caller's precomputed ``resid`` frame from
+    :func:`ivfpq_residual_frame`), then per-subspace Lloyd training
+    with normalize=False (residuals are displacements — re-normalizing
     would destroy the geometry being quantized)."""
-    rdf = tracked_persist(
-        ivf_residuals(embeddings, cents, id_col, vec_col)
-        .repartition(_data_sized_partitions(embeddings)))
+    rdf = resid if resid is not None else ivfpq_residual_frame(
+        embeddings, cents, id_col, vec_col)
     return pq_train(rdf, m=m, ks=ks, dim=dim, id_col="vec_id",
                     vec_col="resid", normalize=False)
 
@@ -1131,16 +1146,17 @@ def ivfpq_encode_codes(embeddings: DataFrame,
                        cents: list[tuple[int, list[float]]],
                        books: "np.ndarray",
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       resid: DataFrame | None = None) -> DataFrame:
     """The IVF-PQ stored index table: (vec_id, code, cell) — every
     vector's coarse-cell assignment plus the PQ code of its residual
-    under the given trained ``cents``/``books``. One residual pass +
-    one encode pass; this 12 B/vector frame is what a production store
+    under the given trained ``cents``/``books``. One encode pass over
+    ``resid`` (the caller's :func:`ivfpq_residual_frame`, or derived
+    here); this 12 B/vector frame is what a production store
     materializes (and what ``cache.shared_parquet`` shares across a
     production query and its probe-all gate)."""
-    rdf = tracked_persist(
-        ivf_residuals(embeddings, cents, id_col, vec_col)
-        .repartition(_data_sized_partitions(embeddings)))
+    rdf = resid if resid is not None else ivfpq_residual_frame(
+        embeddings, cents, id_col, vec_col)
     return (pq_encode(rdf, books, id_col="vec_id", vec_col="resid",
                       normalize=False)
             .join(rdf.select("vec_id", "cell"), "vec_id"))
@@ -1247,7 +1263,11 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int],
                                    id_col, vec_col)
 
     if probe_all:
-        nprobe = n_centroids
+        # len(cents), NOT the n_centroids parameter: precomputed cents
+        # may carry a different cell count, and probing fewer than all
+        # of them would silently void the "provably brute force for
+        # ANY centroids" exactness contract.
+        nprobe = len(cents)
         rows = _estimate_rows(embeddings)
         rerank = max(rerank, (rows or 10_000_000) + 1)
 

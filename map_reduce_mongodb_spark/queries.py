@@ -8764,16 +8764,29 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     from map_reduce_mongodb_spark.cache import (shared_parquet,
                                                 shared_value)
     from map_reduce_mongodb_spark.operators.similarity import (
-        ivfpq_encode_codes, ivfpq_train_books, kmeans_centroids)
+        ivfpq_encode_codes, ivfpq_residual_frame, ivfpq_train_books,
+        kmeans_centroids)
     emb = table(spark, "embeddings", sf_dir)
     cents = shared_value(
         f"ivfpq_cents_16x2_{sf_dir}",
         lambda: kmeans_centroids(emb, n_centroids=16, n_iters=2))
-    books = shared_value(f"ivfpq_books_8x16_{sf_dir}",
-                         lambda: ivfpq_train_books(emb, cents))
+
+    # One residual pass feeds BOTH the codebook training and the
+    # encode, lazily: on a shared-cache hit neither closure runs and
+    # the corpus is never residual-encoded at all.
+    _rdf: list = []
+
+    def rdf():
+        if not _rdf:
+            _rdf.append(ivfpq_residual_frame(emb, cents))
+        return _rdf[0]
+
+    books = shared_value(
+        f"ivfpq_books_16x2_8x16_{sf_dir}",
+        lambda: ivfpq_train_books(emb, cents, resid=rdf()))
     codes = shared_parquet(
-        spark, f"ivfpq_codes_{sf_dir}",
-        lambda: ivfpq_encode_codes(emb, cents, books))
+        spark, f"ivfpq_codes_16x2_8x16_{sf_dir}",
+        lambda: ivfpq_encode_codes(emb, cents, books, resid=rdf()))
     return cents, books, codes
 
 

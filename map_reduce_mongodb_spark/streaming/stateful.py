@@ -55,7 +55,19 @@ def user_profiles_stateful(events: DataFrame) -> DataFrame:
     The state-update function is a CLOSURE (not a module-level def) so
     cloudpickle ships it by value — Python workers need no importable
     copy of this package (the grading driver may run with a bare
-    sys.path)."""
+    sys.path).
+
+    An LTZ ``ts`` input (a watermark-capable stream) is normalized to
+    NTZ UTC fields HERE, not left to callers: Arrow hands pandas the
+    session-LOCAL rendering of an LTZ value, which would flow
+    unchanged into the NTZ output fields and shift first/last_ts by
+    the session-timezone offset on a non-UTC box."""
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(events.schema["ts"].dataType, TimestampType):
+        from map_reduce_mongodb_spark.streaming.windows import ntz_utc
+        from pyspark.sql import functions as F
+        events = events.withColumn("ts", ntz_utc(F.col("ts")))
 
     def update_profile(key, pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:

@@ -167,13 +167,15 @@ def exactly_once_dedup(events: DataFrame,
     if watermark and events.isStreaming:
         deduped = (events.withWatermark("ts", watermark)
                          .dropDuplicatesWithinWatermark(list(keys)))
-        # rows pass through unchanged except the event-time column,
-        # normalized to the batch scan's NTZ so downstream values are
-        # session-timezone-independent
-        if _ts_is_ltz(events):
-            deduped = deduped.withColumn("ts", ntz_utc(F.col("ts")))
-        return deduped
-    return events.dropDuplicates(list(keys))
+    else:
+        deduped = events.dropDuplicates(list(keys))
+    # rows pass through unchanged except the event-time column,
+    # normalized to the batch scan's NTZ on BOTH branches so
+    # downstream values (and the column's type) don't depend on
+    # whether a watermark was supplied or on the session timezone
+    if _ts_is_ltz(events):
+        deduped = deduped.withColumn("ts", ntz_utc(F.col("ts")))
+    return deduped
 
 
 def run_to_memory_sink(stream_df: DataFrame, name: str,

@@ -425,13 +425,17 @@ def test_nsw_and_ivfpq_tiny_corpus_edge_cases(spark):
 def test_precomputed_index_equals_inline_training(spark):
     """Passing a pretrained index (cents/books/codes — the
     cache.shared_value/shared_parquet path the registered twins use)
-    must reproduce the inline-training result exactly: training is
-    deterministic within one session/partition layout, so the shared
-    path is the same index, just trained once."""
+    must reproduce the inline-training result. Compared in each
+    family's EXACT mode (probe-all / rerank-all), whose output is the
+    brute-force top-k for ANY trained index — so the assertion pins
+    the precomputed-index plumbing end-to-end while staying immune to
+    last-bit centroid drift between partition layouts (the trainings
+    run over differently-projected corpora, which kmeans_centroids
+    documents as last-bit-sensitive)."""
     from map_reduce_mongodb_spark.operators.similarity import (
-        ivf_kmeans_topk, ivfpq_encode_codes, ivfpq_topk,
-        ivfpq_train_books, kmeans_centroids, pq_adc_topk, pq_encode,
-        pq_train)
+        ivf_kmeans_topk, ivfpq_encode_codes, ivfpq_residual_frame,
+        ivfpq_topk, ivfpq_train_books, kmeans_centroids, pq_adc_topk,
+        pq_encode, pq_train)
     emb = table(spark, "embeddings", SF_DIR)
 
     def rows(df):
@@ -439,21 +443,42 @@ def test_precomputed_index_equals_inline_training(spark):
 
     cents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
     assert rows(ivf_kmeans_topk(emb, QUERY_IDS, k=5, n_iters=2,
-                                cents=cents)) \
-        == rows(ivf_kmeans_topk(emb, QUERY_IDS, k=5, n_iters=2))
+                                nprobe=16, cents=cents)) \
+        == rows(ivf_kmeans_topk(emb, QUERY_IDS, k=5, n_iters=2,
+                                nprobe=16))
 
     books = pq_train(emb)
     codes = pq_encode(emb, books)
-    assert rows(pq_adc_topk(emb, QUERY_IDS, k=5, books=books,
-                            codes=codes)) \
-        == rows(pq_adc_topk(emb, QUERY_IDS, k=5))
+    assert rows(pq_adc_topk(emb, QUERY_IDS, k=5, rerank=1 << 31,
+                            books=books, codes=codes)) \
+        == rows(pq_adc_topk(emb, QUERY_IDS, k=5, rerank=1 << 31))
 
     icents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
-    ibooks = ivfpq_train_books(emb, icents)
-    icodes = ivfpq_encode_codes(emb, icents, ibooks)
-    assert rows(ivfpq_topk(emb, QUERY_IDS, k=5, cents=icents,
-                           books=ibooks, codes=icodes)) \
-        == rows(ivfpq_topk(emb, QUERY_IDS, k=5))
+    rdf = ivfpq_residual_frame(emb, icents)
+    ibooks = ivfpq_train_books(emb, icents, resid=rdf)
+    icodes = ivfpq_encode_codes(emb, icents, ibooks, resid=rdf)
+    assert rows(ivfpq_topk(emb, QUERY_IDS, k=5, probe_all=True,
+                           cents=icents, books=ibooks, codes=icodes)) \
+        == rows(ivfpq_topk(emb, QUERY_IDS, k=5, probe_all=True))
+
+
+def test_ivfpq_probe_all_probes_every_precomputed_cell(spark):
+    """probe_all must probe len(cents) cells, not the n_centroids
+    PARAMETER: precomputed cents with a different cell count would
+    otherwise probe a subset while still claiming brute-force
+    exactness. 32 precomputed cells vs the default n_centroids=16 —
+    the result must equal the exact brute force."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivfpq_topk, kmeans_centroids)
+    emb = table(spark, "embeddings", SF_DIR)
+    cents32 = kmeans_centroids(emb, n_centroids=32, n_iters=1)
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivfpq_topk(emb, QUERY_IDS, k=5, probe_all=True,
+                               cents=cents32).collect()}
+    want = {(r.query_id, r.neighbor_id)
+            for r in cosine_topk_bruteforce(emb, QUERY_IDS, k=5)
+            .collect()}
+    assert got == want
 
 
 def test_precomputed_index_partial_args_rejected(spark):

@@ -9,7 +9,6 @@ import pytest
 
 from map_reduce_mongodb_spark.io import table
 from map_reduce_mongodb_spark.streaming.windows import (
-    ntz_utc,
     read_events_stream,
     run_to_memory_sink,
     session_counts,
@@ -287,14 +286,14 @@ def test_stream_outputs_are_session_timezone_independent(
     streamed = sess.table("tumbling_tz_test").collect()
     assert _canon(batch) == _canon(streamed)
 
-    # the stateful operator's NTZ pipeline end-to-end under the same
-    # shifted session: first/last_ts must equal the batch min/max
+    # the stateful operator fed the RAW LTZ stream — it must normalize
+    # internally (not rely on callers): first/last_ts must equal the
+    # batch min/max under the shifted session
     from pyspark.sql import functions as F
 
     from map_reduce_mongodb_spark.streaming.stateful import (
         user_profiles_stateful)
-    stream = read_events_stream(sess, events_stream_dir) \
-        .withColumn("ts", ntz_utc(F.col("ts")))
+    stream = read_events_stream(sess, events_stream_dir)
     run_to_memory_sink(user_profiles_stateful(stream),
                        "profiles_tz_test", output_mode="update")
     got = _canon(sess.table("profiles_tz_test").collect())
