@@ -13,6 +13,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us_ntz(col: Column) -> Column:
+    """Zone-free epoch microseconds of a TIMESTAMP_NTZ column — the
+    exact inverse of ``streaming/windows.py:ntz_utc``: a calendar
+    difference from an NTZ epoch literal, never consulting the session
+    timezone. The previous idiom ``unix_micros(col.cast('timestamp'))``
+    routed through an NTZ→LTZ cast that DOES consult
+    ``spark.sql.session.timeZone`` — a no-op under the pinned-UTC
+    sessions every sweep ran, but in a bare session on a non-UTC box a
+    per-key gap straddling a DST transition would shift by ±3600s vs
+    the oracle's naive arithmetic (ADVICE r7). Caller contract: ``col``
+    must be TIMESTAMP_NTZ (every ``io.table`` timestamp is); an LTZ
+    input would coerce the epoch literal session-locally."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+        col)
+
+
 def falsy_coalesce(col: Column, default) -> Column:
     """JS ``col || default`` over a *string* column.
 

@@ -569,6 +569,7 @@ def ivf_kmeans_topk(embeddings: DataFrame, query_ids: list[int],
                     nprobe: int = 4, n_iters: int = 3,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
+                    probe_all: bool = False,
                     cents: list[tuple[int, list[float]]] | None = None,
                     ) -> DataFrame:
     """IVF top-k over k-means-REFINED centroids — same index structure
@@ -583,6 +584,13 @@ def ivf_kmeans_topk(embeddings: DataFrame, query_ids: list[int],
     holds for ANY centroid set — the probe machinery, not the
     centroids, carries correctness.
 
+    ``probe_all``: probe every cell of the trained quantizer —
+    ``nprobe = len(cents)``, derived AFTER the centroids resolve (the
+    ``ivfpq_topk`` contract: a precomputed ``cents`` may carry a
+    different cell count than the ``n_centroids`` parameter, and
+    probing fewer than all of them would silently void the "provably
+    brute force for ANY centroids" exactness gate).
+
     ``cents``: precomputed trained centroids (``kmeans_centroids``
     output, typically via ``cache.shared_value`` so a production query
     and its probe-all gate search the SAME index instance and the
@@ -596,6 +604,8 @@ def ivf_kmeans_topk(embeddings: DataFrame, query_ids: list[int],
     if cents is None:
         cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
                                  id_col, vec_col, corpus=v.select("vv"))
+    if probe_all:
+        nprobe = len(cents)
     topcells = _topcells_udf(cents, nprobe)
     assign = v.select(
         F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv_n"),

@@ -1926,12 +1926,16 @@ def q_ivf_kmeans_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py, promoted to a driver row). "Identical
     index" is literal: both twins search the ONE shared trained
     quantizer (`_ivf_kmeans_cents`), so this hash-green row certifies
-    the index instance `ivf_kmeans_topk` actually serves."""
+    the index instance `ivf_kmeans_topk` actually serves. "Every cell"
+    is likewise literal: `probe_all=True` derives nprobe from the
+    SHARED index's cell count inside the operator (the ivfpq_topk
+    len(cents) contract) — a hardcoded nprobe could silently probe a
+    subset if the shared quantizer's size ever changed (ADVICE r7)."""
     from map_reduce_mongodb_spark.operators.similarity import (
         ivf_kmeans_topk)
     return ivf_kmeans_topk(table(spark, "embeddings", sf_dir),
                            query_ids=list(range(10)), k=5, n_iters=2,
-                           n_centroids=16, nprobe=16,
+                           probe_all=True,
                            cents=_ivf_kmeans_cents(spark, sf_dir))
 
 
@@ -5318,13 +5322,15 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the engines at sf0.1 (33374.0610425 → …43 vs …42), the
     known Spark/DuckDB round() divergence. One user_id-keyed shuffle
     for the window, map-side partial agg after."""
+    from map_reduce_mongodb_spark.functions.scalar import epoch_us_ntz
     events = table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC
-    # (session.py), so the cast to TIMESTAMP reads wall time as UTC —
-    # exactly DuckDB's epoch_us() on a naive timestamp, and gap
-    # DIFFERENCES are tz/DST-free under UTC by construction.
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # parquet ts is TIMESTAMP_NTZ; epoch_us_ntz is a zone-free
+    # calendar diff — exactly DuckDB's epoch_us() on a naive
+    # timestamp in ANY session timezone (ADVICE r7: the previous
+    # NTZ→LTZ cast consulted session.timeZone, so a gap straddling a
+    # DST transition shifted in a bare non-UTC session).
+    us = epoch_us_ntz(F.col("ts"))
     gaps = (events
             .withColumn("gap_us", us - F.lag(us).over(w))
             .where(F.col("gap_us").isNotNull()))
@@ -5850,9 +5856,10 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str
     the weighted sum is double accumulation, defended by round-6 on
     the final ratio; zero-length segments (equal timestamps) drop on
     both sides."""
+    from map_reduce_mongodb_spark.functions.scalar import epoch_us_ntz
     events = table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = epoch_us_ntz(F.col("ts"))  # zone-free on NTZ (ADVICE r7)
     seg = (events
            .select("user_id", F.col("value").alias("v_prev"),
                    (F.lead(us).over(w) - us).alias("dt_us"))
@@ -6000,8 +6007,9 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str
     latencies say where the friction is. Same ordered stage-anchor
     joins (all keyed by user_id); output is per-user BIGINT
     microseconds, fully deterministic."""
+    from map_reduce_mongodb_spark.functions.scalar import epoch_us_ntz
     events = table(spark, "events", sf_dir)
-    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    us = lambda col: epoch_us_ntz(F.col(col))  # noqa: E731  zone-free
     v = (events.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("first_view")))
     c = (events.filter(F.col("event_type") == "click")
@@ -6323,9 +6331,10 @@ def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``RANGE INTERVAL 1 HOUR PRECEDING`` at microsecond precision.
     One user-keyed shuffle; the frame scan is the standard sliding
     aggregation within partition."""
+    from map_reduce_mongodb_spark.functions.scalar import epoch_us_ntz
     events = table(spark, "events", sf_dir)
     w = (Window.partitionBy("user_id")
-         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .orderBy(epoch_us_ntz(F.col("ts")))
          .rangeBetween(-3_600_000_000, 0))
     return events.select(
         "user_id", "event_id",
@@ -11876,9 +11885,10 @@ def q_event_gap_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int divisions by 10^6."""
     from map_reduce_mongodb_spark.operators.quantiles import (
         grouped_order_statistics)
+    from map_reduce_mongodb_spark.functions.scalar import epoch_us_ntz
     e = table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = epoch_us_ntz(F.col("ts"))  # zone-free on NTZ (ADVICE r7)
     g = (e.select("event_type",
                   (us - F.lag(us).over(w)).alias("gap"))
          .where(F.col("gap").isNotNull()))

@@ -234,3 +234,26 @@ def test_grouped_order_statistic_matches_python(spark, rows, dec):
         k = (dec * len(vals) + dec) // 10
         k = max(k, 1)
         assert got[g] == (len(vals), vals[k - 1]), (g, k)
+
+
+def test_epoch_us_ntz_is_session_timezone_free(spark):
+    """epoch_us_ntz on TIMESTAMP_NTZ must return NAIVE epoch micros —
+    DuckDB's epoch_us() — in ANY session timezone, including across a
+    DST transition. The retired idiom unix_micros(cast AS TIMESTAMP)
+    consulted session.timeZone on the NTZ→LTZ cast: under
+    America/New_York the 01:30→03:30 wall-clock gap over the
+    2024-03-10 spring-forward is 1 REAL hour, shifting the computed
+    gap by −3600s vs the oracle's naive arithmetic (ADVICE r7)."""
+    from map_reduce_mongodb_spark.functions.scalar import epoch_us_ntz
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = sess.createDataFrame(
+        [("2024-03-10 01:30:00",), ("2024-03-10 03:30:00",)], "s string"
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    lo, hi = sorted(
+        r.us for r in df.select(epoch_us_ntz(F.col("ts")).alias("us"))
+        .collect())
+    assert hi - lo == 2 * 3_600_000_000  # naive gap, not elapsed UTC
+    # and the absolute values are the naive epoch (UTC-rendered wall)
+    assert lo == 1710034200000000  # 2024-03-10T01:30:00Z as naive µs

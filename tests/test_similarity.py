@@ -481,6 +481,23 @@ def test_ivfpq_probe_all_probes_every_precomputed_cell(spark):
     assert got == want
 
 
+def test_ivf_kmeans_probe_all_probes_every_precomputed_cell(spark):
+    """ivf_kmeans_topk's probe_all mirror of the ivfpq contract
+    (ADVICE r7): nprobe derives from len(cents) AFTER the centroids
+    resolve, so a precomputed quantizer with more cells than the
+    nprobe/n_centroids defaults still gets every cell probed — exact
+    vs brute force by the closed-loop argument."""
+    from map_reduce_mongodb_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivf_kmeans_topk, kmeans_centroids)
+    emb = table(spark, "embeddings", SF_DIR)
+    cents32 = kmeans_centroids(emb, n_centroids=32, n_iters=1)
+    got = sorted(map(tuple, ivf_kmeans_topk(
+        emb, QUERY_IDS, k=5, probe_all=True, cents=cents32).collect()))
+    brute = sorted(map(tuple, cosine_topk_bruteforce(
+        emb, QUERY_IDS, k=5).collect()))
+    assert got == brute
+
+
 def test_precomputed_index_partial_args_rejected(spark):
     """codes without the codebooks that produced them (or residual
     books/codes without their coarse cells) would silently mis-score —
