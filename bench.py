@@ -95,15 +95,21 @@ def _baseline_queries() -> dict[str, float]:
 
 
 # Retry a query once when its wall time exceeds BOTH this multiple of
-# its committed baseline AND the absolute floor (sub-2 s queries jitter
-# multiplicatively without meaning anything). RETRY_BUDGET_SEC bounds
+# its committed baseline AND the absolute floor. The floor exists so
+# millisecond-scale jitter can't trigger retries, but r7 set it at
+# 2.0 s — above the point where contention tails matter: BENCH_r07's
+# three >2× per-query ratios (0.4→1.1 s class) all sat under the old
+# floor, so the artifact couldn't distinguish their load noise from a
+# plan regression (VERDICT r7 #3). 0.5 s keeps sub-half-second jitter
+# retry-free while letting small-query contention self-diagnose.
+# RETRY_BUDGET_SEC bounds
 # the total wall time spent on second attempts: on a machine loaded
 # for the WHOLE run, unbounded retries would double the bench instead
 # of diagnosing it (and flirt with any harness-side timeout) — after
 # the budget, first-attempt times stand and the loadavg tells the
 # story.
 RETRY_FACTOR = 1.6
-RETRY_FLOOR_SEC = 2.0
+RETRY_FLOOR_SEC = 0.5
 RETRY_BUDGET_SEC = 90.0
 
 

@@ -568,3 +568,37 @@ def test_registered_ann_twins_share_one_trained_index(spark, monkeypatch):
                    for k in cache.shared_build_seconds())
     finally:
         cache.clear_shared()
+
+
+def test_registered_cf_twins_share_one_purchase_matrix(spark, monkeypatch):
+    """The CF twin pair's REGISTERED wiring (VERDICT r7 #2): both
+    supplier_cf_similarity and its capped skew-dial twin must read the
+    ONE shared purchase-matrix build — the lineitem⋈orders groupBy
+    (the dominant cost at scale) runs once across the pair and lands
+    in shared_builds for bench attribution. Guards the queries.py
+    plumbing: a twin quietly rebuilding its own matrix would double
+    the scan and break the 'cap filters the same matrix instance'
+    claim."""
+    from map_reduce_mongodb_spark import cache, queries
+
+    reads = {"lineitem": 0}
+    real = queries.table
+
+    def counting(spark_, name, sf_dir=None):
+        if name == "lineitem":
+            reads["lineitem"] += 1
+        return real(spark_, name, sf_dir)
+
+    monkeypatch.setattr(queries, "table", counting)
+    cache.clear_shared()
+    try:
+        a = queries.QUERIES["supplier_cf_similarity"](
+            spark, SF_DIR).collect()
+        assert reads["lineitem"] == 1 and len(a) > 0
+        b = queries.QUERIES["supplier_cf_similarity_capped"](
+            spark, SF_DIR).collect()
+        assert reads["lineitem"] == 1 and len(b) > 0  # twin reused it
+        assert any(k.startswith("cf_purchase_matrix_")
+                   for k in cache.shared_build_seconds())
+    finally:
+        cache.clear_shared()
