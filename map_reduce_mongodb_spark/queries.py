@@ -5378,6 +5378,62 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.8, shingle_n=3)
 
 
+@query("containment_pairs_capped", oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3),
+tok AS (SELECT doc_id, g FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+hot AS (SELECT g FROM tok GROUP BY g HAVING count(*) > 3),
+tokc AS (SELECT t.doc_id, t.g FROM tok t ANTI JOIN hot h ON t.g = h.g),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM tokc a JOIN tokc b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+dir AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         round(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
+  FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+  UNION ALL
+  SELECT id_b, id_a, round(CAST(i AS DOUBLE) / sb.sz, 6)
+  FROM inter JOIN sz sb ON inter.id_b = sb.doc_id)
+SELECT * FROM dir WHERE containment >= 0.5
+""")
+def q_containment_pairs_capped(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """`containment_pairs` with the 100 TB skew dial ON
+    (VERDICT r7 #7 — the last documented-but-not-oracle-proven dial):
+    ``max_shingle_df=3`` drops postings for shingles appearing in >3
+    docs BEFORE the inverted-index join (a shingle shared by half the
+    corpus identifies nothing and quadratically dominates the posting
+    join), run at threshold 0.5 — BELOW the production 0.8 — per the
+    operator's documented superset-safe convention: df-capped
+    intersections can only LOWER a containment score (sizes stay
+    exact, from the uncapped shingle sets), so capped-at-lower-
+    threshold is a recall-safe candidate filter for an exact verify
+    pass. The oracle encodes the IDENTICAL df-cap (HAVING count(*)>3
+    anti-join) and exact uncapped sizes, so the dial's exact output
+    contract has its own hash row, mirroring
+    `supplier_cf_similarity_capped`. max_shingle_df=3 is deliberately
+    below the corpus's max shingle df (7 at sf0.01) so the cap
+    provably bites at test scale (44 rows vs the uncapped 50 at the
+    same threshold); production would size it to the df knee. An
+    absolute df cap is corpus-relative by nature: at sf0.1 the dup
+    clusters are ~20 docs deep, so every shared shingle exceeds df 3
+    and the capped result is (hash-verified) EMPTY — the demonstration
+    that an untuned stop-shingle cap degrades recall-first, never
+    precision (the superset-safety claim, observed end-to-end)."""
+    from map_reduce_mongodb_spark.operators.dedup import containment_pairs
+    return containment_pairs(table(spark, "documents", sf_dir),
+                             threshold=0.5, shingle_n=3,
+                             max_shingle_df=3)
+
+
 @query("lineitem_yoy_growth", oracle="""
 WITH m AS (
   SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
