@@ -59,7 +59,13 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
                             *[F.col(f"_new_{a}").alias(a)
                               for a in attrs],
                             F.col("_eff").alias("valid_from"),
-                            F.lit(None).cast("timestamp")
+                            # follow the dimension's valid_to type so
+                            # NTZ dims stay NTZ through the union (a
+                            # hard LTZ cast would re-introduce session-
+                            # zone sensitivity — the inflight_sweepline
+                            # class from the r8 Sao_Paulo TZ sweep)
+                            F.lit(None).cast(
+                                dim.schema["valid_to"].dataType)
                              .alias("valid_to"),
                             (F.col("version") + 1).alias("version"))
                     .select(*dim.columns))

@@ -3533,7 +3533,9 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        # NTZ: a DATE→LTZ cast shifts +1h on a month-end whose local
+        # midnight falls in a DST gap (the inflight_sweepline class)
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
         .alias("days_since_epoch"),
         (F.dayofweek("o_orderdate") - 1).alias("dow0"),
@@ -5457,7 +5459,7 @@ def q_lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg). NULL yoy for the first year, by definition."""
     li = table(spark, "lineitem", sf_dir)
     m = (li.groupBy(F.date_trunc("month", "l_shipdate")
-                    .cast("timestamp").alias("month"))
+                    .cast("timestamp_ntz").alias("month"))
          .agg(F.sum(F.round(F.col("l_extendedprice")
                             * (1 - F.col("l_discount")) * 10000)
                     .cast("long")).alias("rev_e4")))
@@ -5650,14 +5652,14 @@ def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, "customer", sf_dir)
     dim = c.select(
         "c_custkey", "c_mktsegment",
-        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit("1992-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
         F.lit(1).alias("version"))
     updates = (c.where(F.col("c_custkey") % 10 == 3)
                .select("c_custkey",
                        F.concat(F.lit("UPD_"), F.col("c_mktsegment"))
                         .alias("c_mktsegment"),
-                       F.lit("1998-01-01").cast("timestamp")
+                       F.lit("1998-01-01").cast("timestamp_ntz")
                         .alias("effective_ts")))
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
 
@@ -5730,13 +5732,13 @@ def q_scd2_events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim = (e.select("user_id").distinct()
                .select("user_id",
                        F.lit(None).cast("double").alias("tier"),
-                       F.lit("2024-01-01").cast("timestamp")
+                       F.lit("2024-01-01").cast("timestamp_ntz")
                         .alias("valid_from"),
-                       F.lit(None).cast("timestamp").alias("valid_to"),
+                       F.lit(None).cast("timestamp_ntz").alias("valid_to"),
                        F.lit(1).alias("version")))
         p = (e.where(F.col("event_type") == "purchase")
              .select("user_id", F.col("value").alias("tier"),
-                     F.col("ts").cast("timestamp").alias("effective_ts"),
+                     F.col("ts").cast("timestamp_ntz").alias("effective_ts"),
                      "event_id",
                      F.when(F.dayofmonth("ts") <= 10, 1)
                       .when(F.dayofmonth("ts") <= 20, 2)
@@ -7777,7 +7779,12 @@ def q_inflight_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.orderBy("day")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return d.select(
-        F.col("day").cast("timestamp").alias("day"),
+        # NTZ, not LTZ: DATE→TIMESTAMP consults the session zone, and a
+        # calendar day whose local midnight falls in a DST gap shifts
+        # +1h (caught by the r8 TZ=America/Sao_Paulo sweep: Brazil's
+        # 1995-10-15 / 1996-10-06 spring-forwards happened AT midnight,
+        # so those two days rendered 01:00 vs the oracle's naive 00:00).
+        F.col("day").cast("timestamp_ntz").alias("day"),
         F.sum("delta").over(w).cast("long").alias("open_lineitems"))
 
 
@@ -8159,7 +8166,7 @@ def q_user_retention_weekly(spark: SparkSession, sf_dir: str
          .distinct())
     return (f.join(a, "user_id")
             .groupBy(
-                F.col("cohort").cast("timestamp").alias("cohort_week"),
+                F.col("cohort").cast("timestamp_ntz").alias("cohort_week"),
                 F.expr("datediff(cast(wk as date), "
                        "cast(cohort as date)) div 7")
                  .cast("int").alias("weeks_later"))
@@ -8308,10 +8315,10 @@ def q_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def asof(t: str, suffix: str) -> DataFrame:
         return (dim.where(
-                    (F.col("valid_from") <= F.lit(t).cast("timestamp"))
+                    (F.col("valid_from") <= F.lit(t).cast("timestamp_ntz"))
                     & (F.col("valid_to").isNull()
                        | (F.col("valid_to")
-                          > F.lit(t).cast("timestamp"))))
+                          > F.lit(t).cast("timestamp_ntz"))))
                 .select("user_id",
                         F.col("tier").alias(f"tier_{suffix}"),
                         F.col("version").alias(f"version_{suffix}")))
@@ -12099,7 +12106,6 @@ _REWIRED: dict[str, int] = {
     # — outputs changed, so the old green rows no longer describe
     # the current code.
     "q2_min_cost_supplier": 7, "events_sliding_window": 7,
-    "events_interarrival": 7,
     # distributed_cumsum/_cummax _pid-desync fix (prefix.py now
     # persists the ranged frame — the old plan could return corrupted
     # ranks under concurrent load): every evidenced consumer of the
@@ -12119,6 +12125,16 @@ _REWIRED: dict[str, int] = {
     "events_interarrival": 8, "events_time_weighted_avg": 8,
     "funnel_time_to_convert": 8, "events_range_frame": 8,
     "event_gap_p90": 8, "ivf_kmeans_probe_all": 8,
+    # r8 TZ=America/Sao_Paulo sweep: inflight_sweepline's DATE→LTZ
+    # output cast shifted +1h on Brazil's midnight spring-forwards
+    # (1995-10-15, 1996-10-06) — a REAL wrong answer in a bare
+    # non-UTC session. Fixed to timestamp_ntz there and at every
+    # other output-visible DATE/NTZ→LTZ cast of the same class
+    # (identical values under UTC; different physical expression).
+    "inflight_sweepline": 8, "date_functions": 8,
+    "lineitem_yoy_growth": 8, "user_retention_weekly": 8,
+    "scd2_customer_update": 8, "scd2_events_replay": 8,
+    "scd2_snapshot_diff": 8,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

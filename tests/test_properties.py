@@ -257,3 +257,31 @@ def test_epoch_us_ntz_is_session_timezone_free(spark):
     assert hi - lo == 2 * 3_600_000_000  # naive gap, not elapsed UTC
     # and the absolute values are the naive epoch (UTC-rendered wall)
     assert lo == 1710034200000000  # 2024-03-10T01:30:00Z as naive µs
+
+
+def test_date_to_ntz_cast_survives_midnight_dst_gap(spark):
+    """DATE→TIMESTAMP_NTZ must yield the naive local midnight in ANY
+    session timezone — including on a calendar day whose local
+    midnight does not exist. Brazil's 1995-10-15 spring-forward
+    happened AT 00:00 (clocks jumped straight to 01:00), so the
+    retired DATE→LTZ idiom rendered that day as 01:00 under
+    America/Sao_Paulo: the inflight_sweepline wrong answer the r8 TZ
+    sweep caught. Pins the fixed idiom AND documents the broken one
+    (if Spark ever changes the LTZ gap policy this updates too)."""
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+    df = sess.createDataFrame([("1995-10-15",), ("1995-10-16",)],
+                              "s string") \
+        .select(F.col("s").cast("date").alias("d"))
+    ntz = {str(r.t) for r in
+           df.select(F.col("d").cast("timestamp_ntz").alias("t"))
+           .collect()}
+    assert ntz == {"1995-10-15 00:00:00", "1995-10-16 00:00:00"}
+    # why LTZ casts are banned: the two consecutive midnights are 23
+    # REAL hours apart (Oct 15's nonexistent midnight shifts +1h), so
+    # the day boundary moves — NTZ keeps them exactly 24h apart
+    lo, hi = sorted(
+        r.t for r in
+        df.select(F.unix_seconds(F.col("d").cast("timestamp"))
+                  .alias("t")).collect())
+    assert hi - lo == 23 * 3600
