@@ -294,7 +294,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.8,
                       shingle_n: int = 3,
-                      max_shingle_df: int | None = None) -> DataFrame:
+                      max_shingle_df: int | None = None,
+                      base: DataFrame | None = None) -> DataFrame:
     """DIRECTIONAL shingle-containment pairs: c(A→B) = |A∩B| / |A| ≥
     threshold — the excerpt/quote/boilerplate-inclusion detector that
     symmetric Jaccard structurally misses (a 50-shingle quote inside a
@@ -312,11 +313,19 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     the join). Pruning can only LOWER a containment score, never raise
     it: with df-capped postings the result is a superset-safe filter
     to run BELOW threshold, or exact when no shingle exceeds the cap
-    (the tested configuration leaves it off)."""
-    base = (df.select(F.col(id_col),
-                      word_shingles(F.col(text_col), shingle_n)
-                      .alias("sh"))
-            .filter(F.size("sh") > 0))
+    (the tested configuration leaves it off).
+
+    ``base``: precomputed ``(id_col, sh)`` distinct-shingle-set table
+    (the ``word_shingles`` extraction below, typically materialized
+    once via ``cache.shared_parquet`` when several configurations —
+    production threshold, df-capped candidate pass — scan the same
+    corpus: the shingle table is the piece a 100 TB pipeline writes
+    to storage once). When given, ``df``/``text_col`` are unused."""
+    if base is None:
+        base = (df.select(F.col(id_col),
+                          word_shingles(F.col(text_col), shingle_n)
+                          .alias("sh"))
+                .filter(F.size("sh") > 0))
     sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
     tokens = base.select(F.col(id_col), F.explode("sh").alias("g"))
     if max_shingle_df is not None:

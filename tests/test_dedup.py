@@ -294,3 +294,33 @@ def test_containment_df_cap_only_lowers_scores(spark):
               for r in containment_pairs(df, threshold=0.5,
                                          max_shingle_df=4).collect()}
     assert capped <= full
+
+
+def test_registered_containment_twins_share_one_shingle_base(spark):
+    """The containment twin pair's REGISTERED wiring: the production
+    0.8 query and the df-capped candidate pass must read the ONE
+    shared shingle-set build (_containment_base) — the word_shingles
+    extraction (the corpus-scan-shaped cost) runs once across the
+    pair and lands in shared_builds for bench attribution. Also pins
+    the base= path against the inline extraction: identical pairs."""
+    from map_reduce_mongodb_spark import cache, queries
+    from map_reduce_mongodb_spark.operators.dedup import containment_pairs
+
+    cache.clear_shared()
+    try:
+        a = queries.QUERIES["containment_pairs"](spark, SF_DIR)
+        got = {tuple(r) for r in a.collect()}
+        assert len(got) > 0
+        keys = [k for k in cache.shared_build_seconds()
+                if k.startswith("containment_sh3_")]
+        assert len(keys) == 1
+        b = queries.QUERIES["containment_pairs_capped"](spark, SF_DIR)
+        assert b.count() >= 0  # reuses the same materialization
+        assert [k for k in cache.shared_build_seconds()
+                if k.startswith("containment_sh3_")] == keys
+        inline = {tuple(r) for r in containment_pairs(
+            table(spark, "documents", SF_DIR),
+            threshold=0.8, shingle_n=3).collect()}
+        assert got == inline
+    finally:
+        cache.clear_shared()
