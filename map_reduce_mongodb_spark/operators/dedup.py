@@ -345,15 +345,23 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     sz_b = sizes.select(F.col(id_col).alias("id_b"),
                         F.col("sz").alias("sb"))
     both = inter.join(sz_a, "id_a").join(sz_b, "id_b")
-    fwd = both.select(F.col("id_a").alias("contained_id"),
-                      F.col("id_b").alias("container_id"),
-                      F.round(F.col("i").cast("double")
-                              / F.col("sa"), 6).alias("containment"))
-    rev = both.select(F.col("id_b").alias("contained_id"),
-                      F.col("id_a").alias("container_id"),
-                      F.round(F.col("i").cast("double")
-                              / F.col("sb"), 6).alias("containment"))
-    return fwd.union(rev).filter(F.col("containment") >= threshold)
+    # Emit BOTH directions from each co-occurring pair row with one
+    # explode — NOT fwd.union(rev): a union re-executes each branch's
+    # whole subtree, so the posting join (the dominant cost at corpus
+    # scale) would run twice per query (observed: 2× the scans and
+    # exchanges in the formatted plan).
+    return (both.select(F.explode(F.array(
+                F.struct(F.col("id_a").alias("contained_id"),
+                         F.col("id_b").alias("container_id"),
+                         F.round(F.col("i").cast("double")
+                                 / F.col("sa"), 6).alias("containment")),
+                F.struct(F.col("id_b").alias("contained_id"),
+                         F.col("id_a").alias("container_id"),
+                         F.round(F.col("i").cast("double")
+                                 / F.col("sb"), 6).alias("containment")),
+            )).alias("p"))
+            .select("p.*")
+            .filter(F.col("containment") >= threshold))
 
 
 def _simhash_from_hashes(exploded: DataFrame, id_col: str,
