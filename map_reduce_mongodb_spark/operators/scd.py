@@ -39,38 +39,44 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
     Returns the merged dimension: closed history + still-open
     unchanged rows + closed-out previous versions of updated keys +
     the new open versions (version + 1).
+
+    Plan shape: ONE dimension scan, ONE broadcast join, ONE explode.
+    The previous four-branch union (closed history ∪ untouched ∪
+    closed-out ∪ new versions) re-executed the scan+join subtree per
+    branch — the containment_pairs fwd∪rev lesson: a union is not a
+    multi-output operator. Each joined row conditionally emits its
+    one (pass-through) or two (close-out + successor) output rows
+    from a single evaluation instead.
     """
     upd = F.broadcast(updates.select(
         F.col(key),
         *[F.col(a).alias(f"_new_{a}") for a in attrs],
         F.col(effective).alias("_eff")))
-    open_rows = dim.where(F.col("valid_to").isNull())
-    closed_rows = dim.where(F.col("valid_to").isNotNull())
-    joined = open_rows.join(upd, key, "left")
+    joined = dim.join(upd, key, "left")
 
-    untouched = joined.where(F.col("_eff").isNull()) \
-        .select(*dim.columns)
-    closed_out = (joined.where(F.col("_eff").isNotNull())
-                  .select(*[c for c in dim.columns if c != "valid_to"],
-                          F.col("_eff").alias("valid_to"))
-                  .select(*dim.columns))
-    new_versions = (joined.where(F.col("_eff").isNotNull())
-                    .select(F.col(key),
-                            *[F.col(f"_new_{a}").alias(a)
-                              for a in attrs],
-                            F.col("_eff").alias("valid_from"),
-                            # follow the dimension's valid_to type so
-                            # NTZ dims stay NTZ through the union (a
-                            # hard LTZ cast would re-introduce session-
-                            # zone sensitivity — the inflight_sweepline
-                            # class from the r8 Sao_Paulo TZ sweep)
-                            F.lit(None).cast(
-                                dim.schema["valid_to"].dataType)
-                             .alias("valid_to"),
-                            (F.col("version") + 1).alias("version"))
-                    .select(*dim.columns))
-    return closed_rows.unionByName(untouched) \
-        .unionByName(closed_out).unionByName(new_versions)
+    def _struct(**overrides) -> F.Column:
+        return F.struct(*[
+            overrides.get(c, F.col(c)).alias(c) for c in dim.columns])
+
+    passthrough = _struct()
+    closed_out = _struct(valid_to=F.col("_eff"))
+    new_version = _struct(
+        **{a: F.col(f"_new_{a}") for a in attrs},
+        valid_from=F.col("_eff"),
+        # follow the dimension's valid_to type so NTZ dims stay NTZ
+        # (a hard LTZ cast would re-introduce session-zone
+        # sensitivity — the inflight_sweepline class from the r8
+        # Sao_Paulo TZ sweep)
+        valid_to=F.lit(None).cast(dim.schema["valid_to"].dataType),
+        version=F.col("version") + 1)
+    # closed history and unmatched open rows pass through verbatim;
+    # matched OPEN rows (and only those) close out and spawn v+1
+    emits = F.when(
+        F.col("valid_to").isNotNull() | F.col("_eff").isNull(),
+        F.array(passthrough)
+    ).otherwise(F.array(closed_out, new_version))
+    return (joined.select(F.explode(emits).alias("_r"))
+            .select("_r.*"))
 
 
 def scd2_replay_stream(dim: DataFrame, update_batches: list[DataFrame],
