@@ -8807,9 +8807,10 @@ def q_dup_graph_local_clustering(spark: SparkSession, sf_dir: str
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corner = (tri.select(F.col("a").alias("id"))
-              .unionAll(tri.select(F.col("b").alias("id")))
-              .unionAll(tri.select(F.col("c").alias("id"))))
+    # all three corners from ONE evaluation of the triangle join (a
+    # 3-way unionAll would re-run the wedge join per branch)
+    corner = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("id"))
     tc = corner.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
     return (deg.where(F.col("degree") >= 2)
             .join(tc, deg.id_a == tc.id, "left")
@@ -11577,9 +11578,13 @@ def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
             .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
             .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long")
                  .alias("dot")))
-    sym = dots.unionByName(
-        dots.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"),
-                    "dot"))
+    # both directions from ONE evaluation of the self-join (a union
+    # would re-execute the dominant inverted-index join per branch)
+    sym = (dots.select(F.explode(F.array(
+               F.struct("sa", "sb", "dot"),
+               F.struct(F.col("sb").alias("sa"),
+                        F.col("sa").alias("sb"), F.col("dot")),
+           )).alias("_p")).select("_p.*"))
     na = nrm.select(F.col("s").alias("sa"), F.col("n2").alias("na"))
     nb = nrm.select(F.col("s").alias("sb"), F.col("n2").alias("nb"))
     scored = (sym.join(na, "sa")
@@ -11667,9 +11672,13 @@ def q_supplier_cf_similarity_capped(spark: SparkSession, sf_dir: str
             .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
             .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long")
                  .alias("dot")))
-    sym = dots.unionByName(
-        dots.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"),
-                    "dot"))
+    # both directions from ONE evaluation of the self-join (a union
+    # would re-execute the dominant inverted-index join per branch)
+    sym = (dots.select(F.explode(F.array(
+               F.struct("sa", "sb", "dot"),
+               F.struct(F.col("sb").alias("sa"),
+                        F.col("sa").alias("sb"), F.col("dot")),
+           )).alias("_p")).select("_p.*"))
     na = nrm.select(F.col("s").alias("sa"), F.col("n2").alias("na"))
     nb = nrm.select(F.col("s").alias("sb"), F.col("n2").alias("nb"))
     scored = (sym.join(na, "sa")
@@ -12165,6 +12174,11 @@ _REWIRED: dict[str, int] = {
     # r8: containment twins moved onto the ONE shared shingle-set
     # build (_containment_base — the CF-matrix treatment).
     "containment_pairs": 8,
+    # r8 union→explode plan fixes (a union re-executes each branch's
+    # subtree): triangle corners now emitted from ONE evaluation of
+    # the wedge join (CF twins got the same fix for their dots
+    # symmetrization — already flagged above).
+    "dup_graph_local_clustering": 8,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or
