@@ -556,3 +556,47 @@ def test_supplier_cf_pairs_via_inverted_index(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_multi_output_rows_use_explode_not_union(spark):
+    """A union re-executes each branch's whole subtree, so emitting k
+    output rows per input row (both pair directions, triangle
+    corners) through a union runs the dominant join k times (the r8
+    audit measured 2× the scans and exchanges in containment_pairs).
+    Pin the single-evaluation shape: the fixed plans carry a Generate
+    (explode) and NO Union node anywhere. (dup_graph_local_clustering
+    keeps legitimate unions — symmetrizing the MATERIALIZED shared
+    pair parquet — so its pin is scoped to the corner explode that
+    replaced the 3-way unionAll of the wedge-join output.)"""
+    for name in ("containment_pairs", "supplier_cf_similarity",
+                 "supplier_cf_similarity_capped"):
+        p = plan(QUERIES[name](spark, SF_DIR), mode="simple")
+        assert "Union" not in p, name
+        assert "Generate" in p, name
+    p = plan(QUERIES["dup_graph_local_clustering"](spark, SF_DIR),
+             mode="simple")
+    assert "Generate explode(array(a" in p
+
+
+def test_scd2_apply_single_scan_single_join(spark):
+    """scd2_apply assembles the merged dimension from ONE scan + ONE
+    broadcast join + ONE explode — not the former four-branch union
+    that re-ran the scan+join per branch (per epoch in the streaming
+    replay). The dimension source must appear exactly once in the
+    plan alongside the broadcast side."""
+    from map_reduce_mongodb_spark.operators.scd import scd2_apply
+
+    dim = table(spark, "customer", SF_DIR).select(
+        "c_custkey", "c_mktsegment",
+        F.lit("1992-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(1).alias("version"))
+    upd = table(spark, "customer", SF_DIR).where(
+        F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("NEW").alias("c_mktsegment"),
+        F.lit("1998-01-01").cast("timestamp_ntz").alias("effective_ts"))
+    p = plan(scd2_apply(dim, upd, "c_custkey", ["c_mktsegment"]),
+             mode="simple")
+    assert "Union" not in p
+    assert "Generate" in p
+    assert p.count("BroadcastHashJoin") == 1, p
