@@ -8715,18 +8715,21 @@ def q_word_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     ws = d.select(T.words(F.col("text")).alias("ws"))
 
-    def shifted_pairs(dist: int):
-        n = F.size("ws") - dist
-        z = F.arrays_zip(F.slice(F.col("ws"), 1, n),
-                         F.slice(F.col("ws"), 1 + dist, n))
-        return (ws.where(F.size("ws") > dist)
-                .select(F.explode(z).alias("p"))
-                .select(F.least(F.col("p.0"), F.col("p.1"))
-                        .alias("word_a"),
-                        F.greatest(F.col("p.0"), F.col("p.1"))
-                        .alias("word_b")))
+    def shifted(dist: int):
+        # clamped to 0 so short docs yield [] instead of a negative
+        # slice length — lets both window distances come from ONE
+        # evaluation (concat) instead of a union that would scan and
+        # tokenize the corpus once per distance (the r8 union rule)
+        n = F.greatest(F.size("ws") - dist, F.lit(0))
+        return F.arrays_zip(F.slice(F.col("ws"), 1, n),
+                            F.slice(F.col("ws"), 1 + dist, n))
 
-    pr = shifted_pairs(1).unionByName(shifted_pairs(2))
+    pr = (ws.where(F.size("ws") > 1)
+          .select(F.explode(F.concat(shifted(1), shifted(2)))
+                  .alias("p"))
+          .select(F.least(F.col("p.0"), F.col("p.1")).alias("word_a"),
+                  F.greatest(F.col("p.0"), F.col("p.1"))
+                  .alias("word_b")))
     cp = (pr.groupBy("word_a", "word_b")
           .agg(F.count(F.lit(1)).alias("cooc")))
     uni = (ws.select(F.explode("ws").alias("word"))
@@ -12177,8 +12180,10 @@ _REWIRED: dict[str, int] = {
     # r8 union→explode plan fixes (a union re-executes each branch's
     # subtree): triangle corners now emitted from ONE evaluation of
     # the wedge join (CF twins got the same fix for their dots
-    # symmetrization — already flagged above).
-    "dup_graph_local_clustering": 8,
+    # symmetrization — already flagged above); word_cooc_lift's two
+    # window distances now explode from one concat instead of
+    # scanning+tokenizing the corpus per distance.
+    "dup_graph_local_clustering": 8, "word_cooc_lift": 8,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or
