@@ -192,6 +192,8 @@ def main() -> None:
                 .mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    first_attempt: dict[str, float] = {}
+    budget_starved: list[str] = []
     for name, fn in QUERIES.items():
         if name in ORACLE_TWINS and prod_only:
             continue
@@ -199,6 +201,7 @@ def main() -> None:
             release_caches()
             spark.catalog.clearCache()
         t1 = _timed(name, fn)
+        first_attempt[name] = t1
         if _should_retry(t1, baseline.get(name),
                          sum(ts[1] for ts in retries.values())):
             # Contention suspect: one re-run, keep the min, record
@@ -214,6 +217,14 @@ def main() -> None:
             times[name] = min(t1, t2)
         else:
             times[name] = t1
+            # over the trigger but un-retried: the retry budget ran
+            # out — these queries' times are load-suspect and
+            # UNADJUSTED in every total below (count them so the
+            # artifact says how much of the total is unarbitrated).
+            base = baseline.get(name)
+            if (base is not None
+                    and t1 > max(RETRY_FLOOR_SEC, RETRY_FACTOR * base)):
+                budget_starved.append(name)
     release_caches()  # query builders release the previous query's
 
     from map_reduce_mongodb_spark.cache import shared_build_metrics
@@ -243,6 +254,25 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "retries": retries,
+        # Retry-adjusted headline (VERDICT r8 #6): the three numbers a
+        # round-over-round comparison needs WITHOUT a quiet re-run.
+        #   value_first_attempt  — sum of first attempts (the nominal a
+        #     naive reading assumes "value" is);
+        #   value_retry_adjusted — sum of min-over-attempts (what
+        #     "value" computes today, named explicitly so the headline
+        #     survives any future change to "value");
+        #   baseline_total       — the committed quiet-machine seconds
+        #     for the SAME query set, the in-artifact anchor:
+        #     value_retry_adjusted / baseline_total is the
+        #     load-arbitrated round ratio.
+        # retry_budget_starved lists queries over the retry trigger
+        # left un-retried (budget exhausted) — their times are
+        # load-suspect and unadjusted in every total above.
+        "value_first_attempt": round(sum(first_attempt.values()), 3),
+        "value_retry_adjusted": round(sum(times.values()), 3),
+        "baseline_total": round(
+            sum(baseline[n] for n in times if n in baseline), 3),
+        "retry_budget_starved": budget_starved,
     })
 
 
@@ -259,7 +289,8 @@ def _emit_summary(summary: dict) -> None:
     full_line = json.dumps(summary)
     short = {k: v for k, v in summary.items()
              if k in ("metric", "value", "value_production", "unit",
-                      "sf", "loadavg_start", "loadavg_end")}
+                      "sf", "loadavg_start", "loadavg_end",
+                      "value_retry_adjusted", "baseline_total")}
     short["n_queries"] = len(summary.get("queries", {}))
     short["n_retried"] = len(summary.get("retries", {}))
     short_line = json.dumps(short)

@@ -185,9 +185,14 @@ def shared_build_seconds() -> dict[str, float]:
 
 
 def clear_shared() -> None:
-    """Forget shared materializations (tests / corpus swaps)."""
+    """Forget shared materializations (tests / corpus swaps). Also
+    resets the build-seconds attribution so tests asserting on
+    :func:`shared_build_seconds` keys are hermetic — without this, a
+    same-prefix key built earlier in the session under a different
+    corpus would satisfy (or poison) a later assertion (ADVICE r8)."""
     _SHARED.clear()
     _SHARED_VALUES.clear()
+    _BUILD_SECONDS.clear()
 
 
 def tracked_persist(df: DataFrame,

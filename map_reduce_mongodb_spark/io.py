@@ -68,6 +68,38 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     setattr(sc, flag, True)
 
 
+#: When set (to anything non-empty), every :func:`table` scan is
+#: wrapped in a schema-preserving mapInPandas that FAILS each task's
+#: first attempt — the executor-loss / task-retry invariance sweep
+#: (VERDICT r8 #4). At 100 TB on a real cluster task retry is routine;
+#: a nondeterministic recompute anywhere (an unseeded sample, a
+#: non-checksummed checkpoint) would be a silent wrong answer that
+#: only shows up under failure. Requires a ``local[N, maxFailures]``
+#: master (default local mode has maxFailures=1 — the injected failure
+#: would kill the job instead of exercising the retry path). Test /
+#: rehearsal instrumentation only — never set in production; the
+#: wrapper sits above the scan, so pushdown/pruning are deliberately
+#: sacrificed for the sweep.
+FAULT_INJECT_ENV = "SPARK_GRAFT_FAULT_INJECT"
+
+
+def _inject_task_faults(df: DataFrame) -> DataFrame:
+    """Fail attempt 0 of every task of every downstream stage that
+    pipelines this scan (retries then succeed): deterministic,
+    total-coverage injection at the stage class that dominates a real
+    cluster's failure budget (source scans)."""
+    def fail_first(batches):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError(
+                "injected task failure (attempt 0) — fault-invariance "
+                "sweep; if this kills a job the master lacks "
+                "local[N, maxFailures]")
+        yield from batches
+    return df.mapInPandas(fail_first, df.schema)
+
+
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Scan one named table (S5 analogue: full scan; Catalyst prunes)."""
     if name not in TABLE_NAMES:

@@ -320,7 +320,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     once via ``cache.shared_parquet`` when several configurations —
     production threshold, df-capped candidate pass — scan the same
     corpus: the shingle table is the piece a 100 TB pipeline writes
-    to storage once). When given, ``df``/``text_col`` are unused."""
+    to storage once). When given, ``df``/``text_col`` AND
+    ``shingle_n`` are all unused — the base's own shingling (whatever
+    n it was built with) defines the scores, so callers must not pass
+    a conflicting ``shingle_n`` expecting it to apply (ADVICE r8)."""
     if base is None:
         base = (df.select(F.col(id_col),
                           word_shingles(F.col(text_col), shingle_n)

@@ -300,7 +300,25 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
     policy), one CC over the contracted delta graph (typically tiny:
     only inter-component new edges survive contraction), and one
     label-composition join.
+
+    Every level's composed label table is eagerly CHECKPOINTED before
+    it is reused (r9, from the registry-wide union-duplication sweep):
+    :func:`connected_components` returns an *aggregate over* its
+    checkpointed fixpoint — not a leaf — so without this each lower
+    level's contraction joins AND every consumer branch that unions /
+    joins several levels' labels (the threshold-sweep query's 3-branch
+    output) re-executed the whole label-composition subtree per use.
+    The materialization is node-scaled (tiny next to the edge work);
+    consumers read leaves.
     """
+    from map_reduce_mongodb_spark.cache import track_rdd
+
+    def _leaf(df: DataFrame) -> DataFrame:
+        ck, handles = _checkpoint(df)
+        for h in handles:
+            track_rdd(h)
+        return ck
+
     order = {t: i for i, t in enumerate(thresholds)}
     out: list[tuple[float, DataFrame]] = [None] * len(thresholds)  # type: ignore
     labels = None  # (id, cc) at the previous (higher) threshold
@@ -308,8 +326,8 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
     for t in sorted(thresholds, reverse=True):
         if labels is None:
             e = pairs.where(F.col(weight) >= t)
-            labels = connected_components(e, src=id_a, dst=id_b,
-                                          max_iter=max_iter)
+            labels = _leaf(connected_components(e, src=id_a, dst=id_b,
+                                                max_iter=max_iter))
         else:
             delta = pairs.where((F.col(weight) >= t)
                                 & (F.col(weight) < prev_t))
@@ -327,7 +345,10 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
                                   F.coalesce("_cb", F.col(id_b))
                                   .alias("dst"))
                           .where(F.col("src") != F.col("dst")))
-            sup = connected_components(contracted, max_iter=max_iter)
+            # sup is read twice below (relabel join + anti-join) —
+            # leaf it so the contracted CC's label aggregate runs once
+            sup = _leaf(connected_components(contracted,
+                                             max_iter=max_iter))
             # Compose: every prior node follows its supernode's new
             # label (if the supernode merged), else keeps its own;
             # supernodes themselves appear in `sup` directly, and
@@ -339,7 +360,7 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
                                   .alias("cc")))
             fresh = (sup.join(labels.select(F.col("id")), "id",
                               "left_anti"))
-            labels = relabelled.unionByName(fresh)
+            labels = _leaf(relabelled.unionByName(fresh))
         out[order[t]] = (t, labels)
         prev_t = t
     return out

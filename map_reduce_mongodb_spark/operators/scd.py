@@ -35,6 +35,12 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
 
     ``updates``: one row per changed key — ``key``, new values for
     ``attrs``, and ``effective`` (timestamp the change takes effect).
+    STRICT: a batch with duplicate keys is out of contract, and the
+    single-scan shape makes the failure mode broader than the old
+    four-branch union's — the left join fans out EVERY row of that
+    key, closed history included (the union form left closed rows
+    immune). Pre-compact with a ``max_by`` per key (as
+    :func:`scd2_replay_stream`'s docstring instructs) before calling.
 
     Returns the merged dimension: closed history + still-open
     unchanged rows + closed-out previous versions of updated keys +

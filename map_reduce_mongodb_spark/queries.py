@@ -9061,26 +9061,41 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     left joins against the vector universe. Deterministic: cluster
     label = min core id in the core component; border ties take the
     min cluster label. The oracle re-derives everything from exact
-    all-pairs cosine + a recursive closure."""
+    all-pairs cosine + a recursive closure.
+
+    The node-scaled reused tables (``core`` — consumed 4×; ``ccall``
+    — consumed 2×, and a union the optimizer pushes joins through,
+    duplicating whatever sits across them) are eagerly CHECKPOINTED
+    (r9 union-duplication sweep): un-materialized, every reuse
+    re-ran the ε-graph degree aggregate — the corpus-pair-scaled
+    cost — up to 4× per query."""
+    from map_reduce_mongodb_spark.cache import eager_checkpoint, track_rdd
     from map_reduce_mongodb_spark.operators.graph import (
         connected_components)
+
+    def _leaf(df: DataFrame) -> DataFrame:
+        ck, handles = eager_checkpoint(df)
+        for h in handles:
+            track_rdd(h)
+        return ck
+
     min_pts = 3
     emb = table(spark, "embeddings", sf_dir)
     pairs = _embedding_pairs_04(spark, sf_dir).select("id_a", "id_b")
     sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
                                    F.col("id_a").alias("id_b")))
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("d"))
-    core = (deg.where(F.col("d") >= min_pts - 1)
-            .select(F.col("id_a").alias("id")))
+    core = _leaf(deg.where(F.col("d") >= min_pts - 1)
+                 .select(F.col("id_a").alias("id")))
     ce = (pairs
           .join(core.select(F.col("id").alias("id_a")), "id_a",
                 "left_semi")
           .join(core.select(F.col("id").alias("id_b")), "id_b",
                 "left_semi"))
     cc = connected_components(ce, src="id_a", dst="id_b")
-    ccall = cc.unionByName(
+    ccall = _leaf(cc.unionByName(
         core.join(cc.select(F.col("id")), "id", "left_anti")
-        .select("id", F.col("id").alias("cc")))
+        .select("id", F.col("id").alias("cc"))))
     border = (sym.join(core.select(F.col("id").alias("id_a")), "id_a",
                        "left_anti")
               .join(ccall.select(F.col("id").alias("id_b"),
@@ -10734,7 +10749,15 @@ def q_dup_graph_threshold_sweep(spark: SparkSession, sf_dir: str
     graphs). The three per-level edge counts collapse to ONE
     conditional aggregate over the shared pair table (3 ints —
     metadata) instead of three count jobs; per-level stats are
-    cluster-size aggregates over the composed labels."""
+    cluster-size aggregates over the composed labels.
+
+    Bench-attribution note (ADVICE r8): the edge-count aggregate (and
+    the CC sweep it feeds) executes EAGERLY at DataFrame-construction
+    time — the shared pair parquet is immutable so correctness is
+    unaffected, but those jobs are timed as part of this query's
+    build phase, not of executing the returned 3-row plan. Per-query
+    bench deltas for the dedup family are therefore only
+    interpretable family-wise (see NOTES_r8)."""
     from map_reduce_mongodb_spark.operators.graph import (
         cc_threshold_sweep)
     pairs = _jaccard_pairs_07(spark, sf_dir) \
@@ -12184,6 +12207,12 @@ _REWIRED: dict[str, int] = {
     # window distances now explode from one concat instead of
     # scanning+tokenizing the corpus per distance.
     "dup_graph_local_clustering": 8, "word_cooc_lift": 8,
+    # r9: the registry-wide union-duplication sweep (VERDICT r8 #3)
+    # found the last two silent-recompute sites — per-level label
+    # composition in cc_threshold_sweep and dbscan's reused
+    # core/ccall tables — now eagerly checkpointed (identical
+    # values; different physical plan).
+    "dup_graph_threshold_sweep": 9, "dbscan_embeddings": 9,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

@@ -575,7 +575,46 @@ def test_multi_output_rows_use_explode_not_union(spark):
         assert "Generate" in p, name
     p = plan(QUERIES["dup_graph_local_clustering"](spark, SF_DIR),
              mode="simple")
-    assert "Generate explode(array(a" in p
+    # tolerant of Spark's expression rendering (ADVICE r8): pin the
+    # explode-of-array-of-structs shape, not the exact alias text
+    import re
+    assert re.search(r"Generate explode\(array\(", p), p[:2000]
+
+
+def test_registry_unions_never_duplicate_expensive_subtrees(spark):
+    """REGISTRY-WIDE union→explode audit (VERDICT r8 #3): walk every
+    registered query's optimized logical plan and assert no Union
+    carries a canonically-equal Join/Aggregate/Window in two branches
+    — the silent-recompute signature the r8 audit found by hand at
+    five sites (and this sweep then found at two more: the threshold
+    sweep's un-checkpointed per-level label compositions and dbscan's
+    reused core/ccall tables, both fixed in r9 by eager checkpoints).
+    Detector: plans.union_duplicate_subtrees (Catalyst semanticHash /
+    sameResult — expression-id-insensitive, resilient to explain()
+    formatting drift). Self-check: a deliberately bad fwd∪rev over one
+    aggregate must flag. Allowlist is EMPTY — a new hit is either a
+    real fix or earns an entry here with a materialized-source
+    justification."""
+    from map_reduce_mongodb_spark.plans import union_duplicate_subtrees
+
+    # detector self-check: this must flag (guards against the sweep
+    # passing vacuously because the traversal broke on a Spark bump)
+    j = (table(spark, "customer", SF_DIR)
+         .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
+    bad = j.select(F.col("c_mktsegment").alias("a"), "n").union(
+        j.select(F.concat(F.lit("r_"), "c_mktsegment").alias("a"), "n"))
+    assert union_duplicate_subtrees(bad), \
+        "detector failed its own positive control"
+
+    allowlist: dict[str, str] = {}
+    hits = {}
+    for name, fn in QUERIES.items():
+        if name in allowlist:
+            continue
+        flags = union_duplicate_subtrees(fn(spark, SF_DIR))
+        if flags:
+            hits[name] = flags
+    assert not hits, f"union duplicates expensive subtrees: {hits}"
 
 
 def test_scd2_apply_single_scan_single_join(spark):
