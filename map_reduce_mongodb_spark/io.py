@@ -123,6 +123,8 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
             df = df.withColumn(c, F.expr(
                 f"timestampadd(MICROSECOND, {c} DIV 1000, "
                 f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    if os.environ.get(FAULT_INJECT_ENV):
+        df = _inject_task_faults(df)
     return df
 
 

@@ -3,6 +3,7 @@ results under readStream (AvailableNow → memory sink) as in batch."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -190,45 +191,90 @@ def test_streaming_scd2_upsert_pipeline(spark, tmp_path):
                   (3, "NEWER", True)]
 
 
-def test_transform_with_state_profiles_match_batch(spark):
-    """Spark 4 transformWithStateInPandas twin of the
-    applyInPandasWithState profile operator — gated on the
-    google.protobuf dependency its driver worker needs."""
-    import pytest
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf not available:"
-                    " transformWithState driver worker needs it")
-    from pyspark.sql import functions as F
+_TWS_BODY = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
 
-    from map_reduce_mongodb_spark.streaming.stateful import (
-        user_profiles_stateful, user_profiles_tws)
-    from map_reduce_mongodb_spark.streaming.windows import (
-        run_to_memory_sink)
+from map_reduce_mongodb_spark.streaming.stateful import (
+    user_profiles_stateful, user_profiles_tws)
+from map_reduce_mongodb_spark.streaming.windows import run_to_memory_sink
+
+SF = {sf!r}
+SCHEMA = ("event_id long, ts timestamp, user_id long,"
+          " event_type string, value double, props string")
+sess = (SparkSession.builder.appName("tws-pin").master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+        .getOrCreate())
+sess.sparkContext.setLogLevel("ERROR")
+stream = (sess.readStream.schema(SCHEMA)
+          .option("pathGlobFilter", "events.parquet").parquet(SF))
+run_to_memory_sink(user_profiles_tws(stream), "tws_sink",
+                   output_mode="update")
+got = {{r.user_id: (r.n_events, r.total_value)
+        for r in sess.table("tws_sink").collect()}}
+want = {{r.user_id: (r.n_events, r.total_value)
+         for r in user_profiles_stateful(
+             sess.read.option("pathGlobFilter", "events.parquet")
+             .schema(SCHEMA).parquet(SF)).collect()}}
+assert got == want and got, (len(got), len(want))
+print("TWS_PIN_OK", len(got))
+"""
+
+# Pure-Python protobuf runtime shipped inside this sandbox's
+# google-cloud-sdk (plain `google.protobuf` imports, version 6.32.0)
+# — lets the transformWithState lane run without pip. The pyspark
+# pb2 gencode is 6.33.0, one minor AHEAD of this runtime, so the
+# official escape hatch TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK
+# is required; the wire format is unaffected (proto3).
+_APPENGINE_PROTOBUF = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def test_transform_with_state_profiles_match_batch():
+    """Spark 4 transformWithStateInPandas twin of the
+    applyInPandasWithState profile operator — needs google.protobuf in
+    BOTH the driver and the Python workers (the stateful processor API
+    client speaks proto to the JVM state server). No protobuf is pip-
+    installed here, so the test runs in a SUBPROCESS with the cloud-sdk
+    pure-Python runtime on PYTHONPATH — env must be set before the JVM
+    starts so workers inherit it, which an in-process sys.path tweak
+    on the shared session cannot do."""
+    import importlib.util
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import pytest
+
     from tests.conftest import SF_DIR
-    sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "4")
-    sess.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
-    stream = (sess.readStream
-              .schema("event_id long, ts timestamp, user_id long,"
-                      " event_type string, value double, props string")
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(SF_DIR))
-    run_to_memory_sink(user_profiles_tws(stream), "tws_sink",
-                       output_mode="update")
-    got = {r.user_id: (r.n_events, r.total_value)
-           for r in sess.table("tws_sink").collect()}
-    want = {r.user_id: (r.n_events, r.total_value)
-            for r in user_profiles_stateful(
-                sess.read.option("pathGlobFilter", "events.parquet")
-                .schema("event_id long, ts timestamp, user_id long,"
-                        " event_type string, value double,"
-                        " props string").parquet(SF_DIR)).collect()}
-    assert got == want
+
+    try:
+        # raises (not returns None) when even the parent `google`
+        # namespace package is absent
+        have_protobuf = (
+            importlib.util.find_spec("google.protobuf") is not None)
+    except ModuleNotFoundError:
+        have_protobuf = False
+    env = dict(os.environ)
+    if not have_protobuf:
+        if not Path(_APPENGINE_PROTOBUF, "google", "protobuf").is_dir():
+            pytest.skip("google.protobuf not available and no vendored "
+                        "runtime found: transformWithState needs it")
+        env["PYTHONPATH"] = _APPENGINE_PROTOBUF + (
+            (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else "")
+        env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    repo = str(Path(__file__).resolve().parent.parent)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _TWS_BODY.format(repo=repo, sf=SF_DIR)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-4000:]
+    assert "TWS_PIN_OK" in out.stdout, out.stdout[-2000:]
 
 
 def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):

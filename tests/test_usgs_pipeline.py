@@ -65,6 +65,43 @@ def test_golden_feature_collection(spark):
     assert e["streamFlow"]["value"] == "undefined"  # falsy-coalesce
 
 
+def test_flagship_composition_sf01_spot_check(spark):
+    """VERDICT r8 #7: the golden FeatureCollection test pins the
+    flagship at fixture scale; this pins the COMPOSITION (synthesize →
+    features → merge → export, with the persisted stage-2 boundary) at
+    sf0.1 — row count plus two content checksums, so an sf-dependent
+    regression anywhere in the 5-stage chain (a partition-sensitive
+    first/min_by, a boundary dropped under AQE) fails by value, not
+    just by shape. Golden values recorded from the r9 tree, whose
+    flat-join face is DuckDB-oracled at sf0.01 (usgs_site_join) — this
+    extends the same composition one SF decade up."""
+    import hashlib
+
+    from map_reduce_mongodb_spark.io import table
+    from map_reduce_mongodb_spark.pipeline.usgs import (
+        usgs_flat_join, usgs_pipeline)
+
+    ev = table(spark, "events", "/root/testdata/sf0.1")
+    out = usgs_pipeline(ev)
+    assert out.count() == 1500
+    chk = (usgs_flat_join(ev)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64(
+                    "site", "lon", "lat", "flow_value", "flow_ts",
+                    "gage_value", "gage_ts")), F.lit(0)).alias("h"))
+           ).collect()[0]
+    assert (chk["n"], chk["h"]) == (1500, 918040228476031011)
+    # one sampled site end-to-end: the full nested Feature of the
+    # first site, as rendered JSON (all-string leaves — no TZ or
+    # float-format sensitivity)
+    s = (out.select(F.to_json(F.struct("*")).alias("j"),
+                    F.col("properties.siteCode").alias("sc"))
+         .orderBy("sc").limit(1).collect()[0])
+    assert s["sc"] == "S000000"
+    assert (hashlib.md5(s["j"].encode()).hexdigest()
+            == "0aa2c64ea92e26f2fae47352c07a7143")
+
+
 def test_python_datasource_partition_per_state(spark, tmp_path):
     """The usgs Data Source end-to-end with file:// URLs: one partition
     per 'state', executor-side fetch, same rows as the batch reader."""

@@ -44,7 +44,30 @@ def main() -> int:
     ap.add_argument("--conf", nargs="*", default=[],
                     help="extra bare-session k=v confs (e.g. "
                          "spark.sql.shuffle.partitions=13)")
+    ap.add_argument("--fault-inject", action="store_true",
+                    help="task-retry invariance sweep (VERDICT r8 #4):"
+                         " wrap every io.table scan so each task's "
+                         "FIRST attempt fails and is retried; pass a "
+                         "fault-tolerant master too, e.g. --master "
+                         "'local[8,4]' (maxFailures=4) or every job "
+                         "dies on the injected failure")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="SparkContext.setCheckpointDir path — flips "
+                         "cache.eager_checkpoint to the RELIABLE "
+                         "DataFrame.checkpoint path (the 100 TB "
+                         "cluster mode), exercising checkpoint-file "
+                         "write/read instead of local blocks")
     args = ap.parse_args()
+
+    import os
+
+    if args.fault_inject:
+        from map_reduce_mongodb_spark.io import FAULT_INJECT_ENV
+        os.environ[FAULT_INJECT_ENV] = "1"
+        if args.master == "local[*]":
+            # default master has maxFailures=1 — injected failures
+            # would kill every job instead of exercising retries
+            args.master = "local[8,4]"
 
     import duckdb
 
@@ -73,6 +96,12 @@ def main() -> int:
         spark = b.getOrCreate()
     else:
         spark = get_spark(app_name="dress-rehearsal")
+    if args.checkpoint_dir:
+        # flips cache.eager_checkpoint's auto-switch to reliable
+        # DataFrame.checkpoint (files under this dir; delete the dir
+        # after the sweep — the cleanCheckpoints conf is
+        # creation-time-only, not runtime-settable)
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
