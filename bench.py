@@ -221,9 +221,10 @@ def main() -> None:
             # out — these queries' times are load-suspect and
             # UNADJUSTED in every total below (count them so the
             # artifact says how much of the total is unarbitrated).
-            base = baseline.get(name)
-            if (base is not None
-                    and t1 > max(RETRY_FLOOR_SEC, RETRY_FACTOR * base)):
+            # Same predicate as the retry itself (spent=0), so the
+            # two sites can never drift apart when the trigger is
+            # tuned (ADVICE-class fix, r9 self-review).
+            if _should_retry(t1, baseline.get(name), 0.0):
                 budget_starved.append(name)
     release_caches()  # query builders release the previous query's
 
@@ -262,17 +263,28 @@ def main() -> None:
         #     "value" computes today, named explicitly so the headline
         #     survives any future change to "value");
         #   baseline_total       — the committed quiet-machine seconds
-        #     for the SAME query set, the in-artifact anchor:
-        #     value_retry_adjusted / baseline_total is the
-        #     load-arbitrated round ratio.
+        #     for the BASELINE-COVERED subset of this run's queries;
+        #     the matching numerator is value_baseline_covered, so
+        #     value_baseline_covered / baseline_total is the
+        #     load-arbitrated round ratio even when this run has
+        #     queries the committed baseline lacks (a new query before
+        #     the baseline refresh would otherwise inflate the ratio
+        #     by its full runtime — r9 self-review).
         # retry_budget_starved lists queries over the retry trigger
         # left un-retried (budget exhausted) — their times are
         # load-suspect and unadjusted in every total above.
+        # queries_without_baseline names this run's queries absent
+        # from the committed baseline (no retry arbitration, excluded
+        # from both ratio legs) — [] means the sets coincide.
         "value_first_attempt": round(sum(first_attempt.values()), 3),
         "value_retry_adjusted": round(sum(times.values()), 3),
+        "value_baseline_covered": round(
+            sum(t for n, t in times.items() if n in baseline), 3),
         "baseline_total": round(
             sum(baseline[n] for n in times if n in baseline), 3),
         "retry_budget_starved": budget_starved,
+        "queries_without_baseline": sorted(
+            n for n in times if n not in baseline),
     })
 
 
@@ -290,7 +302,8 @@ def _emit_summary(summary: dict) -> None:
     short = {k: v for k, v in summary.items()
              if k in ("metric", "value", "value_production", "unit",
                       "sf", "loadavg_start", "loadavg_end",
-                      "value_retry_adjusted", "baseline_total")}
+                      "value_retry_adjusted", "value_baseline_covered",
+                      "baseline_total")}
     short["n_queries"] = len(summary.get("queries", {}))
     short["n_retried"] = len(summary.get("retries", {}))
     short_line = json.dumps(short)

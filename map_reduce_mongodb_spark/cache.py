@@ -189,10 +189,14 @@ def clear_shared() -> None:
     resets the build-seconds attribution so tests asserting on
     :func:`shared_build_seconds` keys are hermetic — without this, a
     same-prefix key built earlier in the session under a different
-    corpus would satisfy (or poison) a later assertion (ADVICE r8)."""
+    corpus would satisfy (or poison) a later assertion (ADVICE r8).
+    The metrics attribution (:func:`shared_build_metrics`) is reset for
+    the same reason — the cross-corpus poisoning applies verbatim to
+    cc_rounds/kcore_rounds assertions."""
     _SHARED.clear()
     _SHARED_VALUES.clear()
     _BUILD_SECONDS.clear()
+    _BUILD_METRICS.clear()
 
 
 def tracked_persist(df: DataFrame,
@@ -267,6 +271,18 @@ def eager_checkpoint(df: DataFrame):
     handles = [r for i, r in _persistent_rdds(spark).items()
                if i not in before]
     return out, handles
+
+
+def checkpoint_leaf(df: DataFrame) -> DataFrame:
+    """:func:`eager_checkpoint` + :func:`track_rdd` in one step: turn a
+    reused node-scaled table into a plan LEAF so every consumer (and
+    every union branch) reads the materialization instead of re-running
+    the subtree (the r9 union-duplication sweep's standard fix). The
+    backing blocks are registered for bulk :func:`release_caches`."""
+    ck, handles = eager_checkpoint(df)
+    for h in handles:
+        track_rdd(h)
+    return ck
 
 
 def track_rdd(handle) -> None:

@@ -311,13 +311,7 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
     The materialization is node-scaled (tiny next to the edge work);
     consumers read leaves.
     """
-    from map_reduce_mongodb_spark.cache import track_rdd
-
-    def _leaf(df: DataFrame) -> DataFrame:
-        ck, handles = _checkpoint(df)
-        for h in handles:
-            track_rdd(h)
-        return ck
+    from map_reduce_mongodb_spark.cache import checkpoint_leaf as _leaf
 
     order = {t: i for i, t in enumerate(thresholds)}
     out: list[tuple[float, DataFrame]] = [None] * len(thresholds)  # type: ignore

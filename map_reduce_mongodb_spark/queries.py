@@ -9069,15 +9069,9 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r9 union-duplication sweep): un-materialized, every reuse
     re-ran the ε-graph degree aggregate — the corpus-pair-scaled
     cost — up to 4× per query."""
-    from map_reduce_mongodb_spark.cache import eager_checkpoint, track_rdd
+    from map_reduce_mongodb_spark.cache import checkpoint_leaf as _leaf
     from map_reduce_mongodb_spark.operators.graph import (
         connected_components)
-
-    def _leaf(df: DataFrame) -> DataFrame:
-        ck, handles = eager_checkpoint(df)
-        for h in handles:
-            track_rdd(h)
-        return ck
 
     min_pts = 3
     emb = table(spark, "embeddings", sf_dir)
@@ -9092,7 +9086,12 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_semi")
           .join(core.select(F.col("id").alias("id_b")), "id_b",
                 "left_semi"))
-    cc = connected_components(ce, src="id_a", dst="id_b")
+    # leaf cc BEFORE it enters both branches of ccall's union —
+    # un-leafed, the single checkpoint job that materializes ccall
+    # evaluates the CC label aggregate once per branch (the exact
+    # duplication signature the registry sweep flags, hidden here
+    # only because the checkpoint replaces the plan with a leaf)
+    cc = _leaf(connected_components(ce, src="id_a", dst="id_b"))
     ccall = _leaf(cc.unionByName(
         core.join(cc.select(F.col("id")), "id", "left_anti")
         .select("id", F.col("id").alias("cc"))))
@@ -12181,8 +12180,9 @@ _REWIRED: dict[str, int] = {
     # ONE shared purchase-matrix build, the event-time lane onto
     # zone-free epoch_us_ntz (same values under UTC; different
     # physical expression), and the ivf_kmeans gate onto probe_all
-    # derived from the shared index.
-    "dup_graph_threshold_sweep": 8,
+    # derived from the shared index. (dup_graph_threshold_sweep was
+    # rewired here too; its live entry is the r9 one below — Python
+    # keeps the LAST duplicate key, so don't re-add an 8 entry.)
     "supplier_cf_similarity": 8, "supplier_cf_similarity_capped": 8,
     "events_interarrival": 8, "events_time_weighted_avg": 8,
     "funnel_time_to_convert": 8, "events_range_frame": 8,

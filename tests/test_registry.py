@@ -33,6 +33,34 @@ def test_rewired_names_all_registered():
     assert not missing, f"_REWIRED typos: {missing}"
 
 
+def test_rewired_literal_has_no_duplicate_keys():
+    """A duplicate key in the _REWIRED dict literal is silently
+    shadowed by Python (last wins) — the runtime dict can't see it, so
+    a stale earlier entry would quietly win back if the newer block is
+    ever reordered or deleted (r9 self-review found exactly this:
+    dup_graph_threshold_sweep listed under both r8 and r9). Parse the
+    source and assert literal-level uniqueness."""
+    import ast
+
+    src = (REPO / "map_reduce_mongodb_spark" / "queries.py").read_text()
+    tree = ast.parse(src)
+    lit = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.target.id == "_REWIRED"):
+            lit = node.value
+        elif (isinstance(node, ast.Assign)
+                and any(isinstance(t, ast.Name) and t.id == "_REWIRED"
+                        for t in node.targets)):
+            lit = node.value
+    assert isinstance(lit, ast.Dict), "_REWIRED dict literal not found"
+    keys = [k.value for k in lit.keys if isinstance(k, ast.Constant)]
+    assert len(keys) == len(lit.keys), "_REWIRED keys must be literals"
+    dupes = sorted({k for k in keys if keys.count(k) > 1})
+    assert not dupes, f"_REWIRED duplicate keys (last wins): {dupes}"
+
+
 def test_window_covers_never_reported_queries():
     """Every registered query with no row in ANY committed
     CORRECTNESS artifact must sit inside the driver's window before
@@ -187,13 +215,19 @@ def test_bench_summary_carries_retry_adjusted_headline(
         "queries": {"a": 1.0, "b": 1.0}, "sf": 0.001,
         "value_production": 2.0, "retries": {"b": [1.5, 1.0]},
         "value_first_attempt": 2.5, "value_retry_adjusted": 2.0,
+        "value_baseline_covered": 1.0,
         "baseline_total": 1.9, "retry_budget_starved": [],
+        "queries_without_baseline": ["b"],
     })
     import json as _json
     lines = capsys.readouterr().out.strip().splitlines()
     short = _json.loads(lines[-1])
     assert short["value_retry_adjusted"] == 2.0
     assert short["baseline_total"] == 1.9
+    # the ratio's numerator leg must ride the short line too — when
+    # this run has queries the committed baseline lacks, the covered
+    # subset (not value_retry_adjusted) is what baseline_total anchors
+    assert short["value_baseline_covered"] == 1.0
     full = _json.loads(lines[-2])
     assert full["value_first_attempt"] == 2.5
     assert full["retry_budget_starved"] == []

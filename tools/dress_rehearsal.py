@@ -95,7 +95,13 @@ def main() -> int:
             b = b.config(k, v)
         spark = b.getOrCreate()
     else:
-        spark = get_spark(app_name="dress-rehearsal")
+        # honor --master (and the --fault-inject auto-upgrade to a
+        # maxFailures>1 master) in the repo-conf path too — without
+        # this, --fault-inject without --bare got a maxFailures=1
+        # session and every injected attempt-0 failure was fatal
+        spark = get_spark(app_name="dress-rehearsal",
+                          master=(args.master
+                                  if args.master != "local[*]" else None))
     if args.checkpoint_dir:
         # flips cache.eager_checkpoint's auto-switch to reliable
         # DataFrame.checkpoint (files under this dir; delete the dir
