@@ -84,30 +84,35 @@ def main() -> int:
     else:
         names = list(QUERIES)[:_DRIVER_WINDOW]
 
-    if args.bare:
-        from pyspark.sql import SparkSession
-        b = (SparkSession.builder.appName("dress-rehearsal-bare")
-             .master(args.master)
-             .config("spark.ui.enabled", "false")
-             .config("spark.ui.showConsoleProgress", "false"))
-        for kv in args.conf:
-            k, _, v = kv.partition("=")
-            b = b.config(k, v)
-        spark = b.getOrCreate()
-    else:
-        # honor --master (and the --fault-inject auto-upgrade to a
-        # maxFailures>1 master) in the repo-conf path too — without
-        # this, --fault-inject without --bare got a maxFailures=1
-        # session and every injected attempt-0 failure was fatal
-        spark = get_spark(app_name="dress-rehearsal",
+    def build_session():
+        if args.bare:
+            from pyspark.sql import SparkSession
+            b = (SparkSession.builder.appName("dress-rehearsal-bare")
+                 .master(args.master)
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.ui.showConsoleProgress", "false"))
+            for kv in args.conf:
+                k, _, v = kv.partition("=")
+                b = b.config(k, v)
+            s = b.getOrCreate()
+        else:
+            # honor --master (and the --fault-inject auto-upgrade to
+            # a maxFailures>1 master) in the repo-conf path too —
+            # without this, --fault-inject without --bare got a
+            # maxFailures=1 session and every injected attempt-0
+            # failure was fatal
+            s = get_spark(app_name="dress-rehearsal",
                           master=(args.master
                                   if args.master != "local[*]" else None))
-    if args.checkpoint_dir:
-        # flips cache.eager_checkpoint's auto-switch to reliable
-        # DataFrame.checkpoint (files under this dir; delete the dir
-        # after the sweep — the cleanCheckpoints conf is
-        # creation-time-only, not runtime-settable)
-        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
+        if args.checkpoint_dir:
+            # flips cache.eager_checkpoint's auto-switch to reliable
+            # DataFrame.checkpoint (files under this dir; delete the
+            # dir after the sweep — the cleanCheckpoints conf is
+            # creation-time-only, not runtime-settable)
+            s.sparkContext.setCheckpointDir(args.checkpoint_dir)
+        return s
+
+    spark = build_session()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
@@ -142,6 +147,35 @@ def main() -> int:
         except Exception:
             status = "ERROR\n" + traceback.format_exc(limit=8)
             bad.append(name)
+            # A fatal executor error (an OOM under a pathological
+            # sweep config, say) kills the local SparkContext; every
+            # later query would then ERROR on the corpse and the
+            # sweep verdict would be unreadable (the first forced-
+            # spill sweep lost 120 queries this way). Detect the dead
+            # context, drop session-bound cache state (the shared
+            # materializations hold DataFrames of the dead session),
+            # and rebuild so the sweep keeps diagnosing per-query.
+            try:
+                dead = spark.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                dead = True
+            if dead:
+                from map_reduce_mongodb_spark import cache
+                try:
+                    cache.release_caches()
+                except Exception:
+                    pass
+                cache._LIVE.clear()
+                cache._LIVE_RDDS.clear()
+                cache.clear_shared()
+                try:
+                    spark.stop()  # clears the instantiated session
+                except Exception:
+                    pass
+                spark = build_session()
+                print(f"[{i}/{len(names)}] {name}: SparkContext died "
+                      "— session rebuilt for the remaining queries",
+                      flush=True)
         print(f"[{i}/{len(names)}] {name}: {status} "
               f"({time.time() - t0:.1f}s)", flush=True)
 
