@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 from map_reduce_mongodb_spark.cache import tracked_persist
 from map_reduce_mongodb_spark.functions.vectors import (
     cosine_unrolled,
-    dot_fold,
     dot_unrolled,
     norm_sq_unrolled,
 )
