@@ -212,18 +212,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     cands = _candidates_from_banded(
         _banded(sigs, id_col, num_hashes, bands), id_col,
         max_bucket_size)
-    a = sigs.select(F.col(id_col).alias("id_a"),
-                    F.col("shingles").alias("sh_a"))
-    b = sigs.select(F.col(id_col).alias("id_b"),
-                    F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cands, sigs, id_col, threshold,
+                           sh_col="shingles")
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -263,7 +253,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     cols = [F.col(id_col), sh.alias("sh")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols).filter(F.size("sh") > 0)
+    # persisted: FOUR consumers (tokens a/b sides, sizes sz_a/sz_b
+    # sides) — unpersisted, each re-scans the corpus and re-runs the
+    # shingle split (the dominant narrow-stage cost; verified 4 scans,
+    # 0 reused exchanges in the physical plan — r9 review). Same
+    # boundary the minhash/prefix siblings draw.
+    base = tracked_persist(
+        df.select(*cols).filter(F.size("sh") > 0))
     sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
     blk = ["blk"] if block_col else []
     tokens = base.select(F.col(id_col), *blk,
@@ -325,10 +321,15 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     n it was built with) defines the scores, so callers must not pass
     a conflicting ``shingle_n`` expecting it to apply (ADVICE r8)."""
     if base is None:
-        base = (df.select(F.col(id_col),
-                          word_shingles(F.col(text_col), shingle_n)
-                          .alias("sh"))
-                .filter(F.size("sh") > 0))
+        # persisted for the same reason as ngram_jaccard_pairs: four
+        # consumers (tokens a/b, sizes sz_a/sz_b) would each re-run
+        # the shingle extraction. A caller-supplied base is already a
+        # materialized leaf (shared parquet) — no second boundary.
+        base = tracked_persist(
+            df.select(F.col(id_col),
+                      word_shingles(F.col(text_col), shingle_n)
+                      .alias("sh"))
+            .filter(F.size("sh") > 0))
     sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
     tokens = base.select(F.col(id_col), F.explode("sh").alias("g"))
     if max_shingle_df is not None:
@@ -826,9 +827,18 @@ def _md5_banded(df: DataFrame, text_col: str, id_col: str,
 
 
 def _verify_jaccard(cands: DataFrame, base: DataFrame, id_col: str,
-                    threshold: float) -> DataFrame:
-    a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+                    threshold: float, sh_col: str = "sh") -> DataFrame:
+    """True-Jaccard verification of candidate pairs against the
+    distinct-shingle-set table. ONE definition for every candidate
+    path (md5 twins AND the xxhash64 lanes — r9 review folded
+    minhash_dedup_pairs' inline copy in here): union = |a|+|b|−inter,
+    valid because the shingle arrays are DISTINCT by construction
+    (word_shingles / hashed_word_shingles default distinct=True) — no
+    array_union allocation per pair."""
+    a = base.select(F.col(id_col).alias("id_a"),
+                    F.col(sh_col).alias("sh_a"))
+    b = base.select(F.col(id_col).alias("id_b"),
+                    F.col(sh_col).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (

@@ -104,7 +104,11 @@ def map_reduce_counters(df: DataFrame, map_fn: MapFn,
 
     Semantics match :func:`map_reduce` for counter values: summing a
     single value reproduces it verbatim (the single-value passthrough
-    rule), and ``out=`` merges a previous output as peer values. Use
+    rule), and ``out=`` merges a previous output as peer values. One
+    documented divergence: a counter field that appears in NONE of a
+    key's emits renders as ``0`` here, where the generic passthrough
+    would omit the key from the JSON (rendering a fixed field set is
+    what makes the JVM-side re-serialization possible). Use
     the generic :func:`map_reduce` only when the reduce logic genuinely
     isn't a counter merge — and prefer native DataFrame aggregations
     over this façade entirely for new code (see module doc)."""
@@ -112,8 +116,17 @@ def map_reduce_counters(df: DataFrame, map_fn: MapFn,
     if out is not None:
         mapped = mapped.unionByName(out.select("_id", "value"))
     fields = sorted(counter_fields)  # json.dumps(sort_keys=True) parity
+    # coalesce(sum, 0): F.sum ignores NULLs, so a field absent from
+    # SOME of a key's emits sums over the present ones — but a field
+    # absent from EVERY emit sums to NULL, and the null-propagating
+    # F.concat below would render the key's whole value as NULL (not
+    # JSON). Such a field renders as 0 instead (r9 review; the
+    # single-value passthrough divergence — the generic reducer would
+    # omit the key — is documented above).
     agg = mapped.groupBy("_id").agg(*[
-        F.sum(F.get_json_object("value", f"$.{f}").cast("long")).alias(f)
+        F.coalesce(
+            F.sum(F.get_json_object("value", f"$.{f}").cast("long")),
+            F.lit(0)).alias(f)
         for f in fields
     ])
     parts: list = [F.lit("{")]

@@ -66,9 +66,12 @@ def gram_matrix_int(embeddings: DataFrame, vec_col: str = "embedding",
         s_arr[int(r["i"])] = int(r["s"])
         mx = max(mx, int(r["mx"]))
     n = int(embeddings.count())
-    assert 4 * n ** 3 * mx * mx < 2 ** 62, (
-        f"int64 Gram overflow risk at n={n}, max|xq|={mx}: "
-        "lower scale_bits")
+    if not 4 * n ** 3 * mx * mx < 2 ** 62:
+        # ValueError, not assert: python -O strips asserts and a
+        # wrapped int64 Gram matrix is a silently wrong answer
+        raise ValueError(
+            f"int64 Gram overflow risk at n={n}, max|xq|={mx}: "
+            "lower scale_bits")
 
     sb = s_arr.copy()
 

@@ -63,6 +63,46 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
     )
 
 
+def _l2_normalized(embeddings: DataFrame, dim: int, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(id, vn): L2-normalize once — the shared prep for every
+    exact-cosine path. ONE definition on purpose (r9 review): the
+    norm (norm_sq_unrolled) and per-element double division are part
+    of the bit-exactness contract with the SQL oracle, and three
+    drifting copies of it were the risk."""
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        F.sqrt(norm_sq_unrolled(vec_col, dim)).alias("_n"),
+    ).select(
+        "id",
+        F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
+        .alias("vn"))
+
+
+def _cosine_epilogue(pairs: DataFrame, dim: int,
+                     threshold: float) -> DataFrame:
+    """Shared scoring tail: exact cosine via the left-associated JVM
+    fold (bit-identical to the SQL oracle), round to 6, threshold."""
+    return (pairs.withColumn("cosine",
+                             F.round(dot_unrolled("va", "vb", dim), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def _verify_cosine(cand: DataFrame, vnorm: DataFrame, dim: int,
+                   threshold: float) -> DataFrame:
+    """Exact-verify epilogue shared by the candidate-generator paths:
+    join the normalized vectors back by id on both sides of each
+    (id_a, id_b) candidate, then score/threshold."""
+    pairs = (
+        cand
+        .join(vnorm.select(F.col("id").alias("id_a"),
+                           F.col("vn").alias("va")), "id_a")
+        .join(vnorm.select(F.col("id").alias("id_b"),
+                           F.col("vn").alias("vb")), "id_b"))
+    return _cosine_epilogue(pairs, dim, threshold)
+
+
 def embedding_dup_pairs_exact(embeddings: DataFrame, threshold: float,
                               dim: int = 64, id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
@@ -75,25 +115,13 @@ def embedding_dup_pairs_exact(embeddings: DataFrame, threshold: float,
     expansion; both sides are repartitioned because a nested-loop
     join's parallelism is its streamed side's partition count."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-
-    def normed(idname, vname):
-        base = embeddings.select(
-            F.col(id_col).alias(idname), F.col(vec_col).alias("_v"),
-            F.sqrt(norm_sq_unrolled(vec_col, dim)).alias("_n"))
-        return base.select(
-            idname,
-            F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
-            .alias(vname)).repartition(par)
-
-    a = normed("id_a", "va")
-    b = normed("id_b", "vb")
+    vn = _l2_normalized(embeddings, dim, id_col, vec_col)
+    a = (vn.select(F.col("id").alias("id_a"), F.col("vn").alias("va"))
+         .repartition(par))
+    b = (vn.select(F.col("id").alias("id_b"), F.col("vn").alias("vb"))
+         .repartition(par))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cosine",
-                         F.round(dot_unrolled("va", "vb", dim), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _cosine_epilogue(pairs, dim, threshold)
 
 
 def _estimate_rows(df: DataFrame) -> int | None:
@@ -207,9 +235,13 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float,
     buckets to discriminate. Tested against the exact baseline on
     planted near-dup fixtures in tests/test_similarity.py."""
     buckets = lsh_bucket_arrays(dim, n_planes, n_tables, seed)
-    bk = embeddings.select(
+    # persisted: BOTH sides of the candidate self-join consume bk —
+    # unpersisted, the Arrow bucketing UDF and posexplode run over
+    # the full corpus twice (r9 review; same boundary ann_lsh_topk
+    # draws on its bucketed table).
+    bk = tracked_persist(embeddings.select(
         F.col(id_col).alias("id"), buckets(vec_col).alias("bks"),
-    ).select("id", F.posexplode("bks").alias("tbl", "bucket"))
+    ).select("id", F.posexplode("bks").alias("tbl", "bucket")))
     cand = (
         bk.select(F.col("id").alias("id_a"), "tbl", "bucket")
         .join(bk.select(F.col("id").alias("id_b"), "tbl", "bucket"),
@@ -218,26 +250,9 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float,
         .select("id_a", "id_b")
         .distinct()
     )
-    vn = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
-        F.sqrt(norm_sq_unrolled(vec_col, dim)).alias("_n"),
-    ).select(
-        "id",
-        F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
-        .alias("vn"))
-    pairs = (
-        cand
-        .join(vn.select(F.col("id").alias("id_a"), F.col("vn").alias("va")),
-              "id_a")
-        .join(vn.select(F.col("id").alias("id_b"), F.col("vn").alias("vb")),
-              "id_b")
-    )
-    return (
-        pairs.withColumn("cosine",
-                         F.round(dot_unrolled("va", "vb", dim), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _verify_cosine(
+        cand, _l2_normalized(embeddings, dim, id_col, vec_col),
+        dim, threshold)
 
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
@@ -348,26 +363,9 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
                     "id_b": np.concatenate(out_b)})
 
     cand = bp.mapInPandas(score, "id_a long, id_b long")
-    vn = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
-        F.sqrt(norm_sq_unrolled(vec_col, dim)).alias("_n"),
-    ).select(
-        "id",
-        F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
-        .alias("vn"))
-    pairs = (
-        cand
-        .join(vn.select(F.col("id").alias("id_a"), F.col("vn").alias("va")),
-              "id_a")
-        .join(vn.select(F.col("id").alias("id_b"), F.col("vn").alias("vb")),
-              "id_b")
-    )
-    return (
-        pairs.withColumn("cosine",
-                         F.round(dot_unrolled("va", "vb", dim), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _verify_cosine(
+        cand, _l2_normalized(embeddings, dim, id_col, vec_col),
+        dim, threshold)
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
@@ -1060,8 +1058,13 @@ def nsw_candidates(embeddings: DataFrame, query_ids: list[int],
         out_q, out_n = [], []
         if probe_all:
             comp = _nsw_component(adj, 0) if len(X) else []
-            assert len(comp) == len(X), (
-                "NSW spanning invariant violated: graph disconnected")
+            if len(comp) != len(X):
+                # the probe_all exactness contract rests on this;
+                # raise (not assert — python -O strips asserts and
+                # the gate would pass vacuously on a partial set)
+                raise RuntimeError(
+                    "NSW spanning invariant violated: graph "
+                    "disconnected")
             for qid, _ in qrows:
                 out_q.extend([qid] * len(comp))
                 out_n.extend(int(ids[c]) for c in comp)
@@ -1258,15 +1261,17 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int],
         cents = kmeans_centroids(embeddings, n_centroids, n_iters, dim,
                                  id_col, vec_col)
     if books is None:
-        rdf = tracked_persist(
-            ivf_residuals(embeddings, cents, id_col, vec_col)
-            .repartition(_data_sized_partitions(embeddings)))
-        books = pq_train(rdf, m=m, ks=ks, dim=dim, id_col="vec_id",
-                         vec_col="resid", normalize=False)
+        # compose the build from the helpers above (ONE copy of the
+        # index-build recipe — r9 review replaced an inlined verbatim
+        # duplicate that could drift): one shared residual frame feeds
+        # both training and encoding.
+        rdf = ivfpq_residual_frame(embeddings, cents, id_col, vec_col)
+        books = ivfpq_train_books(embeddings, cents, m=m, ks=ks,
+                                  dim=dim, id_col=id_col,
+                                  vec_col=vec_col, resid=rdf)
         if codes is None:
-            codes = (pq_encode(rdf, books, id_col="vec_id",
-                               vec_col="resid", normalize=False)
-                     .join(rdf.select("vec_id", "cell"), "vec_id"))
+            codes = ivfpq_encode_codes(embeddings, cents, books,
+                                       id_col, vec_col, resid=rdf)
     if codes is None:
         codes = ivfpq_encode_codes(embeddings, cents, books,
                                    id_col, vec_col)
@@ -1278,7 +1283,13 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int],
         # ANY centroids" exactness contract.
         nprobe = len(cents)
         rows = _estimate_rows(embeddings)
-        rerank = max(rerank, (rows or 10_000_000) + 1)
+        if rows is None:
+            # exactness-gate path: a guessed constant could UNDERSIZE
+            # the rerank cut on a large non-parquet-backed corpus and
+            # silently void the brute-force contract — pay the exact
+            # count (probe_all is a test/gate mode, never production)
+            rows = embeddings.count()
+        rerank = max(rerank, rows + 1)
 
     cids = np.array([c for c, _ in cents], dtype=np.int32)
     M = np.array([vec for _, vec in cents], dtype=np.float64)

@@ -37,7 +37,16 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
     ``right.ts <= left.ts`` sharing the `by` key (direction='backward';
     'forward' mirrors it). Right payload columns come back prefixed
     ``asof_`` (NULL when no match). Ties on ts: the right row at the
-    exact left timestamp matches (<=), consistent with DuckDB ASOF."""
+    exact left timestamp matches (<=), consistent with DuckDB ASOF.
+
+    DUPLICATE right rows at the same (by, ts) resolve to the GREATEST
+    payload struct (field-wise comparison, left-to-right in
+    ``payload_cols`` order) — the payload struct is the window's final
+    sort key, so the carried value is deterministic under any
+    partition layout / task retry instead of whichever duplicate
+    happened to sort last (r9 review). Consequence: payload columns
+    must be of orderable types (no maps) — an unorderable payload now
+    fails loudly at analysis instead of running nondeterministically."""
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     l_tag = left.select(
@@ -58,11 +67,15 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
     )
     unioned = l_tag.unionByName(r_tag)
     if direction == "backward":
-        # right row at ts T must precede a left row at T: order (ts, side)
-        w = (Window.partitionBy(by).orderBy(F.asc(ts), F.asc("_is_left"))
+        # right row at ts T must precede a left row at T: order
+        # (ts, side, payload) — the payload tiebreak makes duplicate
+        # right (by, ts) rows resolve deterministically (last = max)
+        w = (Window.partitionBy(by)
+             .orderBy(F.asc(ts), F.asc("_is_left"), F.asc("_r"))
              .rowsBetween(Window.unboundedPreceding, 0))
     else:
-        w = (Window.partitionBy(by).orderBy(F.desc(ts), F.asc("_is_left"))
+        w = (Window.partitionBy(by)
+             .orderBy(F.desc(ts), F.asc("_is_left"), F.asc("_r"))
              .rowsBetween(Window.unboundedPreceding, 0))
     carried = unioned.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
     out = carried.filter(F.col("_is_left") == 1).select(

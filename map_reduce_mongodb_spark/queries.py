@@ -12213,6 +12213,16 @@ _REWIRED: dict[str, int] = {
     # core/ccall tables — now eagerly checkpointed (identical
     # values; different physical plan).
     "dup_graph_threshold_sweep": 9, "dbscan_embeddings": 9,
+    # r9 operator review (same values; different physical plan):
+    # the shared shingle base in the inverted-index dedup operators
+    # is now persisted (was re-derived 4x per query), minhash verify
+    # folded into _verify_jaccard (sizes-minus-inter union formula —
+    # equal on distinct shingle sets), asof_join gained the
+    # payload-struct tiebreak for duplicate right timestamps, and the
+    # counters fast path coalesces all-missing fields to 0.
+    "ngram_jaccard_pairs": 9, "ngram_jaccard_pairs_fast": 9,
+    "minhash_dedup_pairs": 9, "asof_join_purchases": 9,
+    "mapreduce_wordcount": 9,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

@@ -67,6 +67,26 @@ def test_counter_fast_path_equals_generic_reduce(spark):
     assert native2 == generic2
 
 
+def test_counter_field_absent_from_all_emits_renders_zero(spark):
+    """A counter field that appears in NONE of a key's emits must
+    render as 0, not poison the whole value to NULL: F.sum of the
+    missing field is NULL and F.concat is null-propagating, so before
+    the coalesce the key's entire value column came back NULL (not
+    JSON) — r9 review. The divergence from the generic passthrough
+    (which would omit the key) is documented on the operator."""
+    import json as _json
+
+    from map_reduce_mongodb_spark.operators.mapreduce import (
+        map_reduce_counters)
+
+    df = _docs(spark, [(1, "only_a")])
+    mr = lambda d: [(d["text"], {"a": 1})]  # never emits "b"
+    rows = {r["_id"]: r["value"]
+            for r in map_reduce_counters(df, mr, ["a", "b"]).collect()}
+    assert rows["only_a"] is not None
+    assert _json.loads(rows["only_a"]) == {"a": 1, "b": 0}
+
+
 def test_persisted_merge_into_store(spark, tmp_path):
     """Persisted out:{reduce}: two successive jobs merging into one
     parquet-backed store must equal a single job over all input, and

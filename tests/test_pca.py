@@ -56,7 +56,10 @@ def test_gram_overflow_guard(spark):
     big = spark.createDataFrame(
         [(i, [1e6, 1e6]) for i in range(4000)],
         "vec_id long, embedding array<float>")
-    with pytest.raises(AssertionError, match="overflow"):
+    # ValueError, not AssertionError: the guard must survive
+    # python -O (asserts are stripped; a wrapped Gram matrix is a
+    # silently wrong answer)
+    with pytest.raises(ValueError, match="overflow"):
         gram_matrix_int(big)
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from map_reduce_mongodb_spark.operators.temporal import range_count
 
 
@@ -24,6 +26,30 @@ def test_range_count_preserves_duplicate_left_rows(spark):
     out = range_count(left, right, by="user", ts="ts", delta_seconds=60)
     rows = sorted((r.user, r.n_in_range) for r in out.collect())
     assert rows == [("u1", 1), ("u1", 1), ("u2", 0)]
+
+
+def test_asof_join_duplicate_right_ts_resolves_to_max_payload(spark):
+    """Duplicate right rows at the same (by, ts) must resolve
+    DETERMINISTICALLY — to the greatest payload struct (the window's
+    final sort key), not to whichever duplicate happened to sort last
+    under one partition layout (r9 review: (ts, side) alone is not a
+    total order, so the carried value could flap across runs/task
+    retries)."""
+    from map_reduce_mongodb_spark.operators.temporal import asof_join
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 12, 0, 30))], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", t0, 10.0), ("k", t0, 30.0), ("k", t0, 20.0)],
+        "k string, ts timestamp, price double")
+    for _ in range(3):  # repeated runs must agree
+        out = asof_join(left, right, by="k", ts="ts",
+                        payload_cols=["price"]).collect()
+        assert [r.asof_price for r in out] == [30.0]
+    fwd = asof_join(left.select("k", F.lit(t0).alias("ts")),
+                    right, by="k", ts="ts", payload_cols=["price"],
+                    direction="forward").collect()
+    assert [r.asof_price for r in fwd] == [30.0]
 
 
 def test_interval_overlap_pairs_canonical_cell_dedup(spark):
