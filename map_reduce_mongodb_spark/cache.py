@@ -88,9 +88,17 @@ def shared_parquet(spark: SparkSession, key: str,
     isolation mode) simply rebuild: correctness never depends on a hit.
     """
     if key not in _SHARED:
+        import hashlib
         import re
         import time
-        fname = re.sub(r"[^A-Za-z0-9_.-]+", "_", key)
+
+        # readable sanitized prefix + hash of the RAW key: sanitizing
+        # alone maps distinct keys like 'labels:sf0.1' / 'labels/sf0.1'
+        # to the same file, and the second build would silently
+        # overwrite the first key's data under every consumer
+        # (r9 review)
+        fname = (re.sub(r"[^A-Za-z0-9_.-]+", "_", key)
+                 + "-" + hashlib.md5(key.encode()).hexdigest()[:10])
         path = f"{_shared_dir()}/{fname}"
         t0 = time.perf_counter()
         _CURRENT_BUILD.append(key)

@@ -20,6 +20,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _dot_terms(a: str, b: str, dim: int, el) -> str:
+    """The ONE term/paren structure behind every dot variant — Spark
+    and DuckDB renderings differ only in the element accessor ``el``
+    (r9 review folded three verbatim copies in here: the bit-identical
+    cross-engine contract is this op sequence, and independently
+    edited copies could silently reassociate it)."""
+    return " + ".join(
+        f"CAST({el(a, i)} AS DOUBLE) * CAST({el(b, i)} AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
 def dot_unrolled(a: str, b: str, dim: int) -> Column:
     """Left-associated unrolled dot product of two array<float> columns
     (1-based element_at, matching the SQL oracle's `arr[i]`).
@@ -28,21 +40,14 @@ def dot_unrolled(a: str, b: str, dim: int) -> Column:
     Column arithmetic costs thousands of py4j round-trips per plan
     (measured ~20s of pure driver time for the ANN query); a single
     parsed SQL string is milliseconds and yields the identical tree."""
-    return F.expr(" + ".join(
-        f"CAST(element_at({a}, {i}) AS DOUBLE)"
-        f" * CAST(element_at({b}, {i}) AS DOUBLE)"
-        for i in range(1, dim + 1)
-    ))
+    return F.expr(_dot_spark_sql(a, b, dim))
 
 
 def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
     """The DuckDB-side twin of :func:`dot_unrolled` (DuckDB's ``arr[i]``
     is 1-based like element_at; the term/paren structure matches so the
     float op sequence is identical)."""
-    return " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-        for i in range(1, dim + 1)
-    )
+    return _dot_terms(a, b, dim, lambda c, i: f"{c}[{i}]")
 
 
 def norm_sq_unrolled(a: str, dim: int) -> Column:
@@ -56,11 +61,7 @@ def norm_sq_unrolled_sql(a: str, dim: int) -> str:
 def _dot_spark_sql(a: str, b: str, dim: int) -> str:
     """Spark-SQL dot string — element_at (1-based) NOT `arr[i]`, which
     is 0-based in Spark but 1-based in DuckDB."""
-    return " + ".join(
-        f"CAST(element_at({a}, {i}) AS DOUBLE)"
-        f" * CAST(element_at({b}, {i}) AS DOUBLE)"
-        for i in range(1, dim + 1)
-    )
+    return _dot_terms(a, b, dim, lambda c, i: f"element_at({c}, {i})")
 
 
 def cosine_unrolled(a: str, b: str, dim: int) -> Column:
@@ -101,8 +102,9 @@ def jl_sign_matrix(dim: int = 64, k: int = 16) -> list[list[int]]:
 
 def jl_component_sql(a: str, signs: list[int], scale: str) -> str:
     """One projected component as left-associated SQL: scale * (±a[1]
-    ±a[2] ...). Identical text for Spark (element_at) and DuckDB when
-    ``a``-indexing is routed through :func:`_el` below."""
+    ±a[2] ...), rendered with Spark's ``element_at``. The DuckDB twin
+    substitutes ``a[i]`` indexing in the caller's oracle string (the
+    term order is what matters for bit-identity, and it is shared)."""
     terms = []
     for i, s in enumerate(signs, start=1):
         op = "+" if s > 0 else "-"

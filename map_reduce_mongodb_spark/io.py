@@ -55,15 +55,21 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     import zipfile
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join("/tmp", f"mrms_pkg_{os.getpid()}.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+    # ALWAYS rebuild (once per process, guarded by the sc flag above):
+    # reusing an existing file keyed on pid alone would ship a STALE
+    # zip when a later process collides on pid after the package was
+    # edited (routine where the entrypoint pid is stable and /tmp
+    # persists) — workers would then import old code while the driver
+    # runs new code (r9 review). The zip is tiny; the rebuild is
+    # cheaper than the hazard.
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
     sc.addPyFile(zip_path)
     setattr(sc, flag, True)
 

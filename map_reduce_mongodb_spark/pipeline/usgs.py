@@ -219,16 +219,24 @@ def export_features(joined: DataFrame) -> DataFrame:
     (inner-join semantics, documented decision SURVEY.md N5).
     """
     return (
-        joined.filter(
-            F.col("value.properties.streamFlow").isNotNull()
-            & F.col("value.properties.gageHeight").isNotNull()
-        )
+        joined.filter(_export_predicate())
         .select(
             F.lit("Feature").alias("type"),
             F.col("value.properties").alias("properties"),
             F.col("value.geometry").alias("geometry"),
         )
     )
+
+
+def _export_predicate() -> F.Column:
+    """THE stage-4 export rule (SURVEY.md N5: keep sites with BOTH
+    readings) — one definition shared by :func:`export_features` and
+    :func:`usgs_flat_join`, so a future change to the rule cannot
+    update one face and silently leave the other on the old semantics
+    (r9 review)."""
+    props = F.col("value.properties")
+    return (props["streamFlow"].isNotNull()
+            & props["gageHeight"].isNotNull())
 
 
 def feature_collection(exported: DataFrame) -> DataFrame:
@@ -252,8 +260,7 @@ def usgs_flat_join(events: DataFrame) -> DataFrame:
                          order_key=F.col("_id").cast("long"))
     props = F.col("value.properties")
     return (
-        joined.filter(props["streamFlow"].isNotNull()
-                      & props["gageHeight"].isNotNull())
+        joined.filter(_export_predicate())
         .select(
             F.col("_id").alias("site"),
             F.try_element_at(F.col("value.geometry.coordinates"), F.lit(1))

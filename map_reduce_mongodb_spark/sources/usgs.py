@@ -180,8 +180,13 @@ try:  # pyspark>=4 API; gate so the batch path works everywhere
             for _state, url in partition.fetches:
                 with urlopen(url) as resp:  # noqa: S310 (file:// in tests)
                     payload = _json.load(resp)
-                for element in (payload.get("value") or {}) \
-                        .get("timeSeries", []):
+                # `or []`, not .get(key, []): an explicit JSON
+                # "timeSeries": null returns None from .get and the
+                # default never applies (the one null-guard this file
+                # was missing — r9 review; the batch twin's PERMISSIVE
+                # read handles the same document as zero rows)
+                for element in ((payload.get("value") or {})
+                                .get("timeSeries") or []):
                     yield _row_from_element(element)
 
     def _row_from_element(element: dict):

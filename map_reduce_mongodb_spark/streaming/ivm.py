@@ -81,5 +81,14 @@ def additive_replay_stream(update_batches: list[DataFrame],
     q = foreach_batch(stream, combine,
                       checkpoint=os.path.join(work_dir, "ckpt"),
                       query_name="ivm_replay", available_now=True)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a timed-out replay means the fold is INCOMPLETE — returning
+        # the partial state would silently violate the module's
+        # replay≡direct-aggregate invariant (and the still-running
+        # query would keep overwriting state_path underneath the
+        # returned frame) — fail loudly instead (r9 review)
+        q.stop()
+        raise TimeoutError(
+            "ivm replay did not finish within 300s; partial state "
+            f"at {state_path} NOT returned")
     return spark.read.parquet(state_path)

@@ -136,12 +136,25 @@ def user_profiles_tws(events: DataFrame) -> DataFrame:
     oracle. The processor class is defined in-function so cloudpickle
     ships it by value (bare-sys.path drivers).
 
-    ENVIRONMENT-GATED: the transformWithState driver worker needs
-    ``google.protobuf`` (its state-server protocol), which this
-    sandbox does not ship — the test skips when the import is
-    missing, the same discipline as the MongoDB connector path."""
+    The transformWithState driver worker needs ``google.protobuf``
+    (its state-server protocol); the test runs it in a subprocess
+    with the sandbox's pure-Python protobuf runtime on PYTHONPATH
+    (NOTES_r9 — the former skip-gate is closed)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor)
+    from pyspark.sql.types import TimestampType
+
+    # Same LTZ→NTZ-UTC normalization as user_profiles_stateful (the
+    # r7 bug class): without it, Arrow hands the processor the
+    # session-LOCAL rendering of an LTZ ts and it flows unchanged
+    # into the NTZ first/last_ts outputs — shifted by the session
+    # offset on a non-UTC box. This twin silently lacked the guard
+    # (r9 review); the semantics claim above requires it.
+    if isinstance(events.schema["ts"].dataType, TimestampType):
+        from pyspark.sql import functions as F
+
+        from map_reduce_mongodb_spark.streaming.windows import ntz_utc
+        events = events.withColumn("ts", ntz_utc(F.col("ts")))
 
     class ProfileProcessor(StatefulProcessor):
         def init(self, handle) -> None:

@@ -63,6 +63,10 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # window function below converts exposed timestamps back to NTZ
     # UTC fields via ntz_utc() before returning.
     if _ts_is_nanos(path):
+        # same defensive conf the batch path (io.table) sets: nanos
+        # only map to BIGINT under the legacy conf, and the caller's
+        # session may not come from get_spark() (r9 review)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         stream = spark.readStream.schema(
             _EVENTS_DDL.format(ts_type="long")).parquet(path)
         return stream.withColumn(

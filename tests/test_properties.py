@@ -44,6 +44,43 @@ def test_falsy_coalesce_matches_js(spark, corpus):
     assert got == want
 
 
+# --- 1b. falsy_coalesce_num ≡ JS `||` for numeric operands -----------
+
+numbers = st.one_of(
+    st.none(),
+    st.sampled_from([0.0, -0.0, float("nan"), 1.0, -1.0, 0.5]),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e6, max_value=1e6),
+)
+
+
+def js_or_num(value, default=-999.0):
+    """JS `value || default` for a number: falsy = null/0/NaN."""
+    import math
+    if value is None or value == 0 or (isinstance(value, float)
+                                       and math.isnan(value)):
+        return default
+    return value
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(numbers, min_size=1, max_size=30))
+def test_falsy_coalesce_num_matches_js(spark, corpus):
+    """The numeric twin was defined but never executed anywhere
+    (r9 review) — pin its NULL/0/NaN falsiness against the JS model
+    the docstring claims, same harness as the string variant."""
+    from map_reduce_mongodb_spark.functions.scalar import (
+        falsy_coalesce_num)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(corpus)],
+                               "i int, v double")
+    got = {r.i: r.out for r in df.select(
+        "i", falsy_coalesce_num(F.col("v"), -999.0).alias("out"))
+        .collect()}
+    want = {i: js_or_num(v) for i, v in enumerate(corpus)}
+    assert got == want
+
+
 # --- 2/3. merge-agg properties over generated (site, code, val) rows --
 
 rows_strategy = st.lists(

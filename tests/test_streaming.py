@@ -207,6 +207,12 @@ sess = (SparkSession.builder.appName("tws-pin").master("local[4]")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", "4")
+        # NON-UTC session on purpose: the LTZ ts input must normalize
+        # to NTZ UTC inside BOTH operators — pre-r9-fix the TWS twin
+        # skipped the normalization and first/last_ts came back
+        # shifted by the session offset (this config + the timestamp
+        # comparison below is what catches it)
+        .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider")
@@ -216,9 +222,9 @@ stream = (sess.readStream.schema(SCHEMA)
           .option("pathGlobFilter", "events.parquet").parquet(SF))
 run_to_memory_sink(user_profiles_tws(stream), "tws_sink",
                    output_mode="update")
-got = {{r.user_id: (r.n_events, r.total_value)
+got = {{r.user_id: (r.n_events, r.total_value, r.first_ts, r.last_ts)
         for r in sess.table("tws_sink").collect()}}
-want = {{r.user_id: (r.n_events, r.total_value)
+want = {{r.user_id: (r.n_events, r.total_value, r.first_ts, r.last_ts)
          for r in user_profiles_stateful(
              sess.read.option("pathGlobFilter", "events.parquet")
              .schema(SCHEMA).parquet(SF)).collect()}}

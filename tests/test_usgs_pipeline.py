@@ -127,6 +127,25 @@ def test_python_datasource_partition_per_state(spark, tmp_path):
     assert got == want
 
 
+def test_python_datasource_null_timeseries_yields_zero_rows(
+        spark, tmp_path):
+    """An explicit ``"timeSeries": null`` response (a state with no
+    data) must yield zero rows, not a task-killing TypeError:
+    ``.get("timeSeries", [])`` returns None for a JSON null and the
+    default never applies — the one null-guard the source was missing
+    (r9 review; the batch reader handles the same document as zero
+    rows via the PERMISSIVE read)."""
+    (tmp_path / "usgs_sn.json").write_text(
+        '{"value": {"timeSeries": null}}')
+    template = f"file://{tmp_path}/usgs_{{state}}.json"
+    spark.dataSource.register(USGSDataSource)
+    df = (spark.read.format("usgs")
+          .option("states", "sn")
+          .option("url_template", template)
+          .load())
+    assert df.count() == 0
+
+
 def test_python_datasource_bounded_concurrency(spark):
     """SURVEY O1's rate-limit promise: concurrency=N caps in-flight
     fetches by chunking states into N partitions whose fetches run
