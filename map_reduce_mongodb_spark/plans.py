@@ -84,6 +84,64 @@ def union_duplicate_subtrees(df: DataFrame) -> list[str]:
     return flags
 
 
+def duplicated_shuffle_exchanges(df: DataFrame) -> int:
+    """Count of ``ShuffleExchangeExec`` nodes in the PHYSICAL plan
+    that are canonically equal to an earlier one yet not folded into a
+    ``ReusedExchange`` — i.e. the same shuffle paid twice. Spark's
+    ReuseExchange rule (on by default) normally dedupes these, so a
+    nonzero count means either the rule was defeated (a plan shape it
+    cannot see through) or reuse is disabled; either way the plan
+    repeats its most expensive physical work. Complements
+    :func:`union_duplicate_subtrees`: that audit catches LOGICAL
+    duplication the optimizer itself introduces or keeps; this one
+    certifies the physical plan carries each distinct shuffle once.
+    Audit with AQE OFF for a meaningful static answer — under AQE the
+    pre-execution plan predates the adaptive stage cache's runtime
+    reuse (identical stages dedupe only as they execute), while
+    AQE-off planning applies ReuseExchange statically, so the AQE-off
+    count is the conservative bound on paid shuffles (r9 registry
+    sweep: 0 across all 260 queries — pinned by the sweep test with
+    a reuse-disabled positive control)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    seen: dict[int, object] = {}
+    dups = 0
+    for node in _walk_physical(plan):
+        if node.getClass().getSimpleName() != "ShuffleExchangeExec":
+            continue
+        key = node.canonicalized().semanticHash()
+        if key in seen and node.sameResult(seen[key]):
+            dups += 1
+        else:
+            seen.setdefault(key, node)
+    return dups
+
+
+def _walk_physical(node):
+    """Physical-plan walk that sees through the wrapper nodes whose
+    ``children()`` is EMPTY: ``AdaptiveSparkPlanExec`` holds its real
+    tree in ``initialPlan`` (a leaf to the generic walk — the
+    detector's own positive control caught this twice: without the
+    unwrap every AQE-wrapped plan audits vacuously clean, and
+    ``inputPlan`` is the PRE-EnsureRequirements tree that carries no
+    exchanges at all), and query-stage wrappers hold theirs in
+    ``plan``. ``ReusedExchangeExec`` is deliberately NOT descended:
+    it IS the dedupe marker, and its referenced child was already
+    counted where it physically lives."""
+    name = node.getClass().getSimpleName()
+    if name == "ReusedExchangeExec":
+        yield node
+        return
+    yield node
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.initialPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_physical(node.plan())
+        return
+    for c in _children(node):
+        yield from _walk_physical(c)
+
+
 def _dup_key(node, kind: str):
     """Hashable 'same physical work' key. Join/Window: Catalyst's own
     semanticHash (full subtree). Aggregate: (child, grouping keys)

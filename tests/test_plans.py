@@ -606,15 +606,49 @@ def test_registry_unions_never_duplicate_expensive_subtrees(spark):
     assert union_duplicate_subtrees(bad), \
         "detector failed its own positive control"
 
-    allowlist: dict[str, str] = {}
-    hits = {}
-    for name, fn in QUERIES.items():
-        if name in allowlist:
-            continue
-        flags = union_duplicate_subtrees(fn(spark, SF_DIR))
-        if flags:
-            hits[name] = flags
+    from map_reduce_mongodb_spark.plans import (
+        duplicated_shuffle_exchanges)
+
+    # The exchange audit runs with AQE OFF: under AQE the static plan
+    # predates runtime stage-reuse (identical stages are deduped by
+    # the adaptive stage cache only as they execute, invisible to a
+    # pre-execution walk), while AQE-off planning applies the classic
+    # ReuseExchange rule statically — so "duplicated exchanges with
+    # AQE off" is the conservative static bound on paid shuffles
+    # (AQE's runtime reuse is at least as good).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # detector self-check: with exchange reuse ALSO off, a
+        # self-joined aggregate pays its shuffle twice and must flag
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        twice = j.select(F.col("c_mktsegment").alias("k"), "n").join(
+            j.select(F.col("c_mktsegment").alias("k"),
+                     F.col("n").alias("m")), "k")
+        assert duplicated_shuffle_exchanges(twice) > 0, \
+            "exchange detector failed its own positive control"
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+
+        allowlist: dict[str, str] = {}
+        hits = {}
+        xdups = {}
+        for name, fn in QUERIES.items():
+            if name in allowlist:
+                continue
+            df = fn(spark, SF_DIR)
+            flags = union_duplicate_subtrees(df)
+            if flags:
+                hits[name] = flags
+            # same pass: each distinct shuffle must be paid once
+            # (ReuseExchange-folded or absent; a new nonzero is a
+            # silent-recompute regression)
+            d = duplicated_shuffle_exchanges(df)
+            if d:
+                xdups[name] = d
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert not hits, f"union duplicates expensive subtrees: {hits}"
+    assert not xdups, f"duplicated physical shuffles: {xdups}"
 
 
 def test_scd2_apply_single_scan_single_join(spark):
