@@ -95,6 +95,35 @@ def _checkpoint_checksummed(edges: DataFrame):
     return ck, handles, (int(got["n"]), int(got["h"]))
 
 
+def symmetrize(pairs: DataFrame, id_a: str = "id_a",
+               id_b: str = "id_b") -> DataFrame:
+    """Undirected (id_a < id_b) pair list → both directed
+    orientations, the standard prelude to degree counts / neighbor
+    expansion over a dedup-pair table. ONE definition (r9 review
+    folded 8 verbatim copies in queries.py here): this is exactly the
+    union shape the union-duplication sweep audits — both branches
+    read the SAME (materialized) pair table, which is the legitimate
+    form — so the idiom's contract lives next to the audit that
+    polices it."""
+    return pairs.union(pairs.select(F.col(id_b).alias(id_a),
+                                    F.col(id_a).alias(id_b)))
+
+
+def cluster_assignments(labels: DataFrame,
+                        id_out: str = "doc_id") -> DataFrame:
+    """Component labels ``(id, cc)`` → per-member cluster rows
+    ``(id_out, cluster_id, cluster_size)`` — the keep-one-per-cluster
+    assignment contract (cluster_id = component-min id), defined once
+    for every label consumer (r9 review: the text and embedding
+    cluster queries carried verbatim copies)."""
+    sizes = labels.groupBy("cc").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "cc")
+            .select(F.col("id").alias(id_out),
+                    F.col("cc").alias("cluster_id"),
+                    F.col("cluster_size")))
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25) -> DataFrame:
     """Label every node of the undirected graph `edges` with the

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_mongodb_spark.cache import release_caches
 from map_reduce_mongodb_spark.io import table
+from map_reduce_mongodb_spark.operators.graph import symmetrize
 from map_reduce_mongodb_spark.pipeline.usgs import usgs_flat_join
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -102,6 +103,26 @@ def q_usgs_site_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return usgs_flat_join(table(spark, "events", sf_dir))
 
 
+def _usgs_synth_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (site, lon, lat) synthesized from events — the Spark
+    twin of ``_USGS_SITES_CTE`` below. ONE definition (r9 review: two
+    byte-identical copies meant a change to the site-synthesis
+    formula — the lpad width, the lon/lat offsets — could silently
+    break exactly one of the two consuming oracle checks)."""
+    events = table(spark, "events", sf_dir)
+    return (events.filter(F.col("event_id") % 17 != 0)
+            .select(F.concat(F.lit("S"),
+                             F.lpad(F.col("user_id").cast("string"),
+                                    6, "0")).alias("site"),
+                    (F.col("user_id") % 360 - 180).cast("double")
+                    .alias("_lon0"),
+                    (F.col("user_id") % 180 - 90).cast("double")
+                    .alias("_lat0"))
+            .select("site", (F.col("_lon0") + 0.5).alias("lon"),
+                    (F.col("_lat0") + 0.25).alias("lat"))
+            .distinct())
+
+
 #: The site-coordinates CTE shared by the nearest-sites oracle: the
 #: distinct (site, lon, lat) triples the flagship pipeline derives.
 _USGS_SITES_CTE = """
@@ -141,18 +162,7 @@ def q_usgs_nearest_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells only, never all pairs (implemented:
     operators/spatial.py:radius_pairs, oracle-proven lossless by
     `usgs_sites_within_radius`)."""
-    events = table(spark, "events", sf_dir)
-    sites = (events.filter(F.col("event_id") % 17 != 0)
-             .select(F.concat(F.lit("S"),
-                              F.lpad(F.col("user_id").cast("string"),
-                                     6, "0")).alias("site"),
-                     (F.col("user_id") % 360 - 180).cast("double")
-                     .alias("_lon0"),
-                     (F.col("user_id") % 180 - 90).cast("double")
-                     .alias("_lat0"))
-             .select("site", (F.col("_lon0") + 0.5).alias("lon"),
-                     (F.col("_lat0") + 0.25).alias("lat"))
-             .distinct())
+    sites = _usgs_synth_sites(spark, sf_dir)
     a = sites.select(F.col("site"), F.col("lon").alias("lon_a"),
                      F.col("lat").alias("lat_a"))
     b = sites.select(F.col("site").alias("neighbor"),
@@ -510,7 +520,12 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, "customer", sf_dir)
     opens = table(spark, "orders", sf_dir).filter(
         F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
-    return customer.select("c_custkey").exceptAll(opens).distinct()
+    # subtract() IS the oracle's EXCEPT (distinct) in one operator;
+    # the former exceptAll().distinct() matched only because c_custkey
+    # is unique on the left (a duplicated left row surviving once in
+    # exceptAll would wrongly survive the distinct) and paid an extra
+    # aggregate (r9 review)
+    return customer.select("c_custkey").subtract(opens)
 
 
 @query("set_ops_all", oracle="""
@@ -1673,13 +1688,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_cc_labels`); the oracle computes the same components with
     a recursive transitive-closure CTE (min reachable id == component
     min on an undirected graph)."""
-    labels = _cc_labels(spark, sf_dir)
-    sizes = labels.groupBy("cc").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(sizes, "cc")
-                  .select(F.col("id").alias("doc_id"),
-                          F.col("cc").alias("cluster_id"),
-                          F.col("cluster_size")))
+    from map_reduce_mongodb_spark.operators.graph import (
+        cluster_assignments)
+    return cluster_assignments(_cc_labels(spark, sf_dir),
+                               id_out="doc_id")
 
 
 @query("dedup_survivors", oracle=_CC_CTE + """
@@ -2303,7 +2315,12 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mapreduce_wordcount", oracle=r"""
 WITH words AS (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+  -- empty/whitespace-only docs: Python ''.split() yields NO tokens,
+  -- but string_split_regex('', ...) yields [''] — filter them here
+  -- so both sides agree (r9 review; latent until such a doc lands)
+  WHERE length(trim(text)) > 0)
 SELECT w AS _id,
        '{"count": ' || count(*) || '}' AS value
 FROM words
@@ -4525,6 +4542,27 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _funnel_stage_anchors(events: DataFrame):
+    """(v, c, p): per-user first_view / first_click / first_purchase
+    anchors where each stage happens STRICTLY ('>') after the user's
+    first prior-stage event — THE ordered-funnel contract, defined
+    once (r9 review: both funnel queries carried verbatim copies, so
+    a semantics change — e.g. '>' vs '>=' for simultaneous events —
+    could leave the two registered funnels disagreeing about what a
+    conversion is)."""
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("first_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_click")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c.select("user_id", "first_click"), "user_id")
+         .filter(F.col("ts") > F.col("first_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    return v, c, p
+
+
 @query("funnel_conversion", oracle="""
 WITH v AS (
   SELECT user_id, min(ts) AS first_view
@@ -4553,17 +4591,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, and AQE may broadcast the shrinking stage anchors at
     scale. The per-user anchor frames stay distributed — only the
     final three counts are scalars."""
-    events = table(spark, "events", sf_dir)
-    v = (events.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
-    c = (events.filter(F.col("event_type") == "click")
-         .join(v, "user_id")
-         .filter(F.col("ts") > F.col("first_view"))
-         .groupBy("user_id").agg(F.min("ts").alias("first_click")))
-    p = (events.filter(F.col("event_type") == "purchase")
-         .join(c, "user_id")
-         .filter(F.col("ts") > F.col("first_click"))
-         .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    v, c, p = _funnel_stage_anchors(table(spark, "events", sf_dir))
     return (v.agg(F.count(F.lit(1)).alias("n_view"))
             .join(c.agg(F.count(F.lit(1)).alias("n_view_click")))
             .join(p.agg(F.count(F.lit(1))
@@ -5163,13 +5191,10 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives everything from exact all-pairs cosine + a recursive
     transitive-closure CTE. Labels come from the once-materialized
     `_semantic_cc_labels` (shared with `semantic_dedup_survivors`)."""
-    labels = _semantic_cc_labels(spark, sf_dir)
-    sizes = labels.groupBy("cc").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(sizes, "cc")
-            .select(F.col("id").alias("vec_id"),
-                    F.col("cc").alias("cluster_id"),
-                    "cluster_size"))
+    from map_reduce_mongodb_spark.operators.graph import (
+        cluster_assignments)
+    return cluster_assignments(_semantic_cc_labels(spark, sf_dir),
+                               id_out="vec_id")
 
 
 def _emb_survivors_oracle(dim: int = 64, threshold: float = 0.4) -> str:
@@ -5255,8 +5280,7 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-13, six orders below the rounding quantum."""
     from map_reduce_mongodb_spark.cache import tracked_persist
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     deg = sym.groupBy("id_a").agg(
         F.count(F.lit(1)).cast("double").alias("deg"))
     nodes = deg.select(F.col("id_a").alias("id"))
@@ -5745,6 +5769,17 @@ def q_scd2_events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     The replayed dimension is built once per process
     (cache.shared_parquet) — repeat callers read the materialization,
     matching how a streaming pipeline's consumers read its sink."""
+    return _scd2_replay_dim(spark, sf_dir)
+
+
+def _scd2_replay_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared materialized SCD2 replay dimension — the private
+    helper consumers call DIRECTLY (the `_cc_labels` pattern).
+    Consumers must NOT call through ``QUERIES["scd2_events_replay"]``:
+    the registry wrapper runs ``release_caches()`` on entry, which
+    would drop any tracked cache / kill any checkpoint the CALLING
+    query built before the call (r9 review — latent while the call
+    was the consumer's first statement)."""
     import atexit
     import shutil
     import tempfile
@@ -6093,18 +6128,8 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str
     joins (all keyed by user_id); output is per-user BIGINT
     microseconds, fully deterministic."""
     from map_reduce_mongodb_spark.functions.scalar import epoch_us_ntz
-    events = table(spark, "events", sf_dir)
     us = lambda col: epoch_us_ntz(F.col(col))  # noqa: E731  zone-free
-    v = (events.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
-    c = (events.filter(F.col("event_type") == "click")
-         .join(v, "user_id")
-         .filter(F.col("ts") > F.col("first_view"))
-         .groupBy("user_id").agg(F.min("ts").alias("first_click")))
-    p = (events.filter(F.col("event_type") == "purchase")
-         .join(c.select("user_id", "first_click"), "user_id")
-         .filter(F.col("ts") > F.col("first_click"))
-         .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    v, c, p = _funnel_stage_anchors(table(spark, "events", sf_dir))
     return (c.join(v, "user_id").join(p, "user_id", "left")
             .select("user_id",
                     (us("first_click") - us("first_view"))
@@ -6175,18 +6200,7 @@ def q_usgs_sites_within_radius(spark: SparkSession, sf_dir: str
     unrounded. See operators/spatial.py for pair-once accounting and
     the hot-cell skew dial."""
     from map_reduce_mongodb_spark.operators.spatial import radius_pairs
-    events = table(spark, "events", sf_dir)
-    sites = (events.filter(F.col("event_id") % 17 != 0)
-             .select(F.concat(F.lit("S"),
-                              F.lpad(F.col("user_id").cast("string"),
-                                     6, "0")).alias("site"),
-                     (F.col("user_id") % 360 - 180).cast("double")
-                     .alias("_lon0"),
-                     (F.col("user_id") % 180 - 90).cast("double")
-                     .alias("_lat0"))
-             .select("site", (F.col("_lon0") + 0.5).alias("lon"),
-                     (F.col("_lat0") + 0.25).alias("lat"))
-             .distinct())
+    sites = _usgs_synth_sites(spark, sf_dir)
     return (radius_pairs(sites, "site", "lon", "lat", 3.0)
             .select(F.col("id_a").alias("site_a"),
                     F.col("id_b").alias("site_b"), "dist2"))
@@ -6929,8 +6943,7 @@ def q_dup_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_mongodb_spark.cache import track_rdd
     from map_reduce_mongodb_spark.operators.graph import _checkpoint
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     edges = sym.select(F.col("id_a").alias("src"),
                        F.col("id_b").alias("dst"))
     dist = (edges.select("src").distinct()
@@ -6998,8 +7011,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_mongodb_spark.cache import track_rdd
     from map_reduce_mongodb_spark.operators.graph import _checkpoint
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     edges = sym.select(F.col("id_a").alias("src"),
                        F.col("id_b").alias("dst"))
     seeds = (edges.select("src").distinct()
@@ -7955,8 +7967,7 @@ def q_dup_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_mongodb_spark.cache import track_rdd, tracked_persist
     from map_reduce_mongodb_spark.operators.graph import _checkpoint
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     deg = sym.groupBy("id_a").agg(
         F.count(F.lit(1)).cast("double").alias("deg"))
     nodes = deg.select(F.col("id_a").alias("id"))
@@ -8009,8 +8020,7 @@ def q_dup_graph_degree_hist(spark: SparkSession, sf_dir: str
     shared 0.7-Jaccard pair table; output is bounded by the max
     degree."""
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("degree"))
     return (deg.groupBy("degree")
             .agg(F.count(F.lit(1)).alias("n_nodes")))
@@ -8338,7 +8348,7 @@ def q_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly a second reader of the dimension table, not a second
     replay). The oracle runs the same two as-of selections over the
     relationally reconstructed version chain."""
-    dim = QUERIES["scd2_events_replay"](spark, sf_dir)
+    dim = _scd2_replay_dim(spark, sf_dir)
 
     def asof(t: str, suffix: str) -> DataFrame:
         return (dim.where(
@@ -8401,7 +8411,9 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str
 WITH d AS (
   SELECT user_id,
          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
-  FROM events),
+  FROM events
+  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        BETWEEN 0 AND 63),
 m AS (
   SELECT user_id,
          bit_or(CAST(1 AS BIGINT) << di) AS activity_mask,
@@ -8424,12 +8436,20 @@ def q_user_activity_bitmap(spark: SparkSession, sf_dir: str
     commutative/associative — partial masks merge exactly); a year+
     horizon shards the mask by epoch-month into an array of int64
     lanes, same plan shape. Pure integer arithmetic in both
-    engines."""
+    engines.
+
+    The window is EXPLICITLY bounded to di ∈ [0, 63] on both sides
+    (r9 review): outside it the engines silently diverge — Spark's
+    ``shiftleft`` wraps the shift amount mod 64 (di=64 collides with
+    day 0, di=-1 sets bit 63) while DuckDB's ``<<`` does not — so an
+    event outside the covered window must be excluded, not wrapped
+    into a wrong bit."""
     e = table(spark, "events", sf_dir)
-    d = e.select(
+    d = (e.select(
         "user_id",
         F.datediff(F.col("ts").cast("date"),
                    F.lit("2024-01-01").cast("date")).alias("di"))
+        .filter(F.col("di").between(0, 63)))
     m = (d.groupBy("user_id")
          .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), di))")
               .alias("activity_mask"),
@@ -8792,8 +8812,7 @@ def q_dup_graph_local_clustering(spark: SparkSession, sf_dir: str
     The triangle SET is orientation-independent, so the id-ordered
     oracle states the same per-node counts."""
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("degree"))
     da = deg.select("id_a", F.col("degree").alias("deg_a"))
     db = deg.select(F.col("id_a").alias("id_b"),
@@ -9076,8 +9095,7 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_pts = 3
     emb = table(spark, "embeddings", sf_dir)
     pairs = _embedding_pairs_04(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("d"))
     core = _leaf(deg.where(F.col("d") >= min_pts - 1)
                  .select(F.col("id_a").alias("id")))
@@ -10621,10 +10639,14 @@ def q_dup_graph_assortativity(spark: SparkSession, sf_dir: str
     discipline). Reads the shared 0.7-Jaccard pair table; the only
     joins attach the vocab-bounded degree table to the edge list."""
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
+    sym = symmetrize(pairs)
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("d"))
-    n_nodes = deg.count()
+    # n_nodes as a LAZY broadcast 1-row aggregate (the dup_graph_stats
+    # form), not deg.count(): an eager driver action here ran the
+    # degree aggregate at DataFrame-BUILD time (mis-attributed to the
+    # build phase in bench) and then again inside the returned plan
+    # (r9 review; "no .count() on the driver" — dup_graph_pagerank).
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     ed = (sym.join(deg.select(F.col("id_a").alias("_s"),
                               F.col("d").alias("da")),
                    sym["id_a"] == F.col("_s"))
@@ -10638,8 +10660,9 @@ def q_dup_graph_assortativity(spark: SparkSession, sf_dir: str
                   F.sum(F.expr("da * da")).alias("saa"),
                   F.sum(F.expr("db * db")).alias("sbb"))
     return (mrow.where(F.expr(_ASSORT_DEN) > 0)
+            .crossJoin(F.broadcast(nn))
             .select(F.col("m").alias("n_directed_edges"),
-                    F.lit(n_nodes).cast("long").alias("n_nodes"),
+                    "n_nodes",
                     F.round(F.expr(f"({_ASSORT_NUM}) / ({_ASSORT_DEN})"),
                             6).alias("assortativity")))
 
@@ -11597,7 +11620,18 @@ def q_supplier_cf_similarity(spark: SparkSession, sf_dir: str
     e = _cf_purchase_matrix(spark, sf_dir)
     nrm = e.groupBy("s").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
-    a, b = e.alias("a"), e.alias("b")
+    return _cf_topk(e, nrm)
+
+
+def _cf_topk(edges: DataFrame, nrm: DataFrame) -> DataFrame:
+    """The CF scoring tail shared by the production query and its
+    capped skew-dial gate (r9 review folded two verbatim ~30-line
+    copies in here — the capped twin exists to certify the EXACT
+    scoring the production query runs, so one drifting copy would
+    silently desynchronize the gate from what it certifies): inverted-
+    index self-join on the customer key, both directions exploded
+    from ONE evaluation, norm joins, cosine, per-supplier top-3."""
+    a, b = edges.alias("a"), edges.alias("b")
     dots = (a.join(b, (F.col("a.c") == F.col("b.c"))
                    & (F.col("a.s") < F.col("b.s")))
             .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
@@ -11690,35 +11724,10 @@ def q_supplier_cf_similarity_capped(spark: SparkSession, sf_dir: str
     e = _cf_purchase_matrix(spark, sf_dir)
     nrm = e.groupBy("s").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
-    ecap = cap_group_fanout(e, "c", 8, order_col="s")
-    a, b = ecap.alias("a"), ecap.alias("b")
-    dots = (a.join(b, (F.col("a.c") == F.col("b.c"))
-                   & (F.col("a.s") < F.col("b.s")))
-            .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
-            .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long")
-                 .alias("dot")))
-    # both directions from ONE evaluation of the self-join (a union
-    # would re-execute the dominant inverted-index join per branch)
-    sym = (dots.select(F.explode(F.array(
-               F.struct("sa", "sb", "dot"),
-               F.struct(F.col("sb").alias("sa"),
-                        F.col("sa").alias("sb"), F.col("dot")),
-           )).alias("_p")).select("_p.*"))
-    na = nrm.select(F.col("s").alias("sa"), F.col("n2").alias("na"))
-    nb = nrm.select(F.col("s").alias("sb"), F.col("n2").alias("nb"))
-    scored = (sym.join(na, "sa")
-              .join(nb, "sb")
-              .select("sa", "sb",
-                      (F.col("dot").cast("double")
-                       / (F.sqrt(F.col("na").cast("double"))
-                          * F.sqrt(F.col("nb").cast("double"))))
-                      .alias("cosine")))
-    w = Window.partitionBy("sa").orderBy(F.desc("cosine"), F.asc("sb"))
-    return (scored.withColumn("rank",
-                              F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= 3)
-            .select(F.col("sa").alias("suppkey"), "rank",
-                    F.col("sb").alias("neighbor"), "cosine"))
+    # norms from the UNCAPPED matrix (the certified contract: the cap
+    # filters candidate pairs, not the supplier vectors), then the
+    # ONE shared scoring tail the production twin runs
+    return _cf_topk(cap_group_fanout(e, "c", 8, order_col="s"), nrm)
 
 
 @query("audio_silence_runs", oracle=_AUDIO_BITS_CTE + """,
@@ -12223,6 +12232,14 @@ _REWIRED: dict[str, int] = {
     "ngram_jaccard_pairs": 9, "ngram_jaccard_pairs_fast": 9,
     "minhash_dedup_pairs": 9, "asof_join_purchases": 9,
     "mapreduce_wordcount": 9,
+    # r9 queries.py review: the activity bitmap gained the explicit
+    # di∈[0,63] window on BOTH sides (Spark shiftleft wraps mod 64,
+    # DuckDB << does not — out-of-window events now excluded, not
+    # wrapped), assortativity's n_nodes became a lazy broadcast
+    # aggregate (was an eager driver count), and set_except moved to
+    # subtract() (EXCEPT-distinct in one operator).
+    "user_activity_bitmap": 9, "dup_graph_assortativity": 9,
+    "set_except": 9,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or
