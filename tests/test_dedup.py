@@ -30,6 +30,17 @@ def test_exact_dedup_survivors(spark):
     assert groups.agg(F.sum("n_dups")).collect()[0][0] == docs.count()
     # survivors keep the original schema
     assert survivors.columns == docs.columns
+    # IDENTITY, not just count (r9 test review: count/schema alone
+    # pass for a wrong-survivor regression, e.g. min_by flipping to
+    # max_by): the survivor of every content group must be exactly
+    # the MIN doc_id, computed independently here
+    from map_reduce_mongodb_spark.functions.text import fingerprint
+    want = {r[0] for r in
+            docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+            .groupBy("fp").agg(F.min("doc_id").alias("d"))
+            .select("d").collect()}
+    got = {r[0] for r in survivors.select("doc_id").collect()}
+    assert got == want
 
 
 def test_minhash_finds_planted_near_dups(spark):

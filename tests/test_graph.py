@@ -118,6 +118,37 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     total = sum(r.pagerank for r in rows)
     assert abs(total - 1.0) < 1e-3, total
     assert all(r.pagerank > 0 for r in rows)
+    # the docstring's promised hub assertion, for real (r9 test
+    # review: sum==1 + all-positive also holds for the UNITERATED
+    # uniform vector, so a zero-iteration regression passed).
+    # Conditional on the graph's ACTUAL structure: uniform is the
+    # correct stationary vector whenever every edge joins EQUAL-degree
+    # endpoints (each component locally regular — this fixture's dup
+    # graph is pairs and cliques, so global degree diversity alone
+    # does NOT imply score spread; verified by hand on the fixture).
+    # Score spread is required exactly when some edge joins nodes of
+    # different degree.
+    from map_reduce_mongodb_spark.operators.graph import symmetrize
+    from map_reduce_mongodb_spark.queries import _jaccard_pairs_07
+    sym = symmetrize(_jaccard_pairs_07(spark, SF_DIR)
+                     .select("id_a", "id_b"))
+    deg = sym.groupBy("id_a").count()
+    mixed_edge = (sym
+                  .join(deg.withColumnRenamed("id_a", "_s")
+                        .withColumnRenamed("count", "da"),
+                        sym["id_a"] == F.col("_s"))
+                  .join(deg.withColumnRenamed("id_a", "_t")
+                        .withColumnRenamed("count", "db"),
+                        sym["id_b"] == F.col("_t"))
+                  .where(F.col("da") != F.col("db")).count() > 0)
+    scores = sorted(r.pagerank for r in rows)
+    if mixed_edge:
+        assert scores[-1] > scores[0], \
+            "irregular graph but uniform pagerank — did the power " \
+            "loop run?"
+    else:
+        assert abs(scores[-1] - scores[0]) < 1e-9, \
+            "locally-regular graph must score uniformly"
 
 
 def test_pagerank_releases_iteration_blocks(spark):

@@ -77,6 +77,18 @@ def test_media_features_shape(spark):
     feats = media_features(_media(spark)).collect()
     assert all(len(r.feature) == FEATURE_DIM for r in feats)
     assert all(0.0 <= x <= 1.0 for r in feats for x in r.feature)
+    # non-degenerate, payload-derived (r9 test review: shape+range
+    # alone pass for a constant default vector from a silently failed
+    # parse): different payloads must map to different vectors, and
+    # at least one vector must vary across its own dimensions
+    vecs = {r.media_id: tuple(r.feature) for r in feats}
+    assert len(set(vecs.values())) > 1, "all feature vectors identical"
+    assert any(len(set(v)) > 1 for v in vecs.values()), \
+        "every vector is constant across dimensions"
+    # deterministic: same payloads → same features
+    again = {r.media_id: tuple(r.feature)
+             for r in media_features(_media(spark)).collect()}
+    assert vecs == again
 
 
 def test_sample_frames_video_only(spark):
@@ -86,6 +98,19 @@ def test_sample_frames_video_only(spark):
     assert [r.media_type for r in got_types.collect()] == ["video"]
     per_video = frames.groupBy("media_id").count().collect()
     assert per_video and all(r["count"] >= 1 for r in per_video)
+    # the STRIDE contract, asserted exactly (r9 test review: count>=1
+    # + video-only also hold for an operator that ignores `every`):
+    # per video, emitted indices must be exactly {0, 8, 16, ...} up
+    # to that video's frame count
+    n_frames = {r.media_id: r.n_frames
+                for r in decode_media(media).collect()
+                if r.media_type == "video"}
+    got_idx: dict = {}
+    for r in frames.select("media_id", "frame_idx").collect():
+        got_idx.setdefault(r.media_id, set()).add(r.frame_idx)
+    assert got_idx, "no video frames sampled"
+    for mid, idxs in got_idx.items():
+        assert idxs == set(range(0, n_frames[mid], 8)), (mid, idxs)
 
 
 def test_resize_images_real_resample(spark):

@@ -41,7 +41,13 @@ def test_partitioned_write_prunes_at_read(spark, lang_partitioned_docs):
     assert "PartitionFilters" in p
     seg = p.split("PartitionFilters")[1][:200]
     assert "lang" in seg, seg
-    # the data filter section must NOT re-check lang (pruned earlier)
+    # the data-filter section must NOT re-check lang — asserted for
+    # real now (r9 test review: this was a comment-only invariant):
+    # between "DataFilters" and the next bracket-delimited section,
+    # lang must not appear (it was pruned at the directory level)
+    if "DataFilters" in p:
+        dseg = p.split("DataFilters")[1].split("]")[0]
+        assert "lang" not in dseg, dseg
     en_rows = df.count()
     want = (table(spark, "documents", SF_DIR)
             .where(F.col("lang") == "en").count())

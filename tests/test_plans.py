@@ -110,6 +110,12 @@ def test_new_queries_prune_columns(spark):
     for name in ("pii_scrub", "seq_packing_ffd", "vocab_coverage"):
         p = plan(QUERIES[name](spark, SF_DIR))
         read_schema = p.split("ReadSchema")[1].split("\n")[0]
+        # positive control first (r9 test review: absence-only asserts
+        # pass vacuously if the split no longer lands on the documents
+        # scan's struct after a rendering/plan change)
+        assert "text" in read_schema or "doc_id" in read_schema, \
+            f"{name}: ReadSchema split missed the documents scan: " \
+            f"{read_schema}"
         assert "n_chars" not in read_schema, name
         assert "source" not in read_schema, name
 
@@ -282,7 +288,16 @@ def test_q21_join_build_sides_pinned(spark):
     may shuffle only on that key. Pinned per VERDICT r3 #7."""
     p = plan(QUERIES["q21_suppliers_kept_waiting"](spark, SF_DIR))
     assert p.count("BroadcastHashJoin") >= 2   # orders build + supplier
-    assert "l_orderkey" in p
+    # keyed probes, enforced for real (r9 test review: a bare
+    # `"l_orderkey" in p` is vacuous — every lineitem scan's
+    # ReadSchema contains it): any shuffle this plan performs must
+    # hash-partition on l_orderkey, and no nested-loop/cartesian
+    # probe shape may appear
+    import re
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert all("l_orderkey" in g for g in parts), parts
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_rrf_fusion_topk_cuts_avoid_global_sort(spark):
@@ -539,9 +554,14 @@ def test_gap_p90_lag_windows_are_user_scoped(spark):
     global order-by window."""
     ext = plan(QUERIES["event_gap_p90"](spark, SF_DIR), mode="extended")
     import re
-    for m in re.finditer(r"lag\([^)]*\) windowspecdefinition\(([^)]*)\)",
-                         ext):
-        assert "user_id" in m.group(1), m.group(0)
+    specs = re.findall(r"lag\([^)]*\) windowspecdefinition\(([^)]*)\)",
+                       ext)
+    # non-empty REQUIRED (r9 test review: a rendering drift that
+    # matches zero lag windows must fail, not pass vacuously — the
+    # sibling MAD test already guards its loop this way)
+    assert specs, "no lag windowspec matched — pattern drifted?"
+    for g in specs:
+        assert "user_id" in g, g
 
 
 def test_supplier_cf_pairs_via_inverted_index(spark):

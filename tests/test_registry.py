@@ -191,7 +191,11 @@ def test_bench_contention_telemetry_helpers():
     assert isinstance(base, dict)
     if base:  # committed tree always has one; fresh checkout may not
         assert all(isinstance(v, float) for v in base.values())
-        assert set(base) <= set(QUERIES) | set(base)  # names are query-like
+        # every baseline key must be a REGISTERED query (the old
+        # `<= set(QUERIES) | set(base)` was a tautology — r9 test
+        # review); corrupted/renamed keys would silently disable the
+        # retry arbitration for those rows
+        assert set(base) <= set(QUERIES), sorted(set(base) - set(QUERIES))
     load = bench._loadavg()
     assert load == [] or len(load) == 3
     assert bench.RETRY_FACTOR > 1.0 and bench.RETRY_FLOOR_SEC > 0

@@ -7,6 +7,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from map_reduce_mongodb_spark.io import table
 from map_reduce_mongodb_spark.streaming.windows import (
@@ -57,6 +58,16 @@ def test_streaming_dedup_drops_redelivered_rows(spark, events_stream_dir):
 
     batch = table(spark, "events", SF_DIR).select("event_id").distinct()
     n_expected = batch.count()
+    # full-row expectation, not just counts (r9 test review: the
+    # count-only compare is the class that hid the TWS timezone bug —
+    # a payload/ts corruption keeping one row per key would pass it).
+    # The stream reader's ts is LTZ over the same instants as the
+    # batch NTZ scan, so normalize both to epoch micros for compare.
+    want = {(r.event_id, r.us, r.user_id, round(r.value, 6))
+            for r in table(spark, "events", SF_DIR)
+            .select("event_id",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("us"), "user_id", "value").collect()}
     for wm, sink in [(None, "dedup_plain_test"), ("2 hours",
                                                   "dedup_wm_test")]:
         doubled = read_events_stream(spark, events_stream_dir).unionAll(
@@ -66,7 +77,12 @@ def test_streaming_dedup_drops_redelivered_rows(spark, events_stream_dir):
         run_to_memory_sink(deduped, sink, output_mode="append")
         got = spark.table(sink)
         assert got.count() == n_expected, f"{sink}: row count"
-        assert got.select("event_id").distinct().count() == n_expected
+        rows = {(r.event_id, r.us, r.user_id, round(r.value, 6))
+                for r in got.select(
+                    "event_id",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("us"), "user_id", "value").collect()}
+        assert rows == want, f"{sink}: row content"
 
 
 def test_stateful_user_profiles_stream_equals_batch(spark, events_stream_dir):
