@@ -1225,7 +1225,18 @@ GROUP BY 1
 """)
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-md5 fingerprint;
-    survivor = min doc_id. Uniform key → skew-free shuffle."""
+    survivor = min doc_id. Uniform key → skew-free shuffle.
+
+    CROSS-ENGINE CASEFOLD CONTRACT: the normalization lower()s the
+    text, and the engines disagree on FULL vs SIMPLE Unicode case
+    mapping (Spark/JDK: 'İ' → 'i' + U+0307 combining dot, two
+    codepoints; DuckDB/utf8proc: 'İ' → 'i', one) — so the md5
+    fingerprints only agree on text outside that class (all ASCII
+    does; the fixtures are pinned pure-ASCII by
+    test_corpus_is_pure_ascii). Within ONE engine the fingerprint is
+    self-consistent either way; only the cross-engine oracle check
+    carries this caveat (r9 randomized-data sweep, Turkish 'İ'
+    probe)."""
     from map_reduce_mongodb_spark.operators.dedup import exact_dedup_groups
     return exact_dedup_groups(table(spark, "documents", sf_dir))
 
@@ -4720,8 +4731,8 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text),
                 '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
        round(CAST(length(text) AS DOUBLE)
-             / len(regexp_extract_all(lower(text),
-                   '[a-z]+|[0-9]|[^a-z0-9\s]')), 4) AS chars_per_token
+             / nullif(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]|[^a-z0-9\s]')), 0), 4) AS chars_per_token
 FROM documents
 """)
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4730,7 +4741,13 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits, single punctuation — the GPT-2 pre-tokenizer shape
     reduced to an engine-portable regex) and the chars-per-token
     ratio. Pure JVM regexp_extract_all — narrow, no shuffle, scales
-    as one scan."""
+    as one scan.
+
+    Zero-token docs (empty / whitespace-only text) yield NULL
+    chars_per_token via a NULL-guarded DIVISOR on both sides (the
+    theilsen pattern): an unguarded x/0 is an ANSI DIVIDE_BY_ZERO
+    error in Spark but inf/nan in DuckDB — found by the r9
+    randomized-data sweep (the fixtures have no empty docs)."""
     docs = table(spark, "documents", sf_dir)
     bpe = F.size(F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"),
@@ -4739,7 +4756,8 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
         bpe.cast("long").alias("n_bpe_tokens"),
-        F.round(F.length("text").cast("double") / bpe, 4)
+        F.round(F.length("text").cast("double")
+                / F.when(bpe != 0, bpe), 4)
         .alias("chars_per_token"))
 
 
@@ -5736,7 +5754,8 @@ seq AS (
          lead(eff) OVER (PARTITION BY user_id ORDER BY b) AS nxt
   FROM u),
 base AS (SELECT DISTINCT user_id FROM events),
-fe AS (SELECT user_id, min(eff) AS first_eff FROM u GROUP BY user_id),
+fe AS (SELECT user_id, arg_min(eff, b) AS first_eff
+       FROM u GROUP BY user_id),
 dim AS (
   SELECT base.user_id, CAST(NULL AS DOUBLE) AS tier,
          TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
@@ -5763,7 +5782,14 @@ def q_scd2_events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned dimension; the oracle reconstructs the whole version
     chain relationally (lead() gives each version's close-out stamp),
     so a wrong merge in ANY epoch — missed close, double-apply, wrong
-    version number — breaks the hash. Not SQL-expressible as a single
+    version number — breaks the hash. Version 1's close-out is
+    ``arg_min(eff, b)`` — the eff of the FIRST EPOCH that touches the
+    user — NOT ``min(eff)``: the two coincide only while per-bucket
+    effs are monotonic in bucket order (true for the single-month
+    fixtures, where day-of-month bucketing tracks time; false for
+    multi-month data, where a later month's day-5 purchase replays in
+    epoch 1 with a later eff than epoch 2's) — r9 randomized-data
+    sweep. Not SQL-expressible as a single
     query on the Spark side: this exercises the streaming engine; the
     oracle only has a closed form because the replay is deterministic.
     The replayed dimension is built once per process
@@ -6066,7 +6092,7 @@ tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n
 SELECT c.doc_id,
        CAST(count(*) AS BIGINT) AS n_unique,
        count(*) / any_value(t.n) AS type_token_ratio,
-       round(-sum((c / t.n) * ln(c / t.n)), 6) AS entropy
+       round(-sum((c / t.n) * ln(c / t.n)), 6) + 0.0 AS entropy
 FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
 GROUP BY c.doc_id
 """)
@@ -6079,7 +6105,11 @@ def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word counts per doc, then the entropy fold); the per-term
     p·ln p values are identical doubles in both engines, so only the
     final sum needs the round-6 order defense; TTR is an exact-
-    integer/exact-double division, unrounded."""
+    integer/exact-double division, unrounded. The ``+ 0.0`` after the
+    round normalizes IEEE negative zero: a single-token doc gives
+    p=1 → -1·ln(1) = -0.0 in DuckDB but 0.0 in Spark, and the value
+    hash is repr-sensitive (r9 randomized-data sweep; fixtures have
+    no single-token docs)."""
     from map_reduce_mongodb_spark.functions.text import words
     docs = table(spark, "documents", sf_dir)
     w = docs.select("doc_id", F.explode(words(F.col("text")))
@@ -6093,7 +6123,8 @@ def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_unique"),
                  (F.count(F.lit(1)) / F.first("n"))
                   .alias("type_token_ratio"),
-                 F.round(-F.sum(p * F.log(p)), 6).alias("entropy")))
+                 (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0))
+                 .alias("entropy")))
 
 
 @query("funnel_time_to_convert", oracle="""
@@ -8416,7 +8447,9 @@ WITH d AS (
         BETWEEN 0 AND 63),
 m AS (
   SELECT user_id,
-         bit_or(CAST(1 AS BIGINT) << di) AS activity_mask,
+         bit_or(CASE WHEN di = 63 THEN -9223372036854775807 - 1
+                     ELSE CAST(1 AS BIGINT) << di END)
+           AS activity_mask,
          CAST(min(di) AS INT) AS first_day,
          CAST(max(di) AS INT) AS last_day
   FROM d GROUP BY user_id)
@@ -8443,7 +8476,11 @@ def q_user_activity_bitmap(spark: SparkSession, sf_dir: str
     ``shiftleft`` wraps the shift amount mod 64 (di=64 collides with
     day 0, di=-1 sets bit 63) while DuckDB's ``<<`` does not — so an
     event outside the covered window must be excluded, not wrapped
-    into a wrong bit."""
+    into a wrong bit. Day 63 itself (the sign bit) needs oracle-side
+    care: ``1::BIGINT << 63`` is a DuckDB overflow ERROR while
+    Spark's shiftleft wraps to min-long, so the oracle spells bit 63
+    as the min-long literal — found by the r9 randomized-data sweep
+    (the fixtures span 30 days and never reach it)."""
     e = table(spark, "events", sf_dir)
     d = (e.select(
         "user_id",
@@ -8524,7 +8561,7 @@ sel1 AS (SELECT query_id, neighbor_id, 1 AS pick, rel AS score FROM (
   FROM cand) WHERE rn = 1),
 {','.join(steps)}
 SELECT query_id, neighbor_id, CAST(pick AS INT) AS pick,
-       round(score, 6) AS score
+       round(score, 6) + 0.0 AS score
 FROM sel{k}
 """
 
@@ -8610,9 +8647,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         handles += h
     for h in handles:
         track_rdd(h)
+    # + 0.0 after the round: a tiny-negative score (float noise when a
+    # candidate duplicates a selected vector, rel ≈ ms) rounds to -0.0
+    # in DuckDB but 0.0 in Spark, and the value hash is repr-sensitive
+    # (r9 randomized-data sweep — duplicate-embedding injection).
     return sel.select("query_id", "neighbor_id",
                       F.col("pick").cast("int").alias("pick"),
-                      F.round("score", 6).alias("score"))
+                      (F.round("score", 6) + F.lit(0.0)).alias("score"))
 
 
 def _moment_formulas() -> dict[str, str]:
@@ -12240,6 +12281,15 @@ _REWIRED: dict[str, int] = {
     # subtract() (EXCEPT-distinct in one operator).
     "user_activity_bitmap": 9, "dup_graph_assortativity": 9,
     "set_except": 9,
+    # r9 randomized-data sweep (tools/gen_random_corpus.py — same
+    # schemas, different seed + in-domain edge injections): zero-token
+    # docs hit an ANSI DIVIDE_BY_ZERO (now a NULL-guarded divisor) and
+    # single-token docs rendered entropy as -0.0 in DuckDB vs 0.0 in
+    # Spark (now +0.0-normalized on both sides). Identical values on
+    # the fixtures; different physical expressions. mmr_rerank: same
+    # -0.0 class via round(tiny-negative score) when a candidate
+    # duplicates a selected vector.
+    "token_count_bpe": 9, "doc_token_entropy": 9, "mmr_rerank": 9,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or
