@@ -1,0 +1,93 @@
+"""Randomized-DATA oracle parity (the r9 axis-class addition).
+
+Every other oracle test runs on the fixed driver fixtures; this one
+generates a schema-identical corpus with a DIFFERENT seed and
+deliberate in-domain edge injections (tools/gen_random_corpus.py:
+exact ties, band-boundary values, empty/whitespace-only/single-token
+docs, duplicate + near-duplicate embeddings, multi-month events at
+the 64-day bitmap edge, a skew user) and re-checks a targeted query
+subset against DuckDB on it — the queries whose r9 randomized-data
+findings were each "one data change away" from a red driver row:
+
+- the five fixed divergences (day-63 sign-bit shift, zero-token
+  divide, two -0.0 renders, SCD2 first-epoch close-out);
+- the tie-determinism lane (asof tiebreak, funnel anchors, top-k
+  over duplicate embeddings);
+- boundary/edge consumers (l-diversity bands at exactly 0/5000,
+  wordcount over empty docs, Theil–Sen at the 1992-01-01 epoch).
+
+Full-registry randomized sweeps stay in tools/dress_rehearsal.py
+(NOTES_r9); this test keeps the axis alive in the suite at a bounded
+cost. The corpus is generated once per session into a tmp dir — the
+read-only fixtures are never touched.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from map_reduce_mongodb_spark.io import TABLE_NAMES
+from tests.conftest import assert_oracle_match
+
+# Edge-sensitive subset: every name must stay registered and oracled.
+EDGE_QUERIES = [
+    "user_activity_bitmap",
+    "token_count_bpe",
+    "doc_token_entropy",
+    "mmr_rerank",
+    "scd2_events_replay",
+    "scd2_snapshot_diff",
+    "dedup_exact_groups",
+    "asof_join_purchases",
+    "funnel_time_to_convert",
+    "events_interarrival",
+    "cosine_topk",
+    "embedding_dup_pairs",
+    "l_diversity_audit",
+    "mapreduce_wordcount",
+    "brand_theilsen_slope",
+]
+
+
+@pytest.fixture(scope="module")
+def rand_sf_dir(tmp_path_factory) -> str:
+    from tools.gen_random_corpus import gen
+    out = str(tmp_path_factory.mktemp("randsf"))
+    counts = gen(out, seed=7)
+    assert counts["events"] > 0 and counts["documents"] > 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def rand_ddb(rand_sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{rand_sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_query_matches_oracle_on_randomized_corpus(
+        spark, rand_sf_dir, rand_ddb, name):
+    from map_reduce_mongodb_spark.queries import ORACLE_SQL, QUERIES
+    assert name in QUERIES and name in ORACLE_SQL, (
+        f"{name} dropped from the registry — update EDGE_QUERIES")
+    assert_oracle_match(QUERIES[name](spark, rand_sf_dir), rand_ddb,
+                        ORACLE_SQL[name], name=f"rand:{name}")
+
+
+def test_random_corpus_schema_matches_fixtures(rand_sf_dir):
+    """The generator's arrow schemas must track the driver fixtures
+    exactly — a drifting column type would turn every parity result
+    above into a vacuous comparison of different tables."""
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+    for t in TABLE_NAMES:
+        got = pq.read_schema(f"{rand_sf_dir}/{t}.parquet")
+        want = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        assert got.names == want.names, t
+        assert [str(f.type) for f in got] == [str(f.type) for f in want], t
