@@ -4728,11 +4728,13 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
          AS n_ws_tokens,
-       CAST(len(regexp_extract_all(lower(text),
-                '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens,
        round(CAST(length(text) AS DOUBLE)
-             / nullif(len(regexp_extract_all(lower(text),
-                   '[a-z]+|[0-9]|[^a-z0-9\s]')), 0), 4) AS chars_per_token
+             / nullif(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')), 0), 4)
+         AS chars_per_token
 FROM documents
 """)
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4747,10 +4749,18 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars_per_token via a NULL-guarded DIVISOR on both sides (the
     theilsen pattern): an unguarded x/0 is an ANSI DIVIDE_BY_ZERO
     error in Spark but inf/nan in DuckDB — found by the r9
-    randomized-data sweep (the fixtures have no empty docs)."""
+    randomized-data sweep (the fixtures have no empty docs).
+
+    Letter runs match CASE-INSENSITIVE CLASSES (``[a-zA-Z]+``) on the
+    RAW text instead of ``[a-z]+`` over ``lower(text)`` — count-
+    equivalent on any input, but lower() drags in the engines'
+    full-vs-simple Unicode case-mapping split ('İ' becomes two
+    codepoints in Spark/JDK vs one in DuckDB/utf8proc, skewing the
+    token count by the stray combining dot) — r9 unicode-lane
+    randomized sweep."""
     docs = table(spark, "documents", sf_dir)
     bpe = F.size(F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"),
+        F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"),
         F.lit(0)))
     return docs.select(
         "doc_id",
