@@ -79,6 +79,65 @@ def test_edge_query_matches_oracle_on_randomized_corpus(
                         ORACLE_SQL[name], name=f"rand:{name}")
 
 
+# Queries that consume the purchase slice or a lang block — the ones
+# an empty slice (routine at 100 TB: a keyspace partition with no
+# rows) must not break or silently mis-handle.
+EMPTY_SLICE_QUERIES = [
+    "scd2_events_replay",      # replay drives THREE all-empty batches
+    "scd2_snapshot_diff",      # must be exactly empty, not error
+    "asof_join_purchases",     # empty right side
+    "funnel_conversion",       # no conversions anywhere
+    "retention_cohorts",
+    "lang_char_trigram_profile",  # a lang block absent entirely
+]
+
+
+@pytest.fixture(scope="module")
+def empty_slice_sf_dir(rand_sf_dir, tmp_path_factory) -> str:
+    """The randomized corpus with the purchase slice EMPTIED (every
+    'purchase' remapped to 'view') and one lang collapsed away —
+    derived via DuckDB rewrite so schemas stay bit-identical."""
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("randsf_empty"))
+    for t in TABLE_NAMES:
+        if t not in ("events", "documents"):
+            shutil.copy(f"{rand_sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""COPY (SELECT event_id, ts, user_id,
+        CASE WHEN event_type = 'purchase' THEN 'view'
+             ELSE event_type END AS event_type, value, props
+        FROM '{rand_sf_dir}/events.parquet')
+        TO '{out}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT doc_id, text,
+        CASE WHEN lang = 'zh' THEN 'en' ELSE lang END AS lang,
+        source, n_chars FROM '{rand_sf_dir}/documents.parquet')
+        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    assert con.execute(f"SELECT count(*) FROM '{out}/events.parquet' "
+                       "WHERE event_type = 'purchase'").fetchone()[0] == 0
+    con.close()
+    return out
+
+
+@pytest.fixture(scope="module")
+def empty_slice_ddb(empty_slice_sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{empty_slice_sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_SLICE_QUERIES)
+def test_slice_consumers_survive_an_empty_slice(
+        spark, empty_slice_sf_dir, empty_slice_ddb, name):
+    from map_reduce_mongodb_spark.queries import ORACLE_SQL, QUERIES
+    assert_oracle_match(QUERIES[name](spark, empty_slice_sf_dir),
+                        empty_slice_ddb, ORACLE_SQL[name],
+                        name=f"empty:{name}")
+
+
 def test_random_corpus_schema_matches_fixtures(rand_sf_dir):
     """The generator's arrow schemas must track the driver fixtures
     exactly — a drifting column type would turn every parity result
