@@ -4726,14 +4726,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("token_count_bpe", oracle=r"""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-         AS n_ws_tokens,
+       CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
+            AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text,
-                '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT)
+                '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS BIGINT)
          AS n_bpe_tokens,
        round(CAST(length(text) AS DOUBLE)
              / nullif(len(regexp_extract_all(text,
-                   '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')), 0), 4)
+                   '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\n\x0B\f\r]')), 0), 4)
          AS chars_per_token
 FROM documents
 """)
@@ -4753,18 +4753,27 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Letter runs match CASE-INSENSITIVE CLASSES (``[a-zA-Z]+``) on the
     RAW text instead of ``[a-z]+`` over ``lower(text)`` — count-
-    equivalent on any input, but lower() drags in the engines'
-    full-vs-simple Unicode case-mapping split ('İ' becomes two
-    codepoints in Spark/JDK vs one in DuckDB/utf8proc, skewing the
-    token count by the stray combining dot) — r9 unicode-lane
-    randomized sweep."""
+    equivalent on ASCII input (and any input whose lower() is
+    length-preserving; length-CHANGING case maps like Turkish 'İ'
+    are exactly why lower() is avoided: it drags in the engines'
+    full-vs-simple Unicode case-mapping split, 'İ' becoming two
+    codepoints in Spark/JDK vs one in DuckDB/utf8proc) — r9
+    unicode-lane randomized sweep.
+
+    Whitespace is spelled EXPLICITLY (``[ \\t\\n\\x0B\\f\\r]``)
+    rather than ``\\s``: Java's ``\\s`` includes vertical tab U+000B
+    but RE2's does not, and U+000B is ASCII so even the pure-ASCII
+    corpus contract wouldn't exclude the divergence — r10 advisor
+    catch."""
     docs = table(spark, "documents", sf_dir)
+    ws = "[ \t\n\x0B\f\r]"
     bpe = F.size(F.regexp_extract_all(
-        F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"),
+        F.col("text"),
+        F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\n\x0B\f\r]"),
         F.lit(0)))
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.split(F.trim("text"), ws + "+")).alias("n_ws_tokens"),
         bpe.cast("long").alias("n_bpe_tokens"),
         F.round(F.length("text").cast("double")
                 / F.when(bpe != 0, bpe), 4)
@@ -12300,6 +12309,13 @@ _REWIRED: dict[str, int] = {
     # -0.0 class via round(tiny-negative score) when a candidate
     # duplicates a selected vector.
     "token_count_bpe": 9, "doc_token_entropy": 9, "mmr_rerank": 9,
+    # r10 advisor fixes (ADVICE r9): token_count_bpe's whitespace
+    # class spelled explicitly ([ \t\n\x0B\f\r]) on both engines —
+    # Java \s includes U+000B, RE2 \s does not. Identical values on
+    # every committed corpus (none contain \x0B); different physical
+    # expression. (Python keeps the LAST duplicate key, so this
+    # entry supersedes the r9 one above.)
+    "token_count_bpe": 10,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

@@ -189,6 +189,16 @@ def test_corpus_is_pure_ascii(spark):
         f"{bad} documents contain non-ASCII text: the image/audio "
         "oracle reconstructions in queries.py are no longer valid — "
         "rework them before trusting multimodal correctness rows")
+    # Control whitespace beyond \t \n \r is ALSO contract-excluded:
+    # Java's \s includes vertical tab U+000B but RE2/DuckDB's does
+    # not, so any text query splitting on \s would diverge cross-
+    # engine on it — and U+000B is ASCII, so the pure-ASCII check
+    # above would not catch it (r10 advisor catch).
+    ctrl = docs.filter(F.col("text").rlike("[\\x0B\\x0C]")).count()
+    assert ctrl == 0, (
+        f"{ctrl} documents contain \\x0B/\\x0C control whitespace: "
+        "Java and RE2 disagree on \\s membership for U+000B, so the "
+        "\\s-splitting text oracles are no longer engine-portable")
 
 
 def test_y4m_decoder_rejects_malformed_streams(spark):

@@ -150,3 +150,19 @@ def test_random_corpus_schema_matches_fixtures(rand_sf_dir):
         want = pq.read_schema(f"{SF_DIR}/{t}.parquet")
         assert got.names == want.names, t
         assert [str(f.type) for f in got] == [str(f.type) for f in want], t
+
+
+def test_empty_slice_rewrite_preserves_schemas(
+        empty_slice_sf_dir, rand_sf_dir):
+    """The empty-slice fixture rewrites events/documents through a
+    DuckDB COPY — a parquet-writer type drift there (e.g. timestamp
+    unit) would silently change what the empty-slice parity tests
+    compare. Pin the rewritten tables' arrow schemas to the
+    generator originals (r10 advisor catch)."""
+    import pyarrow.parquet as pq
+
+    for t in ("events", "documents"):
+        got = pq.read_schema(f"{empty_slice_sf_dir}/{t}.parquet")
+        want = pq.read_schema(f"{rand_sf_dir}/{t}.parquet")
+        assert got.names == want.names, t
+        assert [str(f.type) for f in got] == [str(f.type) for f in want], t

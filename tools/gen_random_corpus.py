@@ -85,14 +85,26 @@ def _ts_us(values: list[dt.datetime]) -> pa.Array:
     return pa.array(values, type=pa.timestamp("us"))
 
 
-def gen(out: str, seed: int, unicode_docs: bool = False
-        ) -> dict[str, int]:
+def gen(out: str, seed: int, unicode_docs: bool = False,
+        row_group_rows: int | None = None) -> dict[str, int]:
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
     counts: dict[str, int] = {}
 
     def write(name: str, table: pa.Table) -> None:
-        pq.write_table(table, f"{out}/{name}.parquet")
+        # row_group_rows: FILE-LAYOUT invariance axis. The fixture
+        # files are single-row-group, so Spark scans each table as ONE
+        # input split regardless of maxPartitionBytes (splits land on
+        # row-group boundaries); at 100 TB every table is millions of
+        # row groups and every scan is thousands of partitions. Tiny
+        # row groups make the same DATA arrive as many splits — group
+        # boundaries under applyInPandas, per-partition seeds, and
+        # nested-loop parallelism must not change any answer. DuckDB
+        # reads the same file, so oracles need no plumbing.
+        kw = {}
+        if row_group_rows:
+            kw["row_group_size"] = row_group_rows
+        pq.write_table(table, f"{out}/{name}.parquet", **kw)
         counts[name] = table.num_rows
 
     # region / nation: canonical dimension shapes (queries treat the
@@ -249,6 +261,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False
         "   ",                                  # whitespace-only
         "spark",                                # single word
         "dup " * 199 + "dup",                   # one word repeated
+        "tab\tsep\nnewline\rcr  double space",  # contract whitespace mix
         " ".join(WORDS),                        # every vocab word once
         *(UNICODE_DOCS if unicode_docs else []),
         " ".join(rng.choice(WORDS, 2000)),      # giant doc
@@ -294,8 +307,13 @@ def main() -> int:
                     help="add the non-ASCII probe docs (text-lane "
                          "sweeps only: violates the multimodal / "
                          "normalized-hash ASCII corpus contract)")
+    ap.add_argument("--row-group-rows", type=int, default=None,
+                    help="write parquet with tiny row groups so Spark "
+                         "splits every table scan into many input "
+                         "partitions (file-layout invariance axis)")
     args = ap.parse_args()
-    counts = gen(args.out, args.seed, unicode_docs=args.unicode)
+    counts = gen(args.out, args.seed, unicode_docs=args.unicode,
+                 row_group_rows=args.row_group_rows)
     print({"out": args.out, "seed": args.seed,
            "unicode": args.unicode, **counts})
     return 0
