@@ -876,3 +876,76 @@ def minhash_dedup_pairs_md5_incremental(
     cands = (nb.join(cb, ["band", "bucket"])
                .select("id_a", "id_b").distinct())
     return _verify_jaccard(cands, base, id_col, threshold)
+
+
+def shared_token_runs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", gram_n: int = 8,
+                      min_run_tokens: int = 15,
+                      max_gram_df: int = 50) -> DataFrame:
+    """Exact shared-substring detection between documents — the
+    measure behind suffix-array training-data dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as distributed seed-and-extend instead of a global
+    suffix array (which needs the whole corpus in one address space):
+
+    1. **Seed**: every positional word `gram_n`-gram is a posting
+       (gram, doc, pos). Two documents sharing ANY run of
+       >= gram_n tokens share at least one seed.
+    2. **Cap**: grams with more than `max_gram_df` postings
+       corpus-wide are dropped (window count keyed by gram — same
+       shuffle the join needs). This bounds the self-join fanout at
+       Σ df² over surviving grams, exactly the stop-shingle treatment
+       the Jaccard/LSH operators use; a shared run THROUGH a dropped
+       ultra-common gram splits into two shorter reported runs
+       (deterministic, conservative, mirrored in the oracle).
+    3. **Extend**: matches land on diagonals d = pos_a - pos_b; a run
+       of consecutive seeds on one diagonal is one shared substring.
+       Gaps-and-islands (pos - row_number over the (pair, diagonal)
+       window) merges them without any iterative pass, and a run of
+       g consecutive seeds is g + gram_n - 1 shared tokens.
+
+    Returns (id_a, id_b, max_run_tokens, n_runs) for pairs whose
+    longest shared run is >= `min_run_tokens`.
+
+    Scale: postings ≈ corpus token count (narrow); ONE shuffle keyed
+    by gram serves both the df-cap window and the inverted-index
+    self-join; the islands window shuffles only matched seeds (zero
+    for unrelated documents). At 100 TB the gram key would be
+    xxhash64(gram) instead of the string (8-byte shuffle keys; the
+    md5-vs-xxhash64 twin pattern proves that swap exact elsewhere in
+    this module). Chunk-aligned `dup_passages` misses runs that
+    straddle chunk boundaries; this sees every alignment."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+            .filter(F.size("ws") >= gram_n))
+    m = F.size("ws") - F.lit(gram_n - 1)
+    zipped = F.arrays_zip(*[F.slice("ws", j + 1, m)
+                            for j in range(gram_n)])
+    grams = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(gram_n)]))
+    posted = (base.select("id", F.posexplode(grams).alias("p0", "gram"))
+              .select("id", (F.col("p0") + 1).alias("pos"), "gram"))
+    keep = (posted
+            .withColumn("gram_df",
+                        F.count(F.lit(1)).over(Window.partitionBy("gram")))
+            .filter(F.col("gram_df") <= max_gram_df)
+            .drop("gram_df"))
+    a = keep.select(F.col("id").alias("id_a"),
+                    F.col("pos").alias("pa"), "gram")
+    b = keep.select(F.col("id").alias("id_b"),
+                    F.col("pos").alias("pb"), "gram")
+    matches = (a.join(b, "gram")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .select("id_a", "id_b", "pa", "pb",
+                       (F.col("pa") - F.col("pb")).alias("d")))
+    iw = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    runs = (matches
+            .withColumn("grp", F.col("pa") - F.row_number().over(iw))
+            .groupBy("id_a", "id_b", "d", "grp")
+            .agg((F.count(F.lit(1)) + F.lit(gram_n - 1))
+                 .alias("run_tokens")))
+    return (runs.filter(F.col("run_tokens") >= min_run_tokens)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("run_tokens").cast("long").alias("max_run_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_runs")))

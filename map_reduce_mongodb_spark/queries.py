@@ -216,37 +216,84 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact decimal revenue term, shared by the TPC-H money family. A
+# DOUBLE sum of l_extendedprice*(1-l_discount) is non-associative, so
+# its last ulp depends on partial-aggregation merge order — and the
+# TRUE sum lands exactly on a half-cent rounding boundary with ~1%
+# probability per output value (the product grid is 4-decimal), at
+# which point round(...,2) is an engine/merge-order coin flip. The
+# r10 row-group-layout sweep caught q1 flipping for real; the whole
+# family moves to DECIMAL sums (exact, associative, order-independent
+# on any cluster), with round()+CAST(DOUBLE) applied to the exact sum
+# on both engines.
+_REV_DEC_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(12,2)))")
+
+
+def _rev_dec():
+    """Spark twin of :data:`_REV_DEC_SQL` (see comment above)."""
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
+
+
 @query("q1_pricing_summary", oracle="""
+WITH l AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         CAST(l_discount AS DECIMAL(12,2)) AS disc,
+         CAST(l_tax AS DECIMAL(12,2)) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 2) AS avg_qty,
-       round(avg(l_extendedprice), 2) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(price * (1 - disc)), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(round(sum(price * (1 - disc) * (1 + tax)), 2) AS DOUBLE)
+         AS sum_charge,
+       round(sum(l_quantity) / count(*), 2) AS avg_qty,
+       round(CAST(sum(price) AS DOUBLE) / count(*), 2) AS avg_price,
+       round(CAST(sum(disc) AS DOUBLE) / count(*), 4) AS avg_disc,
        count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM l
 GROUP BY l_returnflag, l_linestatus
 """)
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical hash-aggregate (A2's aggregation
     layer). Partial (map-side) aggregation makes the shuffle carry only
-    |groups| rows per partition."""
+    |groups| rows per partition.
+
+    Monetary sums run in DECIMAL, not double: a double sum is
+    non-associative, so its last ulp depends on partial-aggregation
+    merge order — the SAME query on the SAME data rounds sum_charge
+    differently run-to-run once the scan is more than one partition
+    (caught by the r10 row-group-layout sweep: single-row-group
+    fixtures made Spark and DuckDB sum in file order by luck). The
+    source columns carry exact cents, so DECIMAL(12,2) casts recover
+    them exactly, products are exact at scale ≤6, and the sum is
+    associative — order-independent on any cluster. Averages divide
+    the exact decimal sum (cast to double) by the count: one float op
+    instead of an order-dependent running mean. l_quantity stays a
+    double sum: integer-valued, so IEEE addition is exact there."""
     li = table(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    disc_price = price * (F.lit(1) - disc)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (F.lit(1) + tax)), 2).cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 2).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 2).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -360,10 +407,10 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multiway_join", oracle="""
+@query("multiway_join", oracle=f"""
 SELECT n_name AS nation,
        count(*) AS li_cnt,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -375,7 +422,8 @@ def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-ish multiway star join: fact ⋈ three dims built as
     broadcast sides (nation/region pinned — 25/5 rows at every SF;
     supplier un-hinted, threshold/AQE-chosen) → zero shuffles before
-    the final aggregation at graded SFs."""
+    the final aggregation at graded SFs. Revenue sums in DECIMAL
+    (order-independent — see _REV_DEC_SQL)."""
     li = table(spark, "lineitem", sf_dir)
     supplier = table(spark, "supplier", sf_dir)
     nation = table(spark, "nation", sf_dir)
@@ -389,8 +437,7 @@ def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("li_cnt"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
+            F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
         )
     )
 
@@ -2517,9 +2564,9 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational depth — TPC-H-shaped composites
 # =====================================================================
 
-@query("q3_shipping_priority", oracle="""
+@query("q3_shipping_priority", oracle=f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -2545,8 +2592,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                     2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -2712,9 +2758,9 @@ def q_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("s_suppkey", "s_name", "n_name"))
 
 
-@query("q5_local_supplier_volume", oracle="""
+@query("q5_local_supplier_volume", oracle=f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -2752,17 +2798,16 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
               .alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
         .select("n_name", "revenue")
     )
 
 
-@query("q10_returned_items", oracle="""
+@query("q10_returned_items", oracle=f"""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -2794,8 +2839,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
               .alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -3794,7 +3838,9 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @query("q6_forecast_revenue", oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -3813,16 +3859,18 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
                 & F.col("l_discount").between(0.05, 0.07)
                 & (F.col("l_quantity") < 24))
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * F.col("l_discount")), 2).alias("revenue"),
+              .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                                 * F.col("l_discount").cast("decimal(12,2)")),
+                           2).cast("double").alias("revenue"),
                    F.count(F.lit(1)).alias("n_lines")))
 
 
-@query("q7_volume_shipping", oracle="""
-SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+@query("q7_volume_shipping", oracle=f"""
+SELECT supp_nation, cust_nation, yr,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS yr,
-             l_extendedprice * (1 - l_discount) AS volume
+             {_REV_DEC_SQL} AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -3868,15 +3916,14 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("yr", F.year("l_shipdate").cast("bigint"))
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
               .alias("revenue")))
 
 
-@query("q8_market_share", oracle="""
+@query("q8_market_share", oracle=f"""
 WITH all_nations AS (
   SELECT year(o_orderdate) AS yr,
-         l_extendedprice * (1 - l_discount) AS volume,
+         {_REV_DEC_SQL} AS volume,
          n2.n_name AS supp_nation
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
@@ -3891,9 +3938,10 @@ WITH all_nations AS (
     AND o_orderdate <  TIMESTAMP '1998-01-01'),
 per_year AS (
   SELECT yr,
-         round(sum(CASE WHEN supp_nation = 'NATION_3'
-                        THEN volume ELSE 0 END), 2) AS nation_revenue,
-         round(sum(volume), 2) AS total_revenue
+         CAST(round(sum(CASE WHEN supp_nation = 'NATION_3'
+                        THEN volume ELSE 0 END), 2) AS DOUBLE)
+           AS nation_revenue,
+         CAST(round(sum(volume), 2) AS DOUBLE) AS total_revenue
   FROM all_nations GROUP BY yr)
 SELECT yr, nation_revenue, total_revenue,
        round(nation_revenue / total_revenue, 6) AS mkt_share
@@ -3920,7 +3968,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = table(spark, "nation", sf_dir).select(
         F.col("n_nationkey").alias("n2_key"),
         F.col("n_name").alias("supp_nation"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _rev_dec()
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -3932,18 +3980,21 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("yr", F.year("o_orderdate").cast("bigint"))
         .groupBy("yr")
         .agg(F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
-                            .otherwise(0.0)), 2).alias("nation_revenue"),
-             F.round(F.sum(vol), 2).alias("total_revenue"))
+                            .otherwise(F.lit(0))), 2).cast("double")
+             .alias("nation_revenue"),
+             F.round(F.sum(vol), 2).cast("double").alias("total_revenue"))
         .withColumn("mkt_share",
                     F.round(F.col("nation_revenue")
                             / F.col("total_revenue"), 6)))
 
 
-@query("q9_product_type_profit", oracle="""
-SELECT nation, yr, round(sum(amount), 2) AS sum_profit
+@query("q9_product_type_profit", oracle=f"""
+SELECT nation, yr, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
 FROM (SELECT n_name AS nation, year(o_orderdate) AS yr,
-             l_extendedprice * (1 - l_discount)
-               - 0.5 * p_retailprice * l_quantity AS amount
+             {_REV_DEC_SQL}
+               - CAST(0.5 AS DECIMAL(2,1))
+                 * CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,0)) AS amount
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN part     ON p_partkey = l_partkey
@@ -3973,8 +4024,10 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, "supplier", sf_dir)
     o = table(spark, "orders", sf_dir)
     n = table(spark, "nation", sf_dir)
-    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    amount = (_rev_dec()
+              - F.expr("CAST(0.5 AS DECIMAL(2,1))")
+                * F.col("p_retailprice").cast("decimal(12,2)")
+                * F.col("l_quantity").cast("decimal(12,0)"))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
@@ -3984,7 +4037,8 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.year("o_orderdate").cast("bigint").alias("yr"),
                 amount.alias("amount"))
         .groupBy("nation", "yr")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+        .agg(F.round(F.sum("amount"), 2).cast("double")
+             .alias("sum_profit")))
 
 
 @query("q11_important_stock", oracle="""
@@ -4056,12 +4110,12 @@ def q_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("low_line_count")))
 
 
-@query("q14_promo_revenue", oracle="""
+@query("q14_promo_revenue", oracle=f"""
 WITH month_rev AS (
-  SELECT round(sum(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0 END), 2) AS promo_revenue,
-         round(sum(l_extendedprice * (1 - l_discount)), 2)
+  SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN {_REV_DEC_SQL}
+                        ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+         CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE)
            AS total_revenue
   FROM lineitem JOIN part ON p_partkey = l_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -4079,12 +4133,13 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
     p = table(spark, "part", sf_dir)
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _rev_dec()
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(F.round(F.sum(F.when(F.col("p_type") == "PROMO", vol)
-                            .otherwise(0.0)), 2).alias("promo_revenue"),
-             F.round(F.sum(vol), 2).alias("total_revenue"))
+                            .otherwise(F.lit(0))), 2).cast("double")
+             .alias("promo_revenue"),
+             F.round(F.sum(vol), 2).cast("double").alias("total_revenue"))
         .withColumn("promo_pct",
                     F.round(100.0 * F.col("promo_revenue")
                             / F.col("total_revenue"), 6)))
@@ -4144,10 +4199,10 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_min_cost"))
 
 
-@query("q15_top_supplier", oracle="""
+@query("q15_top_supplier", oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2)
+         CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -4169,8 +4224,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
     revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-                 .agg(F.round(F.sum(F.col("l_extendedprice")
-                                    * (1 - F.col("l_discount"))), 2)
+                 .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
                        .alias("total_revenue")))
     top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     s = table(spark, "supplier", sf_dir)
@@ -4181,8 +4235,8 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_suppkey", "s_name", "total_revenue"))
 
 
-@query("q19_discounted_revenue", oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+@query("q19_discounted_revenue", oracle=f"""
+SELECT CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
@@ -4219,8 +4273,7 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30))
     return (li.join(p, li.l_partkey == p.p_partkey)
               .filter(full)
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2)
+              .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
                     .alias("revenue"),
                    F.count(F.lit(1)).alias("n_lines")))
 
@@ -8177,6 +8230,56 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_occurrences"),
                  F.min("doc_id").alias("first_doc"))
             .where(F.col("n_docs") >= 2))
+
+
+@query("dup_shared_token_runs", oracle=r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(range(1, CAST(len(ws) - 6 AS BIGINT))) AS pos, ws
+      FROM w WHERE len(ws) >= 8),
+p AS (SELECT doc_id, pos,
+             array_to_string(ws[pos:pos+7], ' ') AS gram
+      FROM g),
+k AS (SELECT * FROM (
+        SELECT doc_id, pos, gram,
+               count(*) OVER (PARTITION BY gram) AS gram_df
+        FROM p)
+      WHERE gram_df <= 50),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS d
+      FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+r AS (SELECT id_a, id_b, d, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, d
+                                     ORDER BY pa) AS grp
+      FROM m),
+runs AS (SELECT id_a, id_b,
+                CAST(count(*) + 7 AS BIGINT) AS run_tokens
+         FROM r GROUP BY id_a, id_b, d, grp)
+SELECT id_a, id_b,
+       CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs WHERE run_tokens >= 15
+GROUP BY id_a, id_b
+""")
+def q_dup_shared_token_runs(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Exact shared-substring dedup measure (the suffix-array dedup
+    statistic from Lee et al. 2021, distributed): longest run of
+    consecutive tokens shared between any two documents at ANY
+    alignment, via positional 8-gram seeds joined inverted-index
+    style and merged along diagonals with gaps-and-islands — no
+    global suffix array, no iterative pass. `dup_passages` only sees
+    chunk-ALIGNED copies; this sees every alignment, which is what
+    actual training-data contamination looks like. Grams posted in
+    more than 50 positions corpus-wide are dropped on BOTH sides
+    (the stop-shingle cap bounding join fanout at scale; a run
+    through a dropped gram reports as two shorter runs)."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        shared_token_runs)
+    return shared_token_runs(table(spark, "documents", sf_dir),
+                             gram_n=8, min_run_tokens=15,
+                             max_gram_df=50)
 
 
 @query("watermark_late_events", oracle="""
@@ -12307,15 +12410,31 @@ _REWIRED: dict[str, int] = {
     # Spark (now +0.0-normalized on both sides). Identical values on
     # the fixtures; different physical expressions. mmr_rerank: same
     # -0.0 class via round(tiny-negative score) when a candidate
-    # duplicates a selected vector.
-    "token_count_bpe": 9, "doc_token_entropy": 9, "mmr_rerank": 9,
+    # duplicates a selected vector. (token_count_bpe's r9 entry was
+    # superseded by its r10 one below — literal uniqueness enforced
+    # by test_rewired_literal_has_no_duplicate_keys.)
+    "doc_token_entropy": 9, "mmr_rerank": 9,
     # r10 advisor fixes (ADVICE r9): token_count_bpe's whitespace
     # class spelled explicitly ([ \t\n\x0B\f\r]) on both engines —
     # Java \s includes U+000B, RE2 \s does not. Identical values on
     # every committed corpus (none contain \x0B); different physical
-    # expression. (Python keeps the LAST duplicate key, so this
-    # entry supersedes the r9 one above.)
+    # expression.
     "token_count_bpe": 10,
+    # r10 row-group-layout sweep: the TPC-H money family's product
+    # sums moved from double to DECIMAL — a double sum's last ulp
+    # depends on partial-agg merge order, and the product grid is
+    # 4-decimal so the TRUE sum sits exactly on a half-cent rounding
+    # boundary with ~1% probability per output value (q1's sum_charge
+    # actually flipped with multi-row-group input; the others share
+    # the arithmetic and passed by merge-order luck). Identical
+    # values on the single-row-group fixtures; order-independent
+    # aggregation arithmetic everywhere (_REV_DEC_SQL).
+    "q1_pricing_summary": 10, "multiway_join": 10,
+    "q3_shipping_priority": 10, "q5_local_supplier_volume": 10,
+    "q6_forecast_revenue": 10, "q7_volume_shipping": 10,
+    "q8_market_share": 10, "q9_product_type_profit": 10,
+    "q10_returned_items": 10, "q14_promo_revenue": 10,
+    "q15_top_supplier": 10, "q19_discounted_revenue": 10,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

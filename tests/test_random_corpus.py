@@ -166,3 +166,63 @@ def test_empty_slice_rewrite_preserves_schemas(
         want = pq.read_schema(f"{rand_sf_dir}/{t}.parquet")
         assert got.names == want.names, t
         assert [str(f.type) for f in got] == [str(f.type) for f in want], t
+
+
+# Row-group layout axis (r10): the SAME data arriving as many input
+# splits (multi-row-group parquet + tiny maxPartitionBytes) must not
+# change any answer. The fixtures are single-row-group, so every
+# other test scans one partition per table and never exercises
+# partial-aggregation merge order — which is exactly what flipped
+# q1_pricing_summary's double sum_charge by a half-cent before its
+# aggregates moved to DECIMAL (the r10 full-registry layout sweep's
+# one hit). The queries here are the layout-sensitive classes: the
+# decimal-fixed money aggregate, the distributed prefix scan,
+# per-partition applyInPandas packing, window running sums, and the
+# new diagonal-run dedup (posexplode positions must survive splits).
+LAYOUT_QUERIES = [
+    "q1_pricing_summary",
+    "orders_running_quantile",
+    "seq_packing_ffd",
+    "window_running_sum",
+    "dup_shared_token_runs",
+    "lineitem_higher_moments",
+]
+
+
+@pytest.fixture(scope="module")
+def rg_sf_dir(tmp_path_factory) -> str:
+    from tools.gen_random_corpus import gen
+    out = str(tmp_path_factory.mktemp("randsf_rg"))
+    gen(out, seed=7, row_group_rows=97)
+    return out
+
+
+@pytest.fixture(scope="module")
+def rg_ddb(rg_sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{rg_sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def split_scan_spark(spark):
+    """The shared session with file-split confs forced tiny so each
+    row group lands in its own input partition; restored after."""
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    yield spark
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+
+
+@pytest.mark.parametrize("name", LAYOUT_QUERIES)
+def test_layout_sensitive_query_survives_split_scans(
+        split_scan_spark, rg_sf_dir, rg_ddb, name):
+    from map_reduce_mongodb_spark.queries import ORACLE_SQL, QUERIES
+    df = QUERIES[name](split_scan_spark, rg_sf_dir)
+    assert_oracle_match(df, rg_ddb, ORACLE_SQL[name], name=f"rg:{name}")
