@@ -335,3 +335,84 @@ def test_registered_containment_twins_share_one_shingle_base(spark):
         assert got == inline
     finally:
         cache.clear_shared()
+
+
+def test_shared_token_runs_exact_lengths_and_alignment(spark):
+    """Diagonal seed-and-extend must report the EXACT shared-run
+    length at an arbitrary (non-chunk-aligned) offset: a 20-token
+    passage planted at offset 7 in one doc and offset 0 in another is
+    one run of exactly 20 tokens; a doc sharing nothing stays out."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        shared_token_runs)
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    filler_a = " ".join(f"alpha{i}" for i in range(7))
+    filler_b = " ".join(f"beta{i}" for i in range(25))
+    filler_c = " ".join(f"gamma{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, f"{filler_a} {passage} {filler_b}"),
+         (2, f"{passage} tail0 tail1 tail2"),
+         (3, filler_c)],
+        "doc_id long, text string")
+    rows = {(r.id_a, r.id_b): (r.max_run_tokens, r.n_runs)
+            for r in shared_token_runs(
+                docs, gram_n=8, min_run_tokens=10).collect()}
+    assert rows == {(1, 2): (20, 1)}
+
+
+def test_shared_token_runs_two_separate_runs_counted(spark):
+    """Two disjoint shared passages on different diagonals are two
+    runs; max reports the longer one."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        shared_token_runs)
+
+    run1 = " ".join(f"x{i}" for i in range(12))
+    run2 = " ".join(f"y{i}" for i in range(16))
+    mid_a = " ".join(f"a{i}" for i in range(9))
+    mid_b = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, f"{run1} {mid_a} {run2}"),
+         (2, f"{run2} {mid_b} {run1}")],
+        "doc_id long, text string")
+    rows = {(r.id_a, r.id_b): (r.max_run_tokens, r.n_runs)
+            for r in shared_token_runs(
+                docs, gram_n=8, min_run_tokens=12).collect()}
+    assert rows == {(1, 2): (16, 2)}
+
+
+def test_shared_token_runs_df_cap_splits_runs_deterministically(spark):
+    """The stop-gram cap contract: a shared run THROUGH a gram whose
+    corpus-wide posting count exceeds max_gram_df reports as two
+    shorter runs (conservative split, never a longer merge). Build a
+    hot gram by repeating one 8-token phrase across many docs."""
+    from map_reduce_mongodb_spark.operators.dedup import (
+        shared_token_runs)
+
+    hot = " ".join(f"h{i}" for i in range(8))       # the hot 8-gram
+    left = " ".join(f"l{i}" for i in range(10))
+    right = " ".join(f"r{i}" for i in range(10))
+    shared = f"{left} {hot} {right}"                # 28-token run
+    rows = [(1, shared + " " + " ".join(f"a{i}" for i in range(5))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(5)))]
+    # 30 unrelated docs each containing ONLY the hot phrase → its
+    # posting count exceeds the cap; the l/r grams stay rare.
+    rows += [(100 + i, hot) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.id_a, r.id_b): (r.max_run_tokens, r.n_runs)
+                for r in shared_token_runs(
+                    docs, gram_n=8, min_run_tokens=10,
+                    max_gram_df=10_000).collect()
+                if r.id_a == 1 and r.id_b == 2}
+    assert uncapped == {(1, 2): (28, 1)}
+
+    capped = {(r.id_a, r.id_b): (r.max_run_tokens, r.n_runs)
+              for r in shared_token_runs(
+                  docs, gram_n=8, min_run_tokens=10,
+                  max_gram_df=10).collect()
+              if r.id_a == 1 and r.id_b == 2}
+    # dropping the single hot gram splits the 28-token run into the
+    # two flanks, each still >= gram_n..: left flank l0..l9+h0..h6 ≡
+    # grams seeded from positions 1..10 → 10+7=17 tokens; right flank
+    # likewise 17 (h1..h7+r0..r9). Both survive min_run_tokens=10.
+    assert capped == {(1, 2): (17, 2)}
