@@ -253,3 +253,45 @@ def test_bench_retry_decision():
     assert bench._should_retry(f * 10 + 0.1, 10.0, 0.0)
     assert not bench._should_retry(
         f * 10 + 0.1, 10.0, bench.RETRY_BUDGET_SEC)    # budget spent
+
+
+def test_no_raw_double_product_sums_in_oracles():
+    """Money-sum policy guard (r10): `sum()` over a raw double
+    product of decimal-grid columns is a merge-order coin flip when
+    rounded — the product grid (4+ decimals) is finer than the
+    2-decimal rounding grid, so the TRUE sum sits exactly on a
+    rounding boundary ~1% of the time and the last ulp (which decides
+    the round) depends on partial-aggregation merge order. The r10
+    row-group-layout sweep caught q1 flipping for real. Every revenue
+    sum must go through a DECIMAL cast (_REV_DEC_SQL / _rev_dec) or
+    the per-row exact-integer-cents pattern (CAST(round(expr * 10^k)
+    AS BIGINT) before the sum). This lint scans the ORACLE strings:
+    any `sum(` whose argument multiplies l_extendedprice /
+    p_retailprice / o_totalprice without a DECIMAL cast or per-row
+    round-to-integer is flagged."""
+    import re
+
+    from map_reduce_mongodb_spark.queries import ORACLE_SQL
+
+    money_cols = ("l_extendedprice", "p_retailprice", "o_totalprice")
+    bad = {}
+    for name, sql in ORACLE_SQL.items():
+        for m in re.finditer(r"sum\s*\(", sql, re.IGNORECASE):
+            # extract the balanced argument of this sum(
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            arg = sql[m.end():i - 1]
+            if "*" not in arg:
+                continue
+            if not any(c in arg for c in money_cols):
+                continue
+            if "DECIMAL" in arg.upper():
+                continue        # exact decimal arithmetic
+            if re.search(r"round\s*\(", arg, re.IGNORECASE):
+                continue        # per-row exact-integer cents
+            bad.setdefault(name, []).append(" ".join(arg.split())[:80])
+    assert not bad, (
+        "raw double product sums in oracles (merge-order coin flips "
+        f"when rounded — use _REV_DEC_SQL or per-row cents): {bad}")
