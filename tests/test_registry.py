@@ -274,8 +274,9 @@ def test_no_raw_double_product_sums_in_oracles():
     from map_reduce_mongodb_spark.queries import ORACLE_SQL
 
     money_cols = ("l_extendedprice", "p_retailprice", "o_totalprice")
-    bad = {}
-    for name, sql in ORACLE_SQL.items():
+
+    def raw_product_sums(sql: str) -> list[str]:
+        hits = []
         for m in re.finditer(r"sum\s*\(", sql, re.IGNORECASE):
             # extract the balanced argument of this sum(
             depth, i = 1, m.end()
@@ -291,7 +292,23 @@ def test_no_raw_double_product_sums_in_oracles():
                 continue        # exact decimal arithmetic
             if re.search(r"round\s*\(", arg, re.IGNORECASE):
                 continue        # per-row exact-integer cents
-            bad.setdefault(name, []).append(" ".join(arg.split())[:80])
+            hits.append(" ".join(arg.split())[:80])
+        return hits
+
+    # positive control: the pre-r10 q1 shape must be flagged
+    assert raw_product_sums(
+        "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) "
+        "FROM lineitem"), "detector failed its positive control"
+    # ...and both sanctioned patterns must pass
+    assert not raw_product_sums(
+        "SELECT round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) FROM lineitem")
+    assert not raw_product_sums(
+        "SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) "
+        "* 10000) AS BIGINT)) FROM lineitem")
+
+    bad = {n: h for n, sql in ORACLE_SQL.items()
+           if (h := raw_product_sums(sql))}
     assert not bad, (
         "raw double product sums in oracles (merge-order coin flips "
         f"when rounded — use _REV_DEC_SQL or per-row cents): {bad}")
