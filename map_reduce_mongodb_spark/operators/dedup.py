@@ -926,11 +926,23 @@ def shared_token_runs(df: DataFrame, text_col: str = "text",
         lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(gram_n)]))
     posted = (base.select("id", F.posexplode(grams).alias("p0", "gram"))
               .select("id", (F.col("p0") + 1).alias("pos"), "gram"))
-    keep = (posted
-            .withColumn("gram_df",
-                        F.count(F.lit(1)).over(Window.partitionBy("gram")))
-            .filter(F.col("gram_df") <= max_gram_df)
-            .drop("gram_df"))
+    # tracked_persist, not a reused plan: the self-join consumes the
+    # capped postings TWICE, and ReuseExchange/AQE-stage-cache cannot
+    # fold the two sides — the gram arrays are built by higher-order
+    # functions whose NamedLambdaVariable exprIds do NOT normalize
+    # under plan canonicalization, so the two structurally identical
+    # window subtrees hash differently and the scan+explode+window
+    # (the dominant cost at scale) would run twice, once of them under
+    # a broadcast build (caught by tests/test_plans.py::
+    # test_shared_token_runs_gram_shuffle_paid_once — the same lambda
+    # wart is a documented blind spot of plans.py's
+    # duplicated_shuffle_exchanges sweep).
+    keep = tracked_persist(
+        posted
+        .withColumn("gram_df",
+                    F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("gram_df") <= max_gram_df)
+        .drop("gram_df"))
     a = keep.select(F.col("id").alias("id_a"),
                     F.col("pos").alias("pa"), "gram")
     b = keep.select(F.col("id").alias("id_b"),

@@ -101,7 +101,19 @@ def duplicated_shuffle_exchanges(df: DataFrame) -> int:
     AQE-off planning applies ReuseExchange statically, so the AQE-off
     count is the conservative bound on paid shuffles (r9 registry
     sweep: 0 across all 260 queries — pinned by the sweep test with
-    a reuse-disabled positive control)."""
+    a reuse-disabled positive control).
+
+    KNOWN BLIND SPOT (r10): subtrees containing higher-order
+    functions (transform/filter/aggregate lambdas) do not
+    canonicalize equal — NamedLambdaVariable exprIds are not
+    normalized by plan canonicalization — so two structurally
+    identical lambda-bearing exchanges hash differently and a real
+    recompute reports as clean (ReuseExchange is defeated by the
+    same wart, so the recompute is also physically real).
+    shared_token_runs hit exactly this; operators whose reused
+    subtree builds arrays via lambdas must tracked_persist the
+    shared frame explicitly and pin the InMemoryTableScan count
+    (tests/test_plans.py::test_shared_token_runs_builds_postings_once)."""
     plan = df._jdf.queryExecution().executedPlan()
     seen: dict[int, object] = {}
     dups = 0

@@ -693,3 +693,21 @@ def test_scd2_apply_single_scan_single_join(spark):
     assert "Union" not in p
     assert "Generate" in p
     assert p.count("BroadcastHashJoin") == 1, p
+
+
+def test_shared_token_runs_builds_postings_once(spark):
+    """shared_token_runs' scale claim: the capped postings (scan +
+    gram explode + df-cap window — the dominant cost) are built ONCE
+    and consumed by both self-join sides. ReuseExchange/AQE-stage
+    reuse CANNOT provide this: the gram arrays come from higher-order
+    functions whose NamedLambdaVariable exprIds don't normalize under
+    plan canonicalization, so the two structurally identical window
+    subtrees hash differently — the first version of this test caught
+    the operator recomputing the whole subtree under a broadcast
+    build (and the lambda wart is equally a blind spot of plans.py's
+    semanticHash-based duplicated-shuffle sweep, which reported the
+    recompute as clean). The fix is an explicit tracked_persist:
+    both join sides must be InMemoryTableScans."""
+    df = QUERIES["dup_shared_token_runs"](spark, SF_DIR)
+    p = plan(df, mode="simple")
+    assert p.count("InMemoryTableScan") == 2, p[:2000]
