@@ -11,6 +11,32 @@ Usage:
     python tools/dress_rehearsal.py --all           # whole registry
     python tools/dress_rehearsal.py --names a b c   # specific queries
     python tools/dress_rehearsal.py --sf-dir /root/testdata/sf0.001
+    python tools/dress_rehearsal.py --all --bare --corpus skew
+
+``--corpus MODE`` (VERDICT r10 #7) folds the r9/r10 randomized-data
+axes into named one-flag modes instead of per-round ad-hoc scripts.
+Each mode generates (once, cached under /tmp/spark_graft_corpus/MODE;
+``--corpus-rebuild`` regenerates) a fixture-schema corpus and points
+the sweep at it:
+
+  seed7 / seed13 / seed29 — randomized corpora with in-domain edge
+      injections (ties, band boundaries, empty docs, bitmap-window
+      edges), different seeds and prime-ish row counts;
+  skew — the seed-7 corpus rewritten so ONE user owns ~70% of events
+      and one (part, supplier) pair ~50% of lineitem (the r9
+      heavy-skew axis: skew machinery must change plans, never
+      answers);
+  empty-slice — the seed-7 corpus with the purchase slice emptied
+      and one lang collapsed away (a keyspace partition with zero
+      rows is routine at 100 TB);
+  unicode — seed-7 plus non-ASCII probe docs (TEXT lanes; the
+      multimodal/normalized-hash families mismatch BY CONTRACT —
+      see gen_random_corpus's ASCII-contract note);
+  rg-layout — seed-7 written with 97-row parquet row groups, and the
+      session's file-split confs forced tiny (maxPartitionBytes=64k,
+      openCostInBytes=0) so every scan arrives as many input
+      partitions: the r10 axis that exposed the double-sum
+      merge-order class.
 """
 
 from __future__ import annotations
@@ -24,6 +50,93 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+CORPUS_MODES = ("seed7", "seed13", "seed29", "skew", "empty-slice",
+                "unicode", "rg-layout", "sf1ish")
+
+#: sf1ish (VERDICT r10 #1): the ~10× scale probe for the HEAVY lanes.
+#: Multipliers are chosen against the sf0.1 fixture row counts the
+#: bench runs at: documents 601→~50k (10× sf0.1's 5k), embeddings
+#: 577→~20k (10× of 2k), events 1499→1M (10× of 100k); the TPC-H
+#: lanes ride at 10× the random-corpus base (lineitem ~73k — they are
+#: not this probe's subject). Quadratic-closure DuckDB oracles will
+#: not finish at this size — run with --oracle-timeout and cover the
+#: timed-out families with tools/scale_invariants.py.
+SF1ISH_SCALES = {"documents": 83.0, "embeddings": 35.0,
+                 "events": 667.0}
+
+
+def build_corpus(mode: str, out: str) -> None:
+    """Materialize the named corpus mode under ``out`` (see module
+    docstring). Derived modes (skew, empty-slice) generate the seed-7
+    base into ``out``, then rewrite the affected tables in place via
+    DuckDB COPY — the same schema-preserving rewrite the suite's
+    empty-slice fixture uses (its arrow-schema pin guards the writer
+    drift class)."""
+    import duckdb
+
+    from tools.gen_random_corpus import gen
+
+    if mode in ("seed7", "seed13", "seed29"):
+        gen(out, seed=int(mode.removeprefix("seed")))
+        return
+    if mode == "unicode":
+        gen(out, seed=7, unicode_docs=True)
+        return
+    if mode == "rg-layout":
+        gen(out, seed=7, row_group_rows=97)
+        return
+    if mode == "sf1ish":
+        # multi-row-group files too: at this size single-row-group
+        # parquet would serialize every scan into one task
+        gen(out, seed=7, scale=10.0, scales=SF1ISH_SCALES,
+            row_group_rows=50_000)
+        return
+    gen(out, seed=7)
+    con = duckdb.connect()
+    if mode == "empty-slice":
+        # mirror tests/test_random_corpus.py::empty_slice_sf_dir
+        rewrites = {
+            "events": """SELECT event_id, ts, user_id,
+                CASE WHEN event_type = 'purchase' THEN 'view'
+                     ELSE event_type END AS event_type, value, props
+                FROM '{out}/events.parquet'""",
+            "documents": """SELECT doc_id, text,
+                CASE WHEN lang = 'zh' THEN 'en' ELSE lang END AS lang,
+                source, n_chars FROM '{out}/documents.parquet'""",
+        }
+    elif mode == "skew":
+        # ONE user owns ~70% of events; one EXISTING (part, supplier)
+        # pair takes ~50% of lineitem (FK integrity preserved — the
+        # pair is the min keys of the dim tables). Deterministic:
+        # keyed on event_id / l_orderkey parity, no RNG.
+        rewrites = {
+            "events": """SELECT event_id, ts,
+                CASE WHEN event_id % 10 < 7
+                     THEN (SELECT min(user_id)
+                           FROM '{out}/events.parquet')
+                     ELSE user_id END AS user_id,
+                event_type, value, props FROM '{out}/events.parquet'""",
+            "lineitem": """SELECT * REPLACE (
+                CASE WHEN l_orderkey % 2 = 0
+                     THEN (SELECT min(p_partkey)
+                           FROM '{out}/part.parquet')
+                     ELSE l_partkey END AS l_partkey,
+                CASE WHEN l_orderkey % 2 = 0
+                     THEN (SELECT min(s_suppkey)
+                           FROM '{out}/supplier.parquet')
+                     ELSE l_suppkey END AS l_suppkey)
+                FROM '{out}/lineitem.parquet'""",
+        }
+    else:
+        raise ValueError(f"unknown corpus mode {mode!r}")
+    for t, sql in rewrites.items():
+        tmp = f"{out}/{t}.rewrite.parquet"
+        con.execute(f"COPY ({sql.format(out=out)}) TO '{tmp}' "
+                    "(FORMAT PARQUET)")
+        import os as _os
+        _os.replace(tmp, f"{out}/{t}.parquet")
+    con.close()
 
 
 def main() -> int:
@@ -51,6 +164,32 @@ def main() -> int:
                          "fault-tolerant master too, e.g. --master "
                          "'local[8,4]' (maxFailures=4) or every job "
                          "dies on the injected failure")
+    ap.add_argument("--corpus", default=None, choices=CORPUS_MODES,
+                    help="run against a named randomized-corpus mode "
+                         "(generated once under /tmp/spark_graft_corpus"
+                         "/MODE; overrides --sf-dir; rg-layout also "
+                         "forces tiny file-split confs on the session)")
+    ap.add_argument("--corpus-rebuild", action="store_true",
+                    help="regenerate the --corpus directory even if "
+                         "it already exists (use after changing "
+                         "gen_random_corpus.py)")
+    ap.add_argument("--oracle-timeout", type=float, default=None,
+                    help="seconds before a DuckDB oracle is "
+                         "interrupted; the query is then recorded as "
+                         "ORACLE_TIMEOUT (Spark wall time + row count "
+                         "only, NOT a failure). The sf1ish scale "
+                         "probe uses this: quadratic-closure oracles "
+                         "cannot finish at 10×, and the timed-out "
+                         "families are covered by "
+                         "tools/scale_invariants.py instead")
+    ap.add_argument("--no-oracle-cache", action="store_true",
+                    help="re-run every DuckDB oracle even when a "
+                         "cached result exists for this exact "
+                         "(oracle SQL, corpus fingerprint) — the "
+                         "cache key changes whenever the SQL or any "
+                         "table parquet (size/mtime) changes, so the "
+                         "default-on cache can only ever replay an "
+                         "answer for identical inputs")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="SparkContext.setCheckpointDir path — flips "
                          "cache.eager_checkpoint to the RELIABLE "
@@ -60,6 +199,16 @@ def main() -> int:
     args = ap.parse_args()
 
     import os
+
+    if args.corpus:
+        cdir = f"/tmp/spark_graft_corpus/{args.corpus}"
+        if args.corpus_rebuild or not os.path.isdir(cdir):
+            import shutil
+            shutil.rmtree(cdir, ignore_errors=True)
+            print(f"building corpus mode {args.corpus!r} -> {cdir}",
+                  flush=True)
+            build_corpus(args.corpus, cdir)
+        args.sf_dir = cdir
 
     if args.fault_inject:
         from map_reduce_mongodb_spark.io import FAULT_INJECT_ENV
@@ -110,6 +259,13 @@ def main() -> int:
             # dir after the sweep — the cleanCheckpoints conf is
             # creation-time-only, not runtime-settable)
             s.sparkContext.setCheckpointDir(args.checkpoint_dir)
+        if args.corpus == "rg-layout":
+            # one slice per 97-row row group: without BOTH confs Spark
+            # folds small files back into one split (padded open cost
+            # — NOTES_r10 trap list); runtime-settable, so applied in
+            # both the bare and repo-conf session paths
+            s.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+            s.conf.set("spark.sql.files.openCostInBytes", "0")
         return s
 
     spark = build_session()
@@ -117,6 +273,30 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    from tools import oracle_cache
+    corpus_fp = oracle_cache.corpus_fingerprint(args.sf_dir)
+
+    class OracleTimeout(Exception):
+        pass
+
+    def run_oracle(sql: str):
+        import threading
+
+        timer = None
+        if args.oracle_timeout:
+            timer = threading.Timer(args.oracle_timeout, con.interrupt)
+            timer.start()
+        try:
+            if args.no_oracle_cache:
+                return con.execute(sql).fetchdf()
+            return oracle_cache.fetch(con, sql, args.sf_dir,
+                                      fingerprint=corpus_fp)
+        except duckdb.InterruptException as e:
+            raise OracleTimeout(str(e)) from e
+        finally:
+            if timer is not None:
+                timer.cancel()
 
     bad: list[str] = []
     for i, name in enumerate(names, 1):
@@ -126,7 +306,13 @@ def main() -> int:
             if name not in ORACLE_SQL:
                 status = f"ROWS_ONLY rows={len(got)}"
             else:
-                want = con.execute(ORACLE_SQL[name]).fetchdf()
+                try:
+                    want = run_oracle(ORACLE_SQL[name])
+                except OracleTimeout:
+                    print(f"[{i}/{len(names)}] {name}: ORACLE_TIMEOUT "
+                          f"rows={len(got)} "
+                          f"({time.time() - t0:.1f}s)", flush=True)
+                    continue
                 if sorted(got.columns) != sorted(want.columns):
                     status = (f"SCHEMA_MISMATCH spark={sorted(got.columns)}"
                               f" duckdb={sorted(want.columns)}")

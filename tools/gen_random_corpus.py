@@ -34,13 +34,15 @@ generator emits none), zero-norm embeddings (cosine undefined),
 orphan foreign keys (TPC-H referential integrity holds), dates
 before 1992-01-01 (the Theil-Sen epoch), and — by default —
 non-ASCII text. The corpus has a DOCUMENTED pure-ASCII contract
-(tests/test_multimodal.py::test_corpus_is_pure_ascii): the
-multimodal oracles equate media bytes with text characters, and
-normalized-md5 dedup relies on the engines' lower() agreeing, which
-full-vs-simple Unicode case mapping breaks ('İ': Spark/JDK → two
-codepoints, DuckDB/utf8proc → one). ``--unicode`` re-adds the
-non-ASCII probe docs for TEXT-lane sweeps; expect the multimodal
-family and normalized-hash dedup to mismatch BY CONTRACT there.
+(tests/test_multimodal.py::test_corpus_is_pure_ascii), whose one
+remaining dependent (r11) is the ``lower()`` family — normalized-md5
+dedup relies on the engines' lower() agreeing, which full-vs-simple
+Unicode case mapping breaks ('İ': Spark/JDK → two codepoints,
+DuckDB/utf8proc → one). The multimodal oracles are NO LONGER bound
+by it: payloads derive from md5(text) hex (r11, VERDICT r10 #5), so
+that family certifies under ``--unicode`` too. ``--unicode`` re-adds
+the non-ASCII probe docs; expect only the lower()-based
+normalized-hash dedup queries to mismatch BY CONTRACT there.
 
 Usage:
     python tools/gen_random_corpus.py --out /tmp/randsf --seed 7
@@ -86,10 +88,22 @@ def _ts_us(values: list[dt.datetime]) -> pa.Array:
 
 
 def gen(out: str, seed: int, unicode_docs: bool = False,
-        row_group_rows: int | None = None) -> dict[str, int]:
+        row_group_rows: int | None = None,
+        scale: float = 1.0,
+        scales: dict[str, float] | None = None) -> dict[str, int]:
+    """``scale`` multiplies every fact/dim row count (region/nation
+    stay 5/25 — queries treat that shape as the TPC-H contract);
+    ``scales`` overrides the multiplier per table name. The sf≈1
+    scale probe (VERDICT r10 #1) uses this to grow the HEAVY-lane
+    tables (documents/embeddings/events) to ~10× their sf0.1 row
+    counts while keeping the TPC-H lanes modest — all edge injections
+    sit at fixed low indices, so they survive any scale ≥ 1."""
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
     counts: dict[str, int] = {}
+
+    def _s(name: str) -> float:
+        return (scales or {}).get(name, scale)
 
     def write(name: str, table: pa.Table) -> None:
         # row_group_rows: FILE-LAYOUT invariance axis. The fixture
@@ -121,7 +135,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
     }))
 
     # customer: band-boundary acctbals + exact-tie values.
-    n_cust = 211
+    n_cust = int(211 * _s("customer"))
     bal = np.round(rng.uniform(-1000, 10000, n_cust), 2)
     bal[:8] = [0.0, 0.0, 5000.0, 5000.0, -0.01, 4999.99, 9999.99,
                -999.99]
@@ -137,7 +151,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
             [SEGMENTS[i] for i in rng.integers(0, 5, n_cust)]),
     }))
 
-    n_supp = 13
+    n_supp = int(13 * _s("supplier"))
     write("supplier", pa.table({
         "s_suppkey": pa.array(range(n_supp), pa.int64()),
         "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
@@ -147,7 +161,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
             np.round(rng.uniform(-500, 9999, n_supp), 2), pa.float64()),
     }))
 
-    n_part = 157
+    n_part = int(157 * _s("part"))
     write("part", pa.table({
         "p_partkey": pa.array(range(n_part), pa.int64()),
         "p_name": pa.array(
@@ -164,7 +178,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
 
     # orders: 1992-01-01 epoch edge + exact-duplicate dates + total
     # ties; dates stay day-aligned like the fixtures.
-    n_ord = 1777
+    n_ord = int(1777 * _s("orders"))
     epoch = dt.datetime(1992, 1, 1)
     days = rng.integers(0, (dt.datetime(2001, 12, 31) - epoch).days,
                         n_ord)
@@ -187,7 +201,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
 
     # lineitem: boundary quantities/discounts, price ties, one hot
     # part (~5% of rows), shipdate = orderdate + small positive lag.
-    n_li = 7321
+    n_li = int(7321 * _s("lineitem"))
     okeys = rng.integers(0, n_ord, n_li)
     pkeys = rng.integers(0, n_part, n_li)
     pkeys[: n_li // 20] = 7           # skewed part
@@ -227,7 +241,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
     # events: duplicate (user_id, ts) rows, midnight-exact and
     # µs-adjacent stamps, value ties, a ~20% skew user, and rows at /
     # beyond the 64-day bitmap boundary (day 0, 63, 64, 100).
-    n_ev = 1499
+    n_ev = int(1499 * _s("events"))
     base = dt.datetime(2024, 1, 1)
     ts = [base + dt.timedelta(
         seconds=float(rng.uniform(0, 30 * 86400)),
@@ -268,7 +282,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
     ]
     near_a = " ".join(rng.choice(WORDS, 60))
     texts += [near_a, near_a + " extra", near_a]   # dup pair + near-dup
-    n_doc = 601
+    n_doc = int(601 * _s("documents"))
     while len(texts) < n_doc:
         texts.append(" ".join(
             rng.choice(WORDS, int(rng.integers(5, 120)))))
@@ -283,7 +297,7 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
 
     # embeddings: exact duplicates, a near-duplicate, a tiny-norm
     # vector; float32 like the fixtures.
-    n_emb = 577
+    n_emb = int(577 * _s("embeddings"))
     emb = rng.normal(0, 1, (n_emb, 64)).astype(np.float32)
     emb[1] = emb[0]                       # exact duplicate pair
     emb[2] = emb[0]                       # triple
