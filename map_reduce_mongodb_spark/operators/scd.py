@@ -35,12 +35,17 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
 
     ``updates``: one row per changed key — ``key``, new values for
     ``attrs``, and ``effective`` (timestamp the change takes effect).
-    STRICT: a batch with duplicate keys is out of contract, and the
-    single-scan shape makes the failure mode broader than the old
-    four-branch union's — the left join fans out EVERY row of that
-    key, closed history included (the union form left closed rows
-    immune). Pre-compact with a ``max_by`` per key (as
-    :func:`scd2_replay_stream`'s docstring instructs) before calling.
+    A batch with duplicate keys is COMPACTED defensively before the
+    join: the row with the greatest ``effective`` wins (ties broken
+    deterministically by attribute values via a struct max — never
+    first-row-wins, which would be partition-order-dependent). The
+    compact is load-bearing, not cosmetic: the single-scan shape
+    left-joins the WHOLE dimension against the batch, so a duplicate
+    key would fan out every row of that key — closed history
+    included — and emit phantom versions (the old four-branch union
+    left closed rows immune; this shape doesn't). The groupBy runs on
+    the small (broadcast) side, so it costs one tiny shuffle of the
+    batch, not of the dimension.
 
     Returns the merged dimension: closed history + still-open
     unchanged rows + closed-out previous versions of updated keys +
@@ -54,10 +59,15 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
     one (pass-through) or two (close-out + successor) output rows
     from a single evaluation instead.
     """
-    upd = F.broadcast(updates.select(
+    compact = (updates
+               .groupBy(key)
+               .agg(F.max(F.struct(
+                   F.col(effective).alias("_eff0"),
+                   *[F.col(a).alias(a) for a in attrs])).alias("_u")))
+    upd = F.broadcast(compact.select(
         F.col(key),
-        *[F.col(a).alias(f"_new_{a}") for a in attrs],
-        F.col(effective).alias("_eff")))
+        *[F.col(f"_u.{a}").alias(f"_new_{a}") for a in attrs],
+        F.col("_u._eff0").alias("_eff")))
     joined = dim.join(upd, key, "left")
 
     def _struct(**overrides) -> F.Column:
@@ -92,8 +102,9 @@ def scd2_replay_stream(dim: DataFrame, update_batches: list[DataFrame],
     Streaming, applying :func:`scd2_apply` once per micro-batch, and
     return the final versioned dimension.
 
-    Each ``update_batches[i]`` (≤1 row per key — pre-compact with a
-    max_by if needed) is written as one file-source input file with
+    Each ``update_batches[i]`` (duplicate keys within one batch are
+    compacted by :func:`scd2_apply` — greatest ``effective`` wins,
+    deterministic tie-break) is written as one file-source input file with
     strictly increasing mtimes; ``maxFilesPerTrigger=1`` then yields
     exactly one micro-batch per input batch, oldest first (the file
     source orders by modification time), so the replay is

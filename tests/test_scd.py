@@ -57,3 +57,51 @@ def test_scd2_apply_second_batch_composes(spark):
                   for r in twice.where("k = 4").collect())
     assert hist == [(1, "seg1", False), (2, "NEW", False),
                     (3, "NEWER", True)]
+
+
+def test_scd2_apply_duplicate_key_batch_compacts(spark):
+    """A batch with duplicate keys is compacted before the join:
+    greatest effective_ts wins (deterministic tie-break on attrs),
+    closed history never fans out, and the result is IDENTICAL to
+    applying the pre-compacted batch — the r9→r11 carried hazard
+    (docstring-only contract until now)."""
+    dim = _dim(spark)
+    # close key 4's v1 first so the dim contains closed history
+    once = scd2_apply(
+        dim,
+        spark.createDataFrame([(4, "MID", "1995-01-01")],
+                              "k long, seg string, effective_ts string")
+        .select("k", "seg", F.col("effective_ts").cast("timestamp")
+                .alias("effective_ts")),
+        "k", ["seg"])
+    dup = spark.createDataFrame(
+        [(4, "LOSER", "1998-06-01"),
+         (4, "WINNER", "1999-01-01"),   # latest effective_ts wins
+         (4, "ALSO_LOSER", "1998-06-01"),
+         (7, "TIE_B", "1998-06-01"),    # exact-tie pair: struct max
+         (7, "TIE_A", "1998-06-01")],   # picks TIE_B (attr order)
+        "k long, seg string, effective_ts string") \
+        .select("k", "seg", F.col("effective_ts").cast("timestamp")
+                .alias("effective_ts"))
+    out = scd2_apply(once, dup, "k", ["seg"]).cache()
+
+    # append-only vs the COMPACTED batch size (2 keys), not the raw 5
+    assert out.count() == 21 + 2
+    # closed history for key 4 (the v1 row) passed through exactly once
+    k4 = sorted((r.version, r.seg, r.valid_to is None)
+                for r in out.where("k = 4").collect())
+    assert k4 == [(1, "seg1", False), (2, "MID", False),
+                  (3, "WINNER", True)]
+    # deterministic tie-break: lexicographically greatest attr struct
+    k7 = sorted((r.version, r.seg, r.valid_to is None)
+                for r in out.where("k = 7").collect())
+    assert k7 == [(1, "seg1", False), (2, "TIE_B", True)]
+    # identical to applying the hand-compacted batch
+    pre = spark.createDataFrame(
+        [(4, "WINNER", "1999-01-01"), (7, "TIE_B", "1998-06-01")],
+        "k long, seg string, effective_ts string") \
+        .select("k", "seg", F.col("effective_ts").cast("timestamp")
+                .alias("effective_ts"))
+    expect = scd2_apply(once, pre, "k", ["seg"])
+    assert (out.exceptAll(expect).count() == 0
+            and expect.exceptAll(out).count() == 0)
