@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 #: "BPE-ish" pre-tokenizer: word pieces OR single non-space symbols —
 #: the standard coarse token estimator for LLM corpus accounting.
-BPE_TOKEN_RE = r"\w+|[^\w\s]"
+BPE_TOKEN_RE = r"\w+|[^\w \t\n\x0B\f\r]"
 
 #: Tiny per-language stopword anchors for the n-gram/stopword language
 #: heuristic. Deliberately small + public-knowledge words.
@@ -58,7 +58,7 @@ def pii_redact(col: Column) -> Column:
 
 def words(col: Column) -> Column:
     """Whitespace tokenization of trimmed text (empty string → [''])."""
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.trim(col), r"[ \t\n\x0B\f\r]+")
 
 
 def word_count(col: Column) -> Column:
@@ -100,13 +100,13 @@ def lang_guess(col: Column) -> Column:
 
 
 def punct_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0)))
+    return F.size(F.regexp_extract_all(col, F.lit(r"[^\w \t\n\x0B\f\r]"), F.lit(0)))
 
 
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key. md5 renders identically in Spark and DuckDB."""
-    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"[ \t\n\x0B\f\r]+", " ")
     return F.md5(normalized)
 
 

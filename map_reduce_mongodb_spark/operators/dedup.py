@@ -544,7 +544,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     its fingerprints just aren't SQL-reproducible (rows-only check)."""
     if hasher not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hasher: {hasher!r}")
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     m = F.greatest(F.size(w) - F.lit(gram_n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(w, j + 1, m) for j in range(gram_n)])
     if hasher == "md5":
@@ -915,7 +915,7 @@ def shared_token_runs(df: DataFrame, text_col: str = "text",
     md5-vs-xxhash64 twin pattern proves that swap exact elsewhere in
     this module). Chunk-aligned `dup_passages` misses runs that
     straddle chunk boundaries; this sees every alignment."""
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    ws = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     base = (df.select(F.col(id_col).alias("id"), ws.alias("ws"))
             .filter(F.size("ws") >= gram_n))
     m = F.size("ws") - F.lit(gram_n - 1)
@@ -926,17 +926,19 @@ def shared_token_runs(df: DataFrame, text_col: str = "text",
         lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(gram_n)]))
     posted = (base.select("id", F.posexplode(grams).alias("p0", "gram"))
               .select("id", (F.col("p0") + 1).alias("pos"), "gram"))
-    # tracked_persist, not a reused plan: the self-join consumes the
-    # capped postings TWICE, and ReuseExchange/AQE-stage-cache cannot
-    # fold the two sides — the gram arrays are built by higher-order
-    # functions whose NamedLambdaVariable exprIds do NOT normalize
-    # under plan canonicalization, so the two structurally identical
-    # window subtrees hash differently and the scan+explode+window
-    # (the dominant cost at scale) would run twice, once of them under
-    # a broadcast build (caught by tests/test_plans.py::
-    # test_shared_token_runs_gram_shuffle_paid_once — the same lambda
-    # wart is a documented blind spot of plans.py's
-    # duplicated_shuffle_exchanges sweep).
+    # tracked_persist: the self-join consumes the capped postings
+    # TWICE. r11 correction of the r10 rationale (see plans.py's
+    # retraction note): ReuseExchange DOES fold the two sides' gram
+    # exchanges — lambda-bearing subtrees canonicalize fine on this
+    # Spark version — so the scan+explode is paid once even without
+    # the persist. What reuse does NOT cover is the work ABOVE the
+    # exchange: the df-cap window + filter re-execute per consumer
+    # (2 WindowExec over the reused shuffle output), and under AQE
+    # the fold depends on runtime stage-cache timing. The persist
+    # keeps the whole capped-postings computation single-execution by
+    # construction and the plan deterministic (both join sides are
+    # InMemoryTableScans — tests/test_plans.py::
+    # test_shared_token_runs_builds_postings_once).
     keep = tracked_persist(
         posted
         .withColumn("gram_df",

@@ -790,9 +790,9 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        n_chars,
        length(text) AS text_len,
-       len(string_split_regex(trim(text), '\s+')) AS n_words,
-       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
-       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+       len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words,
+       len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]')) AS n_tokens,
+       len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]')) AS n_punct
 FROM documents
 """)
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,12 +811,12 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_quality", oracle=r"""
 SELECT doc_id,
-       round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+       round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+             / len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 6) AS stopword_ratio,
        round(CAST(length(text) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_word,
-       CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000
+             / len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 4) AS chars_per_word,
+       CASE WHEN len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) BETWEEN 20 AND 1000
              AND length(text) > 100 THEN 1 ELSE 0 END AS passes_length_gate
 FROM documents
 """)
@@ -841,10 +841,10 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
   SELECT doc_id, lang,
          round(CAST(len(list_filter(
-                   string_split_regex(lower(trim(text)), '\s+'),
+                   string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                    x -> x IN ('the','a','of','and','to','in','is')))
                AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')), 6) AS q_score
+               / len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 6) AS q_score
   FROM documents),
 p AS (SELECT doc_id, lang, q_score,
              percent_rank() OVER (PARTITION BY lang ORDER BY q_score) AS pr
@@ -881,13 +881,13 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANG_ID_ORACLE = r"""
 WITH hits AS (
   SELECT doc_id, lang AS labeled_lang,
-         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
              x -> x IN ('der','und','die','das','ist'))) AS h_de,
-         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
              x -> x IN ('the','and','of','to','is'))) AS h_en,
-         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
              x -> x IN ('el','la','los','que','es'))) AS h_es,
-         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
              x -> x IN ('le','la','et','les','est'))) AS h_fr
   FROM documents
 )
@@ -961,7 +961,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("top_bigrams", oracle=r"""
-WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+WITH w AS (SELECT string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
      b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
                                         i -> w[i] || ' ' || w[i + 1])) AS bigram
            FROM w WHERE len(w) >= 2)
@@ -987,7 +987,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("bpe_merge_candidates", oracle=r"""
-WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'))
              AS word
            FROM documents),
 wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -1012,7 +1012,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-20 with deterministic pair tiebreak."""
     docs = table(spark, "documents", sf_dir)
     words = (docs.select(F.explode(
-        F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+")).alias("word"))
         .filter(F.length("word") >= 2))
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     pairs = wf.select(
@@ -1027,7 +1027,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("vocab_coverage", oracle=r"""
-WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+WITH w AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
            FROM documents),
 f AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
 c AS (SELECT word, freq,
@@ -1070,7 +1070,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_repetition", oracle=r"""
 WITH w AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\s+')) AS word
+         unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents),
 wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
 ws AS (
@@ -1082,7 +1082,7 @@ ws AS (
 b AS (
   SELECT doc_id, unnest(list_transform(generate_series(1, len(wd) - 1),
                                        i -> wd[i] || ' ' || wd[i+1])) AS bg
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS wd
         FROM documents)
   WHERE len(wd) >= 2),
 bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
@@ -1145,7 +1145,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("tfidf_top_terms", oracle=r"""
 WITH w AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
   FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
 ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
@@ -1197,7 +1197,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("unigram_logprob", oracle=r"""
 WITH w AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents),
 freq AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
 tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
@@ -1264,7 +1264,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @query("dedup_exact_groups", oracle=r"""
-SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
        min(doc_id) AS keep_id,
        count(*) AS n_dups
 FROM documents
@@ -1293,7 +1293,7 @@ WITH sh AS (
   SELECT doc_id, lang,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3)
 SELECT id_a, id_b, jaccard FROM (
@@ -1340,7 +1340,7 @@ WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3)
 SELECT id_a, id_b, jaccard FROM (
@@ -1368,7 +1368,7 @@ WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3),
 pairs AS (
@@ -1440,7 +1440,7 @@ base AS (
          list_distinct(list_transform(
              generate_series(1, len(w) - {shingle_n - 1}),
              i -> {grams})) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
         FROM documents)
   WHERE len(w) >= {shingle_n}),
 tok AS (SELECT doc_id, unnest(s) AS g FROM base),
@@ -1517,7 +1517,7 @@ base AS (
   SELECT doc_id,
          list_transform(generate_series(1, len(w) - {gram_n - 1}),
                         i -> {grams}) AS g
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
         FROM documents)
   WHERE len(w) - {gram_n - 1} >= {window}),
 hashed AS (
@@ -1685,7 +1685,7 @@ WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3),
 pairs AS (
@@ -1866,7 +1866,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv
        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, d.lang
        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
        WHERE d.lang = 'en'
-         AND len(string_split_regex(trim(d.text), '\\s+')) >= 30),
+         AND len(string_split_regex(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+')) >= 30),
      scored AS (
        SELECT query_id, neighbor_id, lang, {cos} AS cosine
        FROM c, q WHERE neighbor_id <> query_id)
@@ -2225,13 +2225,38 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/multimodal.py module doc)
 # =====================================================================
 
-@query("multimodal_inventory", oracle="""
-WITH m AS (
+#: Shared multimodal-oracle prefix (VERDICT r10 #5): the payload
+#: synthesis source, reconstructed engine-portably for ANY corpus.
+#: Payloads derive from md5(text) — 32 pure-ASCII hex chars both
+#: engines compute identically over the UTF-8 bytes — NOT from the
+#: text bytes, so char==byte and ascii()==sample-byte hold even on
+#: full-Unicode corpora (the old length(text)/repeat(text) oracles
+#: were valid only under the pure-ASCII corpus contract). `n` is the
+#: pseudo-length in [4, 991] (first two hex chars — no hex→int cast,
+#: which the engines spell differently; floor 4 ≥ max WAV block align
+#: so every clip has ≥1 frame); `raw` is the synthesis byte
+#: source: the digest repeated to ≥991 chars, truncated to n. Mirrors
+#: operators/multimodal.py::_payload_source exactly.
+_MEDIA_RAW_CTE = """
+WITH _media_seed AS (
+  SELECT doc_id, text,
+         4 + (ascii(substr(md5(text), 1, 1)) * 256
+              + ascii(substr(md5(text), 2, 1))) % 988 AS n,
+         md5(text) AS sd
+  FROM documents),
+media_raw AS (
+  SELECT doc_id, text, n,
+         substring(repeat(sd, 31), 1, CAST(n AS INT)) AS raw
+  FROM _media_seed)"""
+
+
+@query("multimodal_inventory", oracle=_MEDIA_RAW_CTE + """,
+m AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         length(text) AS len
-  FROM documents),
+         n AS len
+  FROM media_raw),
 sized AS (
   SELECT media_type,
          CASE media_type
@@ -2254,10 +2279,10 @@ def q_multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column accounting over the synthesized media table. The
     payloads are WELL-FORMED files (binary PPM / PCM WAV — see
     multimodal._synth_payload), whose sizes are closed-form in the
-    text length (ASCII corpus: bytes == chars): PPM = 13-byte header
-    + w·h·3 pixels, WAV = 44-byte header + frame-aligned data, Y4M =
-    37-byte header + n_frames·(6 + w·h·3). The oracle recomputes
-    those formulas."""
+    md5-derived pseudo-length n (engine-portable for any corpus —
+    _MEDIA_RAW_CTE): PPM = 13-byte header + w·h·3 pixels, WAV =
+    44-byte header + frame-aligned data, Y4M = 37-byte header +
+    n_frames·(6 + w·h·3). The oracle recomputes those formulas."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         media_from_documents)
     media = media_from_documents(table(spark, "documents", sf_dir))
@@ -2269,13 +2294,13 @@ def q_multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stats", oracle="""
-WITH d AS (
+@query("multimodal_decode_stats", oracle=_MEDIA_RAW_CTE + """,
+d AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         length(text) AS len
-  FROM documents),
+         n AS len
+  FROM media_raw),
 g AS (
   SELECT media_type,
          CASE media_type WHEN 'image' THEN 16 + len % 48
@@ -2304,8 +2329,8 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPM headers (with pixel-array validation), WAV headers (stdlib
     ``wave``) and Y4M streams (strict FRAME-walking parser) inside
     the Arrow mapInPandas stage. The oracle recomputes what a correct
-    parse MUST find from the synthesis formulas (PPM w/h from text
-    length; WAV frame count from frame-aligned data size; Y4M w/h/
+    parse MUST find from the synthesis formulas (PPM w/h from the
+    md5-derived n; WAV frame count from frame-aligned data size; Y4M w/h/
     frame-count from the Y4M synthesis geometry) — so a broken parser
     or malformed synthesis fails the hash, not just a schema check.
     avgs are emitted UNROUNDED: sum-of-ints/count divides identically
@@ -2322,24 +2347,24 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("video_frame_stats", oracle="""
-WITH v AS (
-  SELECT doc_id, text, length(text) AS n,
-         16 + length(text) % 32 AS w,
-         16 + (length(text) // 5) % 32 AS h,
-         2 + length(text) % 7 AS nf
-  FROM documents WHERE doc_id % 3 = 2),
+@query("video_frame_stats", oracle=_MEDIA_RAW_CTE + """,
+v AS (
+  SELECT doc_id, raw, n,
+         16 + n % 32 AS w,
+         16 + (n // 5) % 32 AS h,
+         2 + n % 7 AS nf
+  FROM media_raw WHERE doc_id % 3 = 2),
 v2 AS (
-  SELECT doc_id, text, n, w, h, nf, w * h * 3 AS fsize,
+  SELECT doc_id, raw, n, w, h, nf, w * h * 3 AS fsize,
          (w * h * 3) // n AS q, (w * h * 3) % n AS r
   FROM v),
 a AS (
   SELECT doc_id,
-         sum(ascii(substr(text, CAST(i AS INTEGER), 1))) AS tot,
+         sum(ascii(substr(raw, CAST(i AS INTEGER), 1))) AS tot,
          sum(CASE WHEN i <= r
-                  THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                  THEN ascii(substr(raw, CAST(i AS INTEGER), 1))
                   ELSE 0 END) AS pre
-  FROM (SELECT doc_id, text, r, unnest(generate_series(1, n)) AS i
+  FROM (SELECT doc_id, raw, r, unnest(generate_series(1, n)) AS i
         FROM v2)
   GROUP BY doc_id)
 SELECT v2.doc_id AS media_id,
@@ -2355,8 +2380,8 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FIRST frame's C444 plane block — evidence that actual frame
     BYTES came out of the container, not just header fields. The
     oracle reconstructs the same sum arithmetically from the
-    synthesis layout (frame 0 = the text repeated to w·h·3 bytes, so
-    its byte sum = ⌊fsize/n⌋·Σascii(text) + Σascii(prefix)) — a
+    synthesis layout (frame 0 = the md5-derived raw repeated to w·h·3
+    bytes, so its byte sum = ⌊fsize/n⌋·Σascii(raw) + Σascii(prefix)) — a
     parser that misplaces a single frame boundary fails the hash.
     Narrow Arrow decode stage; at scale this is the per-partition
     frame-extraction pass a video-curation pipeline runs before
@@ -2373,7 +2398,7 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mapreduce_wordcount", oracle=r"""
 WITH words AS (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w
   FROM documents
   -- empty/whitespace-only docs: Python ''.split() yields NO tokens,
   -- but string_split_regex('', ...) yields [''] — filter them here
@@ -3114,11 +3139,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("corpus_curation", oracle=r"""
 WITH kept AS (
   SELECT doc_id, lang, source,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-         len(string_split_regex(trim(text), '\s+')) AS n_words
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
+         len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words
   FROM documents
   WHERE length(text) > 100
-    AND len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000),
+    AND len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) BETWEEN 20 AND 1000),
 canon AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp)
 SELECT k.lang, k.source,
        count(*) AS n_docs,
@@ -3188,7 +3213,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("seq_packing", oracle=r"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+         len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]')) AS n_tokens
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
@@ -3236,7 +3261,7 @@ WITH RECURSIVE t AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
               AS BIGINT) % 8 AS shard,
-         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]')) AS BIGINT)
            AS n_tokens
   FROM documents),
 r AS (
@@ -3301,7 +3326,7 @@ sh AS (
              generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
   FROM (SELECT doc_id, bucket,
-               string_split_regex(trim(text), '\s+') AS w
+               string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM b)
   WHERE len(w) >= 3),
 evs AS (SELECT DISTINCT s FROM sh WHERE bucket >= 80)
@@ -3706,7 +3731,7 @@ WITH base AS (
          list_distinct(list_transform(
              generate_series(1, len(w) - {shingle_n - 1}),
              i -> {grams})) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
         FROM documents)
   WHERE len(w) >= {shingle_n}),
 dig AS (
@@ -4388,7 +4413,7 @@ WITH toks AS (
   SELECT doc_id, len(w) AS dl,
          unnest(w) AS tok
   FROM (SELECT doc_id,
-               string_split_regex(lower(trim(text)), '\\s+') AS w
+               string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
         FROM documents)),
 tf AS (
   SELECT doc_id, any_value(dl) AS dl, tok,
@@ -4397,7 +4422,7 @@ tf AS (
   GROUP BY doc_id, tok),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         avg(len(string_split_regex(lower(trim(text)), '\\s+')))
+         avg(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')))
            AS avg_dl
   FROM documents),
 idf AS (
@@ -4466,7 +4491,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
-        F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+").alias("w"))
     tf = (toks.select("doc_id", F.size("w").alias("dl"),
                       F.explode("w").alias("tok"))
           .filter(F.col("tok").isin(*_BM25_TERMS))
@@ -4713,7 +4738,7 @@ def q_lang_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_rate_by_source", oracle="""
 WITH fp AS (
   SELECT source,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS f
   FROM documents)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -4833,12 +4858,12 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_per_token"))
 
 
-@query("image_thumbnails", oracle="""
+@query("image_thumbnails", oracle=_MEDIA_RAW_CTE + """
 SELECT CAST(count(*) AS BIGINT) AS n,
        16 AS thumb_w, 16 AS thumb_h,
        round(avg(13 + 16 * 16 * 3), 4) AS avg_bytes,
-       round(avg(ascii(substr(text, 1, 1))), 4) AS avg_first_r
-FROM documents WHERE doc_id % 3 = 0
+       round(avg(ascii(substr(raw, 1, 1))), 4) AS avg_first_r
+FROM media_raw WHERE doc_id % 3 = 0
 """)
 def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize: every image row's PPM is decoded, resampled
@@ -4846,20 +4871,17 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py:resize_images) and re-encoded as PPM. The
     oracle pins actual pixel MOVEMENT, not just plumbing: thumbnail
     pixel (0,0) maps to source pixel (0,0), whose red byte is the
-    first character of the source text — so avg(first thumbnail body
-    byte) must equal avg(ascii(first text char)) across the corpus.
-    Payload sizes are fixed by the PPM format (13-byte header +
-    16·16·3 pixels)."""
+    first char of the md5-derived raw source — so avg(first thumbnail
+    body byte) must equal avg(ascii(first raw char)) across the
+    corpus. Payload sizes are fixed by the PPM format (13-byte header
+    + 16·16·3 pixels). The PPM body is pure-ASCII md5 hex by
+    construction (_MEDIA_RAW_CTE), so decoding it as UTF-8 and
+    matching ascii() is sound on ANY corpus — the r10 text-derived
+    payloads made this query ASCII-contract-only."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         media_from_documents, resize_images)
     thumbs = resize_images(
         media_from_documents(table(spark, "documents", sf_dir)))
-    # ASCII-CORPUS ASSUMPTION (shared with audio_features): decoding
-    # the binary PPM body as UTF-8 and matching it against ascii()
-    # over documents.text is only sound while every text char is
-    # single-byte ASCII (<128). tests/test_multimodal.py::
-    # test_corpus_is_pure_ascii fails loudly if a future testdata
-    # generation breaks this, instead of a subtle hash drift here.
     first_r = F.ascii(F.substring(F.decode(F.col("data"), "UTF-8"), 14, 1))
     return thumbs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -4869,17 +4891,17 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(first_r), 4).alias("avg_first_r"))
 
 
-@query("audio_features", oracle="""
-WITH a AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
+@query("audio_features", oracle=_MEDIA_RAW_CTE + """,
+a AS (
+  SELECT doc_id, raw, n FROM media_raw
   WHERE doc_id % 3 = 1),
 b AS (
-  SELECT doc_id, text, n - (n % (2 * (1 + n % 2))) AS dsize FROM a),
+  SELECT doc_id, raw, n - (n % (2 * (1 + n % 2))) AS dsize FROM a),
 s AS (
   SELECT doc_id,
-         ascii(substr(text, CAST(2 * i - 1 AS INTEGER), 1))
-           + 256 * ascii(substr(text, CAST(2 * i AS INTEGER), 1)) AS v
-  FROM (SELECT doc_id, text,
+         ascii(substr(raw, CAST(2 * i - 1 AS INTEGER), 1))
+           + 256 * ascii(substr(raw, CAST(2 * i AS INTEGER), 1)) AS v
+  FROM (SELECT doc_id, raw,
                unnest(generate_series(1, dsize // 2)) AS i
         FROM b))
 SELECT doc_id AS media_id,
@@ -4895,16 +4917,15 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV payload (stdlib wave), per-clip peak / mean amplitude / RMS
     energy via numpy (operators/multimodal.py:audio_features). The
     oracle re-derives every sample arithmetically — each sample is a
-    little-endian pair of text bytes, so DuckDB reconstructs the
-    exact waveform from ascii() and must agree on all three
-    statistics (integer sums are exact in both engines; doubles
-    derive from the same exact integers).
-
-    ASCII-CORPUS ASSUMPTION: the unsigned byte-pair reconstruction
-    (lo + 256·hi) only equals the signed little-endian int16 the WAV
-    decoder produces while both bytes are <128 (high bit clear), i.e.
-    while documents.text is pure ASCII — guarded loudly by
-    tests/test_multimodal.py::test_corpus_is_pure_ascii."""
+    little-endian pair of md5-hex bytes (_MEDIA_RAW_CTE), so DuckDB
+    reconstructs the exact waveform from ascii() and must agree on
+    all three statistics (integer sums are exact in both engines;
+    doubles derive from the same exact integers). The unsigned
+    byte-pair reconstruction (lo + 256·hi) equals the signed
+    little-endian int16 the WAV decoder produces because md5 hex
+    chars always have the high bit clear — by construction now, for
+    ANY corpus (the r10 text-derived payloads needed the pure-ASCII
+    corpus contract for this)."""
     from map_reduce_mongodb_spark.operators.multimodal import (
         audio_features, media_from_documents)
     return audio_features(
@@ -5486,7 +5507,7 @@ WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3),
 inter AS (
@@ -5525,7 +5546,7 @@ WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3),
 tok AS (SELECT doc_id, g FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
@@ -5698,7 +5719,7 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("bigram_lm_logprob", oracle=r"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
   FROM documents),
 bg AS (
   SELECT doc_id,
@@ -5977,7 +5998,7 @@ WITH sh AS (
          unnest(list_distinct(list_transform(
              generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3),
 firstk AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
@@ -6156,7 +6177,7 @@ def q_events_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_token_entropy", oracle=r"""
 WITH w AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents),
 cnt AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
 tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n
@@ -6309,15 +6330,15 @@ def q_usgs_sites_within_radius(spark: SparkSession, sf_dir: str
                     F.col("id_b").alias("site_b"), "dist2"))
 
 
-@query("image_ahash", oracle="""
-WITH img AS (
-  SELECT doc_id, text, length(text) AS n,
-         16 + length(text) % 48 AS w,
-         16 + (length(text) // 7) % 48 AS h
-  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+@query("image_ahash", oracle=_MEDIA_RAW_CTE + """,
+img AS (
+  SELECT doc_id, raw, n,
+         16 + n % 48 AS w,
+         16 + (n // 7) % 48 AS h
+  FROM media_raw WHERE doc_id % 3 = 0 AND length(text) > 0),
 body AS (
   SELECT doc_id, w, h,
-         substring(repeat(text, CAST((w * h * 3 + n - 1) // n AS INT)),
+         substring(repeat(raw, CAST((w * h * 3 + n - 1) // n AS INT)),
                    1, w * h * 3) AS px
   FROM img),
 gray AS (
@@ -6367,8 +6388,8 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer — intensity is the channel SUM and the threshold
     comparison cross-multiplies instead of dividing — so the 64-bit
     hash is bit-identical to the oracle, which re-derives EVERY pixel
-    arithmetically from the synthesis formula (repeat-truncated text
-    bytes) and assembles the same hash in SQL: the strongest
+    arithmetically from the synthesis formula (repeat-truncated
+    md5-hex bytes) and assembles the same hash in SQL: the strongest
     decode-correctness pin in the multimodal family (a single
     misplaced pixel flips cells). Arrow-batched narrow decode stage,
     no shuffle."""
@@ -6381,21 +6402,24 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Shared audio-decode oracle prefix: reconstruct every int16 PCM
-#: sample from its little-endian text-byte pair, bucket samples into
+#: sample from its little-endian md5-hex byte pair, bucket samples into
 #: 32 time windows, and mark each non-empty window's above/below-mean
 #: energy bit (exact-integer cross-multiplied threshold). Consumed by
 #: `audio_fingerprint` (bit packing) and `audio_silence_runs`
 #: (gaps-and-islands over the below-mean windows).
-_AUDIO_BITS_CTE = """
-WITH a AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-  WHERE doc_id % 3 = 1),
-b AS (SELECT doc_id, text, n - (n % (2 * (1 + n % 2))) AS dsize FROM a),
+_AUDIO_BITS_CTE = _MEDIA_RAW_CTE + """,
+a AS (
+  -- length(text) > 0 mirrors the Spark-side .where of BOTH consumers
+  -- (fingerprint / silence_runs): under hash-derived payloads an
+  -- empty-text doc has real samples, so the filter must match
+  SELECT doc_id, raw, n FROM media_raw
+  WHERE doc_id % 3 = 1 AND length(text) > 0),
+b AS (SELECT doc_id, raw, n - (n % (2 * (1 + n % 2))) AS dsize FROM a),
 sv AS (
   SELECT doc_id, dsize // 2 AS ns,
          list_transform(generate_series(0, dsize // 2 - 1),
-             k -> ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
-                  + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1)))
+             k -> ascii(substr(raw, CAST(2 * k + 1 AS INT), 1))
+                  + 256 * ascii(substr(raw, CAST(2 * k + 2 AS INT), 1)))
            AS vs
   FROM b WHERE dsize >= 2),
 sk AS (
@@ -6433,7 +6457,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     energies are int64 sums of v²) — the audio member of the
     perceptual-fingerprint family (image_ahash / video_frame_ahash),
     same bit-exact SQL reproducibility: the oracle reconstructs every
-    int16 sample from its little-endian text-byte pair and assembles
+    int16 sample from its little-endian md5-hex byte pair and assembles
     the identical 32-bit fingerprint. Near-dup clips = small Hamming
     distance, searched with dedup.simhash_pairs(bits=32) unchanged."""
     from map_reduce_mongodb_spark.operators.multimodal import (
@@ -6444,16 +6468,16 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_samples", "afp")
 
 
-@query("video_frame_ahash", oracle="""
-WITH img AS (
-  SELECT doc_id, text, length(text) AS n,
-         16 + length(text) % 32 AS w,
-         16 + (length(text) // 5) % 32 AS h,
-         2 + length(text) % 7 AS nf
-  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+@query("video_frame_ahash", oracle=_MEDIA_RAW_CTE + """,
+img AS (
+  SELECT doc_id, raw, n,
+         16 + n % 32 AS w,
+         16 + (n // 5) % 32 AS h,
+         2 + n % 7 AS nf
+  FROM media_raw WHERE doc_id % 3 = 2 AND length(text) > 0),
 body AS (
   SELECT doc_id, w, h, nf, w * h AS wh,
-         substring(repeat(text,
+         substring(repeat(raw,
                           CAST((w * h * 3 + nf + n - 1) // n AS INT)),
                    1, w * h * 3) AS f0
   FROM img),
@@ -6500,7 +6524,7 @@ def q_video_frame_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptual-fingerprint family across all three modalities, each
     pinned bit-for-bit by a SQL oracle that re-derives the decoded
     bytes from the synthesis formula (here: frame 0 is the
-    repeat-truncated text, planes at offsets 0 / w·h / 2·w·h). A
+    repeat-truncated md5-hex raw, planes at offsets 0 / w·h / 2·w·h). A
     wrong plane offset, frame boundary, or cell map flips bits —
     decode correctness is the thing under test."""
     from map_reduce_mongodb_spark.operators.multimodal import (
@@ -6827,17 +6851,17 @@ def q_token_budget_allocator(spark: SparkSession, sf_dir: str
                      / F.col("available")).alias("epochs")))
 
 
-@query("video_shot_boundaries", oracle="""
-WITH img AS (
-  SELECT doc_id, text, length(text) AS n,
-         16 + length(text) % 32 AS w,
-         16 + (length(text) // 5) % 32 AS h,
-         2 + length(text) % 7 AS nf
-  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+@query("video_shot_boundaries", oracle=_MEDIA_RAW_CTE + """,
+img AS (
+  SELECT doc_id, raw, n,
+         16 + n % 32 AS w,
+         16 + (n // 5) % 32 AS h,
+         2 + n % 7 AS nf
+  FROM media_raw WHERE doc_id % 3 = 2 AND length(text) > 0),
 fr AS (
   SELECT doc_id, w, h, w * h AS wh,
          unnest(generate_series(0, nf - 1)) AS f,
-         repeat(text,
+         repeat(raw,
                 CAST((w * h * 3 + nf + n - 1) // n AS INT)) AS rep
   FROM img),
 body AS (
@@ -6892,8 +6916,8 @@ def q_video_shot_boundaries(spark: SparkSession, sf_dir: str
     construction) and the alignment substrate for clip-level dedup:
     two videos sharing a run of frame hashes are the same shot. The
     oracle re-derives every frame's hash arithmetically from the Y4M
-    synthesis formula (frame f's plane block = the repeated text at
-    byte offset f), so a wrong frame boundary, plane offset, or cell
+    synthesis formula (frame f's plane block = the repeated md5-hex
+    raw at byte offset f), so a wrong frame boundary, plane offset, or cell
     map flips bits. Scale shape: decode is Arrow-batched mapInPandas
     (one vectorized bincount per video, cost ~ decoded bytes); the
     lag window partitions by video (frames per video is a format
@@ -7477,7 +7501,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str
 
 @query("cdc_chunks", oracle=r"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
   FROM documents WHERE length(trim(text)) > 0),
 b AS (
   SELECT doc_id, w, len(w) AS n,
@@ -7529,7 +7553,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length(F.trim(F.col("text"))) > 0)
     d = docs.select(
         "doc_id",
-        F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("w"))
     b = d.select(
         "doc_id", "w", F.size("w").alias("n"),
         F.expr(
@@ -7660,7 +7684,7 @@ def q_ivm_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("lang_median_doclen", oracle=r"""
 WITH wc AS (
   SELECT lang,
-         len(string_split_regex(trim(text), '\s+')) AS words
+         len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS words
   FROM documents),
 vc AS (
   SELECT lang, words, CAST(count(*) AS BIGINT) AS c
@@ -7939,7 +7963,7 @@ def q_inflight_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("lang_doclen_deciles", oracle=r"""
 WITH wc AS (
-  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS words
+  SELECT lang, len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS words
   FROM documents),
 vc AS (SELECT lang, words, CAST(count(*) AS BIGINT) AS c
        FROM wc GROUP BY 1, 2),
@@ -8182,7 +8206,7 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str
 
 
 @query("dup_passages", oracle=r"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
            FROM documents),
 c AS (SELECT doc_id,
              unnest(range(0, CAST(len(ws) // 10 AS BIGINT))) AS ci,
@@ -8233,7 +8257,7 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dup_shared_token_runs", oracle=r"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
            FROM documents),
 g AS (SELECT doc_id,
              unnest(range(1, CAST(len(ws) - 6 AS BIGINT))) AS pos, ws
@@ -8365,7 +8389,7 @@ def q_user_retention_weekly(spark: SparkSession, sf_dir: str
 
 @query("lang_token_fertility", oracle=r"""
 WITH w AS (
-  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+  SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents),
 per AS (
   SELECT lang,
@@ -8413,7 +8437,7 @@ def q_lang_token_fertility(spark: SparkSession, sf_dir: str
 
 @query("heavy_hitters_mg", oracle=r"""
 WITH w AS (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w)
 SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -8849,7 +8873,7 @@ def q_lineitem_higher_moments(spark: SparkSession, sf_dir: str
 
 
 @query("word_cooc_lift", oracle=r"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
            FROM documents),
 pr AS (
   SELECT least(ws[i], ws[i+1]) AS word_a,
@@ -9119,7 +9143,7 @@ def q_ivfpq_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("source_vocab_overlap", oracle=r"""
 WITH sv AS (
   SELECT DISTINCT source,
-         unnest(string_split_regex(trim(text), '\s+')) AS word
+         unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents),
 sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
        FROM sv GROUP BY 1),
@@ -10708,7 +10732,7 @@ def q_brand_winsorized_stats(spark: SparkSession, sf_dir: str
 
 @query("vocab_growth_heaps", oracle=r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w
   FROM documents WHERE length(trim(text)) > 0),
 pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
        FROM tok GROUP BY doc_id),
@@ -10744,7 +10768,7 @@ def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str
     d = (table(spark, "documents", sf_dir)
          .where(F.length(F.trim(F.col("text"))) > 0))
     tok = d.select("doc_id",
-                   F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                   F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
                    .alias("w"))
     pd_ = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     fw = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
@@ -10896,7 +10920,7 @@ WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
         FROM documents)
   WHERE len(w) >= 3),
 pj AS MATERIALIZED (
@@ -11248,7 +11272,7 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str
 @query("dedup_token_savings", oracle=_CC_CTE + r"""
 , tok AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT)
            AS toks
   FROM documents WHERE length(trim(text)) > 0),
 drop_ AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
@@ -11287,7 +11311,7 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str
     d = (table(spark, "documents", sf_dir)
          .where(F.length(F.trim(F.col("text"))) > 0))
     tok = d.select("doc_id", "source",
-                   F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                   F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
                    .cast("long").alias("toks"))
     j = tok.join(drop, "doc_id", "left")
     return (j.groupBy("source")
@@ -11436,7 +11460,7 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str
 
 @query("negative_sampling_table", oracle=r"""
 WITH w AS (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents WHERE length(trim(text)) > 0),
 c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
       FROM w GROUP BY word),
@@ -11466,7 +11490,7 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str
     cut, broadcast total."""
     d = (table(spark, "documents", sf_dir)
          .where(F.length(F.trim(F.col("text"))) > 0))
-    c = (d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+    c = (d.select(F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
                   .alias("word"))
          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
     wt = c.withColumn(
@@ -12331,9 +12355,6 @@ _DRIVER_WINDOW = 50
 # _md5_minhash_index / cache.py release logic reworked in r5
 # (VERDICT r5 directive #3) — newest rows all r2-era.
 _REWIRED: dict[str, int] = {
-    "dedup_clusters": 6, "dedup_survivors": 6,
-    "jaccard_prefix_pairs": 6, "dup_provenance": 6,
-    "simhash_pairs": 6, "minhash_lsh_md5": 6,
     # r6 sf0.1 parity sweep fixes: round() half-ulp divergences made
     # bit-exact (exact-cents avg / unrounded exact-operand division)
     # — outputs changed, so the old green rows no longer describe
@@ -12367,24 +12388,20 @@ _REWIRED: dict[str, int] = {
     # (identical values under UTC; different physical expression).
     "inflight_sweepline": 8, "date_functions": 8,
     "lineitem_yoy_growth": 8, "user_retention_weekly": 8,
-    "scd2_customer_update": 8, "scd2_events_replay": 8,
-    "scd2_snapshot_diff": 8,
     # r8: containment twins moved onto the ONE shared shingle-set
     # build (_containment_base — the CF-matrix treatment).
-    "containment_pairs": 8,
     # r8 union→explode plan fixes (a union re-executes each branch's
     # subtree): triangle corners now emitted from ONE evaluation of
     # the wedge join (CF twins got the same fix for their dots
     # symmetrization — already flagged above); word_cooc_lift's two
     # window distances now explode from one concat instead of
     # scanning+tokenizing the corpus per distance.
-    "dup_graph_local_clustering": 8, "word_cooc_lift": 8,
     # r9: the registry-wide union-duplication sweep (VERDICT r8 #3)
     # found the last two silent-recompute sites — per-level label
     # composition in cc_threshold_sweep and dbscan's reused
     # core/ccall tables — now eagerly checkpointed (identical
     # values; different physical plan).
-    "dup_graph_threshold_sweep": 9, "dbscan_embeddings": 9,
+    "dbscan_embeddings": 9,
     # r9 operator review (same values; different physical plan):
     # the shared shingle base in the inverted-index dedup operators
     # is now persisted (was re-derived 4x per query), minhash verify
@@ -12392,17 +12409,15 @@ _REWIRED: dict[str, int] = {
     # equal on distinct shingle sets), asof_join gained the
     # payload-struct tiebreak for duplicate right timestamps, and the
     # counters fast path coalesces all-missing fields to 0.
-    "ngram_jaccard_pairs": 9, "ngram_jaccard_pairs_fast": 9,
+    "ngram_jaccard_pairs_fast": 9,
     "minhash_dedup_pairs": 9, "asof_join_purchases": 9,
-    "mapreduce_wordcount": 9,
     # r9 queries.py review: the activity bitmap gained the explicit
     # di∈[0,63] window on BOTH sides (Spark shiftleft wraps mod 64,
     # DuckDB << does not — out-of-window events now excluded, not
     # wrapped), assortativity's n_nodes became a lazy broadcast
     # aggregate (was an eager driver count), and set_except moved to
     # subtract() (EXCEPT-distinct in one operator).
-    "user_activity_bitmap": 9, "dup_graph_assortativity": 9,
-    "set_except": 9,
+    "user_activity_bitmap": 9, "set_except": 9,
     # r9 randomized-data sweep (tools/gen_random_corpus.py — same
     # schemas, different seed + in-domain edge injections): zero-token
     # docs hit an ANSI DIVIDE_BY_ZERO (now a NULL-guarded divisor) and
@@ -12413,7 +12428,7 @@ _REWIRED: dict[str, int] = {
     # duplicates a selected vector. (token_count_bpe's r9 entry was
     # superseded by its r10 one below — literal uniqueness enforced
     # by test_rewired_literal_has_no_duplicate_keys.)
-    "doc_token_entropy": 9, "mmr_rerank": 9,
+    "mmr_rerank": 9,
     # r10 advisor fixes (ADVICE r9): token_count_bpe's whitespace
     # class spelled explicitly ([ \t\n\x0B\f\r]) on both engines —
     # Java \s includes U+000B, RE2 \s does not. Identical values on
@@ -12435,6 +12450,56 @@ _REWIRED: dict[str, int] = {
     "q8_market_share": 10, "q9_product_type_profit": 10,
     "q10_returned_items": 10, "q14_promo_revenue": 10,
     "q15_top_supplier": 10, "q19_discounted_revenue": 10,
+    # r11 multimodal unicode decoupling (VERDICT r10 #5): payloads
+    # now derive from md5(text) hex instead of the text bytes
+    # (operators/multimodal.py::_payload_source), so OUTPUT VALUES
+    # changed for the whole media family — every member re-evidences.
+    "multimodal_inventory": 11, "multimodal_decode_stats": 11,
+    "video_frame_stats": 11, "image_thumbnails": 11,
+    "audio_features": 11, "image_ahash": 11, "audio_fingerprint": 11,
+    "video_frame_ahash": 11, "video_shot_boundaries": 11,
+    "audio_silence_runs": 11,
+    # r11 scd2_apply defensive duplicate-key compact (VERDICT r10
+    # #6): a max-struct groupBy now precedes the broadcast (identical
+    # values for in-contract single-row-per-key batches; different
+    # physical plan).
+    "scd2_customer_update": 11, "scd2_events_replay": 11,
+    "scd2_snapshot_diff": 11,
+    # r11 whitespace-class sweep (ADVICE r10 generalized): EVERY
+    # \s-splitting site — Spark and oracle — now spells the class
+    # explicitly ([ \t\n\x0B\f\r]), the token_count_bpe treatment
+    # applied engine-portably across the registry. Java \s IS that
+    # class, so Spark values are unchanged; RE2 \s lacks U+000B, so
+    # oracles change only on corpora containing it (none committed;
+    # the corpus contract banned it). Identical values everywhere
+    # committed; different physical expressions on both engines.
+    "bigram_lm_logprob": 11, "bm25_search": 11,
+    "bpe_merge_candidates": 11, "cdc_chunks": 11,
+    "containment_pairs": 11, "containment_pairs_capped": 11,
+    "corpus_curation": 11, "cross_source_dup_matrix": 11,
+    "decontaminate_train": 11, "dedup_clusters": 11,
+    "dedup_exact_groups": 11, "dedup_rate_by_source": 11,
+    "dedup_survivors": 11, "dedup_token_savings": 11,
+    "doc_ngram_novelty": 11, "doc_quality": 11, "doc_repetition": 11,
+    "doc_text_stats": 11, "doc_token_entropy": 11,
+    "dup_graph_assortativity": 11, "dup_graph_bfs": 11,
+    "dup_graph_degree_hist": 11, "dup_graph_local_clustering": 11,
+    "dup_graph_pagerank": 11, "dup_graph_ppr": 11,
+    "dup_graph_stats": 11, "dup_graph_threshold_sweep": 11,
+    "dup_passages": 11, "dup_provenance": 11,
+    "dup_shared_token_runs": 11, "heavy_hitters_mg": 11,
+    "hybrid_search": 11, "incremental_dedup_pairs": 11,
+    "jaccard_prefix_pairs": 11, "label_propagation": 11,
+    "lang_doclen_deciles": 11, "lang_id": 11, "lang_id_confusion": 11,
+    "lang_median_doclen": 11, "lang_token_fertility": 11,
+    "mapreduce_wordcount": 11, "minhash_estimate_accuracy": 11,
+    "minhash_lsh_md5": 11, "negative_sampling_table": 11,
+    "ngram_jaccard_pairs": 11, "quality_percentile_filter": 11,
+    "rrf_fusion": 11, "simhash_fingerprints": 11, "simhash_pairs": 11,
+    "source_vocab_overlap": 11, "tfidf_top_terms": 11,
+    "top_bigrams": 11, "unigram_logprob": 11, "vocab_coverage": 11,
+    "vocab_growth_heaps": 11, "winnow_dup_pairs": 11,
+    "winnow_fingerprints": 11, "word_cooc_lift": 11,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or

@@ -174,31 +174,36 @@ def test_audio_features_match_pure_python(spark):
 
 
 def test_corpus_is_pure_ascii(spark):
-    """LOUD guard for the ASCII-corpus assumption both multimodal
-    oracles depend on (queries.py image_thumbnails / audio_features):
-    decoding PPM bodies as UTF-8 and reconstructing int16 samples as
-    unsigned ascii() byte-pairs are only sound while every text char
-    is single-byte ASCII (<128). If a future testdata generation adds
-    non-ASCII text, this fails with a clear message instead of a
-    subtle oracle hash drift."""
+    """LOUD guard for the fixtures' ASCII-corpus contract. Two of its
+    three original justifications are FIXED in r11 and no longer
+    depend on it: the multimodal oracles now derive payloads from
+    md5(text) hex (engine-portable for any corpus —
+    operators/multimodal.py::_payload_source), and every whitespace
+    split spells the class explicitly ([ \\t\\n\\x0B\\f\\r]) instead
+    of the engine-divergent \\s. The remaining dependent is the
+    ``lower()`` family (normalized-md5 dedup fingerprints, lowercased
+    tokenization): Spark/JDK full case mapping vs DuckDB/utf8proc
+    simple case mapping disagree on length-changing maps ('İ' → two
+    codepoints vs one), so lower()-based oracles are exact only on
+    ASCII — the documented casefold contract the --unicode corpus
+    sweeps adjudicate."""
     docs = table(spark, "documents", SF_DIR)
     bad = docs.filter(
         (F.octet_length("text") != F.char_length("text"))
         | F.col("text").rlike("[^\\x00-\\x7f]")).count()
     assert bad == 0, (
-        f"{bad} documents contain non-ASCII text: the image/audio "
-        "oracle reconstructions in queries.py are no longer valid — "
-        "rework them before trusting multimodal correctness rows")
-    # Control whitespace beyond \t \n \r is ALSO contract-excluded:
-    # Java's \s includes vertical tab U+000B but RE2/DuckDB's does
-    # not, so any text query splitting on \s would diverge cross-
-    # engine on it — and U+000B is ASCII, so the pure-ASCII check
-    # above would not catch it (r10 advisor catch).
+        f"{bad} documents contain non-ASCII text: the lower()-based "
+        "normalized-hash oracles in queries.py are no longer exact — "
+        "adjudicate the casefold contract before trusting those rows")
+    # \x0B/\x0C check retained as defense-in-depth: all CURRENT split
+    # sites use the explicit class (so both engines agree on these
+    # chars), but a future query writing bare \s would silently
+    # diverge on U+000B — this keeps the fixtures from masking it.
     ctrl = docs.filter(F.col("text").rlike("[\\x0B\\x0C]")).count()
     assert ctrl == 0, (
-        f"{ctrl} documents contain \\x0B/\\x0C control whitespace: "
-        "Java and RE2 disagree on \\s membership for U+000B, so the "
-        "\\s-splitting text oracles are no longer engine-portable")
+        f"{ctrl} documents contain \\x0B/\\x0C control whitespace "
+        "(kept out of fixtures as defense-in-depth for the \\s "
+        "engine-portability class)")
 
 
 def test_y4m_decoder_rejects_malformed_streams(spark):
