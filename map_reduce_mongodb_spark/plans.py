@@ -103,17 +103,29 @@ def duplicated_shuffle_exchanges(df: DataFrame) -> int:
     sweep: 0 across all 260 queries — pinned by the sweep test with
     a reuse-disabled positive control).
 
-    KNOWN BLIND SPOT (r10): subtrees containing higher-order
-    functions (transform/filter/aggregate lambdas) do not
-    canonicalize equal — NamedLambdaVariable exprIds are not
-    normalized by plan canonicalization — so two structurally
-    identical lambda-bearing exchanges hash differently and a real
-    recompute reports as clean (ReuseExchange is defeated by the
-    same wart, so the recompute is also physically real).
-    shared_token_runs hit exactly this; operators whose reused
-    subtree builds arrays via lambdas must tracked_persist the
-    shared frame explicitly and pin the InMemoryTableScan count
-    (tests/test_plans.py::test_shared_token_runs_builds_postings_once)."""
+    LAMBDA "BLIND SPOT" RETRACTED (r11, VERDICT r10 #4): r10
+    documented that higher-order-function subtrees (transform/filter/
+    aggregate lambdas) do not canonicalize equal because
+    NamedLambdaVariable exprIds are not normalized, so a real
+    lambda-subtree recompute would audit as clean. The r11 attempt to
+    close that hole detector-side DISPROVED the premise on this Spark
+    version: two INDEPENDENTLY-built copies of shared_token_runs'
+    scan+explode+df-cap-window subtree (fresh NamedLambdaVariable
+    exprIds on each Python `F.transform` call) canonicalize EQUAL —
+    `semanticHash` matches, `sameResult` is true, the canonicalized
+    tree strings are byte-identical, and ReuseExchange folds their
+    gram exchanges in the physical plan (AQE off, the sweep's
+    configuration). So the hash comparison below is sound for
+    lambda-bearing exchanges too, and a string-normalizing fallback
+    would be dead code carrying false-positive risk. The r10
+    observation that motivated `42ccdd3` was most plausibly a
+    misread AQE explain string — `explain` under AQE prints the
+    initial AND final plans, double-printing every subtree, so naive
+    substring counting sees "two scans" where one executes. Pinned by
+    tests/test_plans.py::test_lambda_subtrees_canonicalize_equal — a
+    CANARY that fails loudly if a Spark bump ever stops normalizing
+    lambda exprIds, at which point this sweep genuinely goes blind on
+    lambda subtrees and needs the fallback after all."""
     plan = df._jdf.queryExecution().executedPlan()
     seen: dict[int, object] = {}
     dups = 0

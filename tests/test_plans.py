@@ -711,3 +711,75 @@ def test_shared_token_runs_builds_postings_once(spark):
     df = QUERIES["dup_shared_token_runs"](spark, SF_DIR)
     p = plan(df, mode="simple")
     assert p.count("InMemoryTableScan") == 2, p[:2000]
+
+
+def test_lambda_subtrees_canonicalize_equal(spark):
+    """CANARY for the duplicated-shuffle sweep's soundness on
+    higher-order-function subtrees (VERDICT r10 #4, resolved by
+    RETRACTION — see plans.duplicated_shuffle_exchanges). r10
+    documented that NamedLambdaVariable exprIds defeat plan
+    canonicalization, making the semanticHash-based sweep blind to
+    lambda-subtree recomputes. Empirically FALSE on this Spark
+    version: two INDEPENDENTLY-built copies of the shared_token_runs
+    postings subtree (fresh lambda exprIds per Python F.transform
+    call) must canonicalize equal, and ReuseExchange must fold their
+    gram exchanges so the scan+explode executes once. If a Spark bump
+    breaks either assertion, the sweep genuinely goes blind on lambda
+    subtrees and needs a string-normalizing fallback — fail loudly
+    here rather than audit vacuously clean there. Negative control:
+    lambdas with genuinely different bodies must NOT canonicalize
+    equal (a normalizer that over-normalizes would be worse than the
+    blind spot)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", SF_DIR)
+    n = 4
+
+    def postings(sep=" "):
+        ws = F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
+        base = (docs.select(F.col("doc_id").alias("id"), ws.alias("ws"))
+                .filter(F.size("ws") >= n))
+        m = F.size("ws") - F.lit(n - 1)
+        zipped = F.arrays_zip(*[F.slice("ws", j + 1, m)
+                                for j in range(n)])
+        grams = F.transform(
+            zipped,
+            lambda s: F.concat_ws(sep, *[s[str(j)] for j in range(n)]))
+        posted = (base
+                  .select("id", F.posexplode(grams).alias("p0", "gram"))
+                  .select("id", (F.col("p0") + 1).alias("pos"), "gram"))
+        return (posted
+                .withColumn("gdf", F.count(F.lit(1)).over(
+                    Window.partitionBy("gram")))
+                .filter(F.col("gdf") <= 50).drop("gdf"))
+
+    p1 = postings()._jdf.queryExecution().optimizedPlan()
+    p2 = postings()._jdf.queryExecution().optimizedPlan()
+    assert p1.semanticHash() == p2.semanticHash(), \
+        "lambda exprIds no longer normalize: the duplicated-shuffle " \
+        "sweep is now blind on lambda subtrees — add a fallback"
+    assert p1.sameResult(p2)
+    # negative control: different lambda BODY must stay distinct
+    p3 = postings(sep="|")._jdf.queryExecution().optimizedPlan()
+    assert not p1.sameResult(p3), \
+        "canonicalization conflates structurally different lambdas"
+
+    # physical confirmation: the pre-`42ccdd3` shape (two independent
+    # builds joined, no persist) pays its scan+explode ONCE under the
+    # sweep's AQE-off config — ReuseExchange folds across lambda ids
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        a = postings().select(F.col("id").alias("id_a"),
+                              F.col("pos").alias("pa"), "gram")
+        b = postings().select(F.col("id").alias("id_b"),
+                              F.col("pos").alias("pb"), "gram")
+        joined = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
+        t = joined._jdf.queryExecution().executedPlan().treeString()
+        assert "ReusedExchange" in t, t[:2000]
+        assert t.count("FileScan parquet") == 1, t[:2000]
+        assert t.count("Generate ") == 1, t[:2000]
+        from map_reduce_mongodb_spark.plans import (
+            duplicated_shuffle_exchanges)
+        assert duplicated_shuffle_exchanges(joined) == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
