@@ -29,11 +29,20 @@ bits — convergence is NOT required for correctness (both engines run
 the same k steps); the docstring of the consuming query reports it as
 the k-step power iterate.
 
-Overflow budget (int64, scale 2^10): |y| ≤ 2n·max|xq|; C entries ≤
-4n³·max|xq|² — safe through n ≈ 2·10⁴ at |x| ≤ 3. For larger corpora
-drop ``scale_bits`` (resolution trades against headroom) — the
-assertion below makes the budget explicit rather than silently
-wrapping.
+Overflow budget (int64, scale 2^10): the DISTRIBUTED accumulation is
+the raw second moment ``M = Σ xq xqᵀ`` — |entries| ≤ n·max|xq|², safe
+through n ≈ 4.6e18 / max|xq|² (≈ 1.7e11 rows at |x| ≤ 5). The scatter
+matrix of n-scaled deviations is then assembled DRIVER-SIDE in
+unbounded Python ints: ``C = n²·M − n·S·Sᵀ`` (algebraically identical
+to Σ (n·xq − S)(n·xq − S)ᵀ, which is what the oracle computes —
+DuckDB's sum over BIGINT promotes to HUGEINT so the oracle never had
+the int64 constraint). The r10 version accumulated the deviations
+THEMSELVES distributed (per-partition yᵀy with y = n·xq − S), whose
+O(4n³·max|xq|²) bound hit the guard at n ≈ 2·10⁴ — found by the r11
+sf≈1 scale probe, where the embeddings table is 10× sf0.1 and the
+whole PCA lane refused. The guard below still exists (for M now) but
+sits ~10⁷× further out; ``scale_bits`` remains the resolution-vs-
+headroom dial past that.
 """
 
 from __future__ import annotations
@@ -66,14 +75,14 @@ def gram_matrix_int(embeddings: DataFrame, vec_col: str = "embedding",
         s_arr[int(r["i"])] = int(r["s"])
         mx = max(mx, int(r["mx"]))
     n = int(embeddings.count())
-    if not 4 * n ** 3 * mx * mx < 2 ** 62:
+    if not n * mx * mx < 2 ** 62:
         # ValueError, not assert: python -O strips asserts and a
-        # wrapped int64 Gram matrix is a silently wrong answer
+        # wrapped int64 Gram matrix is a silently wrong answer.
+        # Bound is the raw second moment's (n·max|xq|²): the scatter
+        # matrix itself is assembled below in unbounded Python ints.
         raise ValueError(
-            f"int64 Gram overflow risk at n={n}, max|xq|={mx}: "
-            "lower scale_bits")
-
-    sb = s_arr.copy()
+            f"int64 second-moment overflow risk at n={n}, "
+            f"max|xq|={mx}: lower scale_bits")
 
     def partials(it):
         import pandas as pd
@@ -82,8 +91,7 @@ def gram_matrix_int(embeddings: DataFrame, vec_col: str = "embedding",
                 continue
             A = np.stack(pdf[vec_col].values).astype(np.float64)
             q = np.floor(A * scale + 0.5).astype(np.int64)
-            y = n * q - sb
-            G = y.T @ y
+            G = q.T @ q
             i_idx, j_idx = np.meshgrid(np.arange(1, dim + 1),
                                        np.arange(1, dim + 1),
                                        indexing="ij")
@@ -94,10 +102,17 @@ def gram_matrix_int(embeddings: DataFrame, vec_col: str = "embedding",
     rows = (embeddings.select(vec_col)
             .mapInPandas(partials, schema="i int, j int, c long")
             .groupBy("i", "j").agg(F.sum("c").alias("c")).collect())
-    C = [[0] * dim for _ in range(dim)]
+    M = [[0] * dim for _ in range(dim)]
     for r in rows:
-        C[int(r["i"]) - 1][int(r["j"]) - 1] = int(r["c"])
-    return n, [int(v) for v in s_arr], C
+        M[int(r["i"]) - 1][int(r["j"]) - 1] = int(r["c"])
+    # C = Σ (n·xq − S)(n·xq − S)ᵀ = n²·M − n·S·Sᵀ — exact unbounded
+    # Python ints (can exceed int64 past n ≈ 2·10⁴; everything
+    # downstream reduces by D before touching fixed-width arithmetic,
+    # and the oracle's HUGEINT sums agree bit-for-bit).
+    S_int = [int(v) for v in s_arr]
+    C = [[n * n * M[i][j] - n * S_int[i] * S_int[j]
+          for j in range(dim)] for i in range(dim)]
+    return n, S_int, C
 
 
 def power_iteration_int(C: list[list[int]], iters: int = 8,

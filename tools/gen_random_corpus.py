@@ -253,7 +253,14 @@ def gen(out: str, seed: int, unicode_docs: bool = False,
     ts[3] = base + dt.timedelta(days=100)           # far outside
     ts[4] = ts[5] = base + dt.timedelta(days=2)     # exact ts tie
     ts[6] = ts[4] + dt.timedelta(microseconds=1)    # µs-adjacent
-    uid = rng.integers(0, 15, n_ev)
+    # user cardinality scales WITH events (the fixtures' model:
+    # events/user stays ~constant as sf grows — 66.7 at sf0.01 AND
+    # sf0.1). The r11 sf1ish probe's first cut pinned users at 15
+    # under 1M events, which degenerated every user-keyed interval
+    # join into ~10⁵×10⁵ per-key pair blowups (stream_stream_join:
+    # 1460 s of CORRECT but corpus-artifact quadratics).
+    n_users = max(15, int(15 * _s("events")))
+    uid = rng.integers(0, n_users, n_ev)
     uid[: n_ev // 5] = 3                            # skew user
     uid[4] = uid[5] = 7                             # same user, same ts
     val = np.round(rng.uniform(0, 350, n_ev), 2)
