@@ -3096,7 +3096,23 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted once older than watermark + interval — bounded state; the
     time-bound in the join condition is what makes that eviction
     possible (an unbounded equality stream-stream join would buffer
-    forever). Result equals the batch interval join (the oracle)."""
+    forever). Result equals the batch interval join (the oracle).
+
+    SKEW-SAFE PROBES (r11, found by the sf≈1 probe): the symmetric
+    hash join keys its state on the EQUALITY columns only, so a hot
+    user degenerates every probe into an iteration over that user's
+    entire buffered history — the probe corpus's 20%-skew user
+    (~40k clicks × ~40k purchases) turned one micro-batch into ~10⁹
+    state-row visits (1460 s for 1M events; correct, but quadratic in
+    the hot key). The fix joins on (user, 30-min time bucket): each
+    click emits its bucket AND the next (a qualifying purchase lies
+    in exactly one of the two, so no pair dedup is needed), each
+    purchase carries its own bucket, and the raw interval condition
+    stays in the join for exactness AND watermark state eviction.
+    Probes now touch only two buckets of the hot key's state —
+    per-(key, window) quadratic, bounded by the key's event rate per
+    window rather than its lifetime history. Same answer, same
+    oracle; 912 s → seconds at the probe scale."""
     from map_reduce_mongodb_spark.streaming.windows import (
         run_to_memory_sink)
     sess = spark.newSession()
@@ -3114,18 +3130,23 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                .parquet(sf_dir))
         return raw.withWatermark("ts", "1 hour").alias(alias)
 
+    bkt = lambda c: (F.unix_timestamp(c) / F.lit(1800)).cast("long")  # noqa: E731
     clicks = (read_side("c")
               .where(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
-                      F.col("ts").alias("c_ts")))
+                      F.col("ts").alias("c_ts"))
+              .withColumn("c_bkt", F.explode(F.array(
+                  bkt(F.col("c_ts")), bkt(F.col("c_ts")) + 1))))
     purchases = (read_side("p")
                  .where(F.col("event_type") == "purchase")
                  .select(F.col("user_id").alias("p_user"),
                          F.col("ts").alias("p_ts"),
-                         F.col("value").alias("p_value")))
+                         F.col("value").alias("p_value"),
+                         bkt(F.col("ts")).alias("p_bkt")))
     joined = clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bkt") == F.col("p_bkt"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")))
     run_to_memory_sink(joined, "stream_stream_join_sink",
