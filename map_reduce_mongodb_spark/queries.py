@@ -12521,6 +12521,16 @@ _REWIRED: dict[str, int] = {
     "top_bigrams": 11, "unigram_logprob": 11, "vocab_coverage": 11,
     "vocab_growth_heaps": 11, "winnow_dup_pairs": 11,
     "winnow_fingerprints": 11, "word_cooc_lift": 11,
+    # r11 sf≈1 scale-probe fixes (identical values, different plans):
+    # the PCA lane's distributed accumulation moved from y^T y to the
+    # raw second moment (int64 headroom n·mx² instead of 4n³·mx² —
+    # the probe's 10× embeddings table tripped the old guard), and
+    # the stream-stream join's equality key gained a 30-min time
+    # bucket (hot-key state probes were quadratic in the key's
+    # buffered history: 1460 s at 1M events, now ~20 s).
+    "embedding_pca_power_iteration": 11, "embedding_pc1_projection": 11,
+    "embedding_pca_second_component": 11,
+    "embedding_pca_scatter_bins": 11, "stream_stream_join": 11,
 }
 
 # Every rows-only (no-oracle) query names the oracle-checked twin (or
