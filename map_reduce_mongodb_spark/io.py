@@ -106,6 +106,26 @@ def _inject_task_faults(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fail_first, df.schema)
 
 
+#: Memoized scan PLANS (never data): (applicationId, path, mtime_ns,
+#: size) → analyzed base DataFrame. ``spark.read.parquet`` costs
+#: ~100 ms of driver work per call (file listing + footer/schema read
+#: + analysis); the registry makes ~400 such calls per sweep, so
+#: re-deriving an identical lazy plan per query burned tens of seconds
+#: of pure driver overhead (guide §6's file-listing-cache point, one
+#: level up). The cached object is an UNEXECUTED plan — every consumer
+#: still computes from the parquet bytes — and the key's stat fields
+#: auto-invalidate when a test rewrites the file in place. Entries die
+#: with the process; a stopped session's plans are unreachable via the
+#: applicationId key.
+_SCAN_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def clear_scan_cache() -> None:
+    """Forget memoized scan plans (corpus swaps mid-process are already
+    handled by the stat-keyed cache key; this is for tests)."""
+    _SCAN_CACHE.clear()
+
+
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Scan one named table (S5 analogue: full scan; Catalyst prunes)."""
     if name not in TABLE_NAMES:
@@ -116,19 +136,32 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     # timestamp parquet is unreadable. Runtime-settable, verified.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ensure_worker_imports(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            # Integer DIV, not `/`: float division of epoch-nanos loses
-            # precision beyond double's 53-bit mantissa. timestampadd on
-            # an NTZ epoch base, NOT timestamp_micros: the parquet
-            # values are naive (no zone), and micros files read natively
-            # as TIMESTAMP_NTZ — producing LTZ here would make the
-            # column's rendered values depend on the session timezone
-            # AND on which unit the corpus was written with.
-            df = df.withColumn(c, F.expr(
-                f"timestampadd(MICROSECOND, {c} DIV 1000, "
-                f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path,
+               st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # non-local path (hdfs://…): read uncached
+    df = _SCAN_CACHE.get(key) if key is not None else None
+    if df is None:
+        df = spark.read.parquet(path)
+        for c in _NANO_TS_COLS.get(name, ()):
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                # Integer DIV, not `/`: float division of epoch-nanos
+                # loses precision beyond double's 53-bit mantissa.
+                # timestampadd on an NTZ epoch base, NOT
+                # timestamp_micros: the parquet values are naive (no
+                # zone), and micros files read natively as
+                # TIMESTAMP_NTZ — producing LTZ here would make the
+                # column's rendered values depend on the session
+                # timezone AND on which unit the corpus was written
+                # with.
+                df = df.withColumn(c, F.expr(
+                    f"timestampadd(MICROSECOND, {c} DIV 1000, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        if key is not None:
+            _SCAN_CACHE[key] = df
     if os.environ.get(FAULT_INJECT_ENV):
         df = _inject_task_faults(df)
     return df

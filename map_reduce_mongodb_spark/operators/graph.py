@@ -42,7 +42,17 @@ from pyspark.sql import functions as F
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round: every node u attaches its strictly-larger
-    neighbours to m(u) = min(N(u) ∪ {u})."""
+    neighbours to m(u) = min(N(u) ∪ {u}).
+
+    MULTISET semantics (r12): no trailing ``.distinct()`` — duplicate
+    edges don't change any per-node min, every downstream aggregate is
+    duplicate-insensitive, and the half-round pair's single
+    canonicalizing distinct lives at the END of :func:`_small_star`
+    (where the round's checksum is observed). Dropping the mid-round
+    distinct removes one full edge-scaled shuffle per CC round — at
+    100 TB that is |E| rows per round that never cross the network
+    (guide §2.4); the only cost is ≤2× row multiplicity flowing into
+    small-star's map-side-combined aggregates."""
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
@@ -50,24 +60,36 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return (sym.join(mins, "src")
                .where(F.col("dst") > F.col("src"))
                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-               .where(F.col("src") != F.col("dst"))
-               .distinct())
+               .where(F.col("src") != F.col("dst")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star round: orient edges large→small, then every node
-    attaches its smaller neighbours (and itself) to the minimum."""
+    attaches its smaller neighbours (and itself) to the minimum.
+
+    The attach rows and the per-source self-edge are exploded from ONE
+    evaluation of the ``mins`` aggregate (r12): the previous
+    ``attach.union(self_edge)`` plan held ``mins`` in both branches, so
+    the physical plan re-ran the oriented-edge aggregate — a full
+    edge-scaled groupBy — twice per round. The self-edge now rides the
+    join output (duplicated once per incident edge) and the round's
+    single trailing distinct canonicalizes, so the aggregate runs once.
+    Tolerates duplicate input edges (min is duplicate-insensitive);
+    emits the canonical distinct edge set the convergence checksum is
+    observed on."""
     oriented = (edges.select(F.greatest("src", "dst").alias("src"),
                              F.least("src", "dst").alias("dst"))
                      .where(F.col("src") != F.col("dst")))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    attach = (oriented.join(mins, "src")
-                      .select(F.col("dst").alias("src"),
-                              F.col("m").alias("dst")))
-    self_edge = mins.select(F.col("src"), F.col("m").alias("dst"))
-    return (attach.union(self_edge)
-                  .where(F.col("src") != F.col("dst"))
-                  .distinct())
+    return (oriented.join(mins, "src")
+            .select(F.explode(F.array(
+                F.struct(F.col("dst").alias("src"),
+                         F.col("m").alias("dst")),
+                F.struct(F.col("src").alias("src"),
+                         F.col("m").alias("dst")))).alias("_e"))
+            .select("_e.src", "_e.dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
 
 
 def _checkpoint(df: DataFrame):
@@ -137,10 +159,17 @@ def connected_components(edges: DataFrame, src: str = "src",
     """
     from map_reduce_mongodb_spark.cache import note_build_metric, track_rdd
 
+    # No ``.distinct()`` on the input (r12): the star rounds are
+    # multiset-tolerant (every aggregate is duplicate-insensitive and
+    # each round ends in small-star's canonicalizing distinct), and the
+    # typical input is an already-distinct pair table — the dedup
+    # shuffle was a pure edge-scaled tax on every CC invocation. A
+    # genuinely duplicated input only inflates round 1's row counts;
+    # the (count, xor) convergence checksum still can't confuse the
+    # multiset with a fixpoint (the count component differs).
     e, handles, prev = _checkpoint_checksummed(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-             .where(F.col(src) != F.col(dst))
-             .distinct())
+             .where(F.col(src) != F.col(dst)))
     rounds = 0
     for _ in range(max_iter):
         nxt, nxt_handles, cur = _checkpoint_checksummed(
