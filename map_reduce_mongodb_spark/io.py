@@ -106,18 +106,28 @@ def _inject_task_faults(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fail_first, df.schema)
 
 
-#: Memoized scan PLANS (never data): (applicationId, path, mtime_ns,
-#: size) → analyzed base DataFrame. ``spark.read.parquet`` costs
-#: ~100 ms of driver work per call (file listing + footer/schema read
-#: + analysis); the registry makes ~400 such calls per sweep, so
+#: Memoized scan PLANS (never data): (session identity, path,
+#: mtime_ns, size) → analyzed base DataFrame. ``spark.read.parquet``
+#: costs ~100 ms of driver work per call (file listing + footer/schema
+#: read + analysis); the registry makes ~400 such calls per sweep, so
 #: re-deriving an identical lazy plan per query burned tens of seconds
 #: of pure driver overhead (guide §6's file-listing-cache point, one
 #: level up). The cached object is an UNEXECUTED plan — every consumer
 #: still computes from the parquet bytes — and the key's stat fields
 #: auto-invalidate when a test rewrites the file in place. Entries die
 #: with the process; a stopped session's plans are unreachable via the
-#: applicationId key.
-_SCAN_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+#: session key.
+#:
+#: The key is PER-SESSION (JVM SparkSession identity via the py4j
+#: handle's toString, plus applicationId), not per-application: a
+#: DataFrame belongs to the session that created it — under an
+#: application-wide key, a plan cached by a ``spark.newSession()``
+#: clone (the streaming queries use one to pin shuffle partitions)
+#: would leak into the parent, and ``createOrReplaceTempView`` on it
+#: registers in the CLONE's catalog, breaking a later ``spark.sql``
+#: on the parent (caught by the r12 full-registry profile:
+#: ``sql_surface_cte_exists`` TABLE_OR_VIEW_NOT_FOUND).
+_SCAN_CACHE: dict[tuple[str, str, str, int, int], DataFrame] = {}
 
 
 def clear_scan_cache() -> None:
@@ -139,10 +149,12 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        key = (spark.sparkContext.applicationId, path,
+        key = (spark.sparkContext.applicationId,
+               spark._jsparkSession.toString(), path,
                st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None  # non-local path (hdfs://…): read uncached
+    except Exception:
+        key = None  # non-local path (hdfs://…, OSError) or a session
+        #             without a py4j handle: read uncached
     df = _SCAN_CACHE.get(key) if key is not None else None
     if df is None:
         df = spark.read.parquet(path)

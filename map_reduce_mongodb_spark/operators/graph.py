@@ -389,6 +389,13 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
                                F.col("cc").alias("_ca"))
             lb = labels.select(F.col("id").alias(id_b),
                                F.col("cc").alias("_cb"))
+            # distinct HERE, not in connected_components (r12): CC's
+            # star rounds tolerate duplicate edges, so the generic
+            # input dedup shuffle was dropped — but contraction is the
+            # one producer that genuinely CREATES duplicates (every
+            # original edge between the same two supernodes maps to
+            # the same contracted pair), so this call site pays the
+            # dedup where the duplication actually arises.
             contracted = (delta.select(id_a, id_b)
                           .join(la, id_a, "left")
                           .join(lb, id_b, "left")
@@ -396,7 +403,8 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
                                   .alias("src"),
                                   F.coalesce("_cb", F.col(id_b))
                                   .alias("dst"))
-                          .where(F.col("src") != F.col("dst")))
+                          .where(F.col("src") != F.col("dst"))
+                          .distinct())
             # sup is read twice below (relabel join + anti-join) —
             # leaf it so the contracted CC's label aggregate runs once
             sup = _leaf(connected_components(contracted,

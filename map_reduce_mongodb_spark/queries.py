@@ -7156,16 +7156,22 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, lineage cut per round. The oracle unrolls the same 3
     rounds; vote counts and tiebreaks are integer-exact so labels
     match exactly. Reads the shared 0.7-Jaccard pair table."""
-    from map_reduce_mongodb_spark.cache import track_rdd
+    from map_reduce_mongodb_spark.cache import checkpoint_leaf, track_rdd
     from map_reduce_mongodb_spark.operators.graph import _checkpoint
     pairs = _jaccard_pairs_07(spark, sf_dir).select("id_a", "id_b")
     sym = symmetrize(pairs)
     edges = sym.select(F.col("id_a").alias("src"),
                        F.col("id_b").alias("dst"))
-    seeds = (edges.select("src").distinct()
-             .where(F.col("src") % 10 == 0)
-             .select(F.col("src").alias("id"),
-                     (F.col("src") % 5).alias("lbl")))
+    # leafed (r12): seeds — an edge-scaled distinct over the
+    # symmetrized pair table — sits in every round's union branch AND
+    # anti-join (plus round 1's label join), so left lazy the distinct
+    # aggregate re-ran ~7× across the 3 checkpoint jobs. Materialized
+    # once, every round reads a node-scaled leaf.
+    seeds = checkpoint_leaf(
+        edges.select("src").distinct()
+        .where(F.col("src") % 10 == 0)
+        .select(F.col("src").alias("id"),
+                (F.col("src") % 5).alias("lbl")))
     labels = seeds
     handles: list = []
     for _ in range(3):
