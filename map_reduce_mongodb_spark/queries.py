@@ -108,9 +108,16 @@ def _usgs_synth_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of ``_USGS_SITES_CTE`` below. ONE definition (r9 review: two
     byte-identical copies meant a change to the site-synthesis
     formula — the lpad width, the lon/lat offsets — could silently
-    break exactly one of the two consuming oracle checks)."""
+    break exactly one of the two consuming oracle checks).
+
+    tracked_persist (r12): both consumers are SELF-joins (nearest-3
+    pairs; radius grid join), so left lazy the events-scaled
+    filter+distinct evaluated once per join side — two full events
+    scans per query where one suffices. Node-scaled result, released
+    on the next registered query build (cache.py contract)."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
     events = table(spark, "events", sf_dir)
-    return (events.filter(F.col("event_id") % 17 != 0)
+    return tracked_persist(events.filter(F.col("event_id") % 17 != 0)
             .select(F.concat(F.lit("S"),
                              F.lpad(F.col("user_id").cast("string"),
                                     6, "0")).alias("site"),
