@@ -8,9 +8,12 @@ driver can always capture in its tail window:
    "value_production": <sec>, "unit": "sec", "sf": <sf>,
    "n_queries": N}
 
-The line before it (and BENCH_LOCAL.json) carries the full detail —
+The lines before it carry the full detail — one full JSON line with
 per-query seconds ("queries") and shared-artifact build attribution
-("shared_builds").
+("shared_builds"), then short per-query chunk lines sized for the
+driver's 2000-char tail window (biggest baseline-deviators last). The
+full summary is also written to BENCH_PERQUERY.json (tracked) and
+BENCH_LOCAL.json (gitignored scratch).
 
 Each query is executed to completion with the `noop` sink (full
 computation, no driver collect — measures the engine, not result
@@ -201,7 +204,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers once so per-query times measure
-    # execution, not first-touch JIT/IO.
+    # execution, not first-touch JIT/IO. TIERED (r13, VERDICT r12 #7):
+    # two cheap fixed queries run FIRST so that when the rotation puts
+    # an expensive shared-build payer at the head of the registry, its
+    # build (the 95 s cold-JVM jaccard materialization) runs against a
+    # JIT-warm executor path instead of a stone-cold one. Purely
+    # wall-clock outside the timed loop — the timed sweep below still
+    # times every query, same trigger, same sink.
+    for _warm in ("filter_project", "topk_orders"):
+        if _warm in QUERIES:
+            QUERIES[_warm](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
     next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
 
@@ -231,18 +244,42 @@ def main() -> None:
         t1 = _timed(name, fn)
         first_attempt[name] = t1
         times[name] = t1
+    # Snapshot the sweep's shared-build attribution BEFORE the retry
+    # pass: cold retries (below) rebuild shared artifacts, which would
+    # overwrite the sweep's first-payer seconds with warm rebuild times.
+    from map_reduce_mongodb_spark.cache import (forget_shared_artifacts,
+                                                shared_build_metrics)
+    sweep_shared_builds = shared_build_seconds()
+    sweep_build_metrics = shared_build_metrics()
     # Retry pass (r12, VERDICT r11 #2b): retries used to run inline in
     # REGISTRY order, so an early run of moderate outliers could drain
     # RETRY_BUDGET_SEC before the worst deviations were reached —
     # BENCH_r11 starved exactly its 16 biggest outliers. Same trigger
     # predicate, same budget, same one-re-run-keep-the-min semantics;
-    # the budget is now spent WORST-DEVIATION-FIRST (t1/baseline desc),
+    # the budget is spent WORST-DEVIATION-FIRST (t1/baseline desc),
     # so whatever the budget covers is always the most load-suspect
     # slice of the run.
+    #
+    # COLD retries (r13, VERDICT r12 #1): every second attempt now runs
+    # with the previous query's tracked caches released, the SQL cache
+    # cleared, AND the cross-query shared-artifact memo forgotten, so a
+    # retried first-payer query re-pays its shared build instead of
+    # re-reading the materialization (BENCH_r12's warm retries collapsed
+    # scd2_events_replay 3.306 s → 0.095 s and removed ~61 s of real
+    # first-payer work from value_retry_adjusted). min(t1, t2) can now
+    # only remove load noise, never attributed build work; on an idle
+    # machine retry pairs land within ~2× of each other. The budget
+    # accounting is unchanged (sum of second-attempt seconds ≤ 90 s) —
+    # cold retries spend it faster, and worst-first ordering decides
+    # who gets covered. "value" stays retry-adjusted (same formula as
+    # every BENCH_r* artifact), now with cold-retry semantics.
     suspects = sorted(
         (n for n, t1 in first_attempt.items()
          if _should_retry(t1, baseline.get(n), 0.0)),
-        key=lambda n: -(first_attempt[n] / baseline[n]))
+        # max() guards a future 0.0 committed baseline entry (times are
+        # rounded to 3 decimals) from a ZeroDivisionError that would
+        # lose the whole artifact (ADVICE r12).
+        key=lambda n: -(first_attempt[n] / max(baseline[n], 1e-9)))
     for name in suspects:
         if not _should_retry(first_attempt[name], baseline.get(name),
                              sum(ts[1] for ts in retries.values())):
@@ -251,15 +288,14 @@ def main() -> None:
             # UNADJUSTED in every total below.
             budget_starved.append(name)
             continue
-        if fresh:
-            release_caches()
-            spark.catalog.clearCache()
+        release_caches()
+        spark.catalog.clearCache()
+        forget_shared_artifacts()
         t2 = _timed(name, QUERIES[name])
         retries[name] = [first_attempt[name], t2]
         times[name] = min(first_attempt[name], t2)
     release_caches()  # query builders release the previous query's
 
-    from map_reduce_mongodb_spark.cache import shared_build_metrics
     _emit_summary({
         "metric": ("total_query_wall_sec_prod" if prod_only
                    else "total_query_wall_sec"),
@@ -276,10 +312,11 @@ def main() -> None:
         # artifact (pair tables, CC labels, fingerprint tables) took to
         # materialize. These seconds are INSIDE whichever consumer
         # query ran first — read family totals, not single rows.
-        "shared_builds": shared_build_seconds(),
+        # Snapshotted before the retry pass (cold retries rebuild).
+        "shared_builds": sweep_shared_builds,
         # Per-build scalar metrics (CC round counts etc.) so iterative
         # builds' regressions are attributable (VERDICT r6 #3).
-        "shared_build_metrics": shared_build_metrics(),
+        "shared_build_metrics": sweep_build_metrics,
         # Machine contention telemetry: 1/5/15-min load averages at
         # start/end plus every retried query's [first, second] times —
         # a degraded artifact now explains itself (VERDICT r6 #2).
@@ -322,16 +359,60 @@ def main() -> None:
     })
 
 
+def _query_chunks(queries: dict[str, float],
+                  limit: int = 380) -> list[dict[str, float]]:
+    """Split the per-query map into JSON lines each under ``limit``
+    payload chars, ordered so the LAST chunks carry the queries with
+    the biggest |log(time/baseline)| deviation. The driver's capture
+    keeps only a 2000-char tail of stdout (measured: every committed
+    BENCH_r* artifact has len(tail) == 2000), which a 261-entry map
+    (~8 KB) can never fit — so the tail is spent on the most
+    audit-relevant slice: the biggest movers vs the committed
+    baseline land nearest the end, right before the final short line
+    (VERDICT r12 #2). The complete map goes to BENCH_PERQUERY.json."""
+    import math
+    baseline = _baseline_queries()
+
+    def _dev(n: str) -> float:
+        b = baseline.get(n)
+        if not b:
+            return -1.0  # no committed reference: least informative
+        return abs(math.log(max(queries[n], 1e-3) / max(b, 1e-3)))
+
+    chunks: list[dict[str, float]] = []
+    cur: dict[str, float] = {}
+    cur_len = 0
+    for n in sorted(queries, key=_dev):
+        ent_len = len(n) + len(repr(queries[n])) + 4
+        if cur and cur_len + ent_len > limit:
+            chunks.append(cur)
+            cur, cur_len = {}, 0
+        cur[n] = queries[n]
+        cur_len += ent_len
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
 def _emit_summary(summary: dict) -> None:
-    """Emit the summary truncation-proof. The driver keeps only a TAIL
-    window of process output smaller than a 157-entry per-query dict
-    (~4.5 KB) — BENCH_r02..r04 all arrived truncated mid-JSON
-    ("parsed": null). So the FINAL stdout line is now a SHORT JSON
-    (metric/value/value_production/unit/sf/n_queries only — well under
-    any plausible tail window); the full per-query map and shared-build
-    attribution go on the line BEFORE it and into BENCH_LOCAL.json next
-    to this script. Console progress stays disabled in session defaults
-    so Spark noise can't land between the two lines."""
+    """Emit the summary truncation-proof. The driver keeps only a
+    2000-char TAIL window of process output — smaller than any full
+    per-query dict — so BENCH_r02..r04 arrived truncated mid-JSON
+    ("parsed": null). Layout (r13, VERDICT r12 #2):
+
+      1. the FULL one-line JSON (per-query map, retries, shared-build
+         attribution) — for local logs; scrolls out of the tail;
+      2. per-query CHUNK lines ({"qchunk": i, "of": N, "q": {...}}),
+         each short enough that the tail window captures the last few
+         — ordered so the biggest baseline-deviators come LAST (the
+         slice a regression audit needs most);
+      3. the FINAL short JSON (totals only — always parseable).
+
+    The complete per-query map is additionally written to
+    BENCH_PERQUERY.json (tracked in git, committed with each round) and
+    BENCH_LOCAL.json (gitignored scratch). Console progress stays
+    disabled in session defaults so Spark noise can't land between
+    lines."""
     full_line = json.dumps(summary)
     short = {k: v for k, v in summary.items()
              if k in ("metric", "value", "value_production", "unit",
@@ -340,15 +421,21 @@ def _emit_summary(summary: dict) -> None:
                       "baseline_total")}
     short["n_queries"] = len(summary.get("queries", {}))
     short["n_retried"] = len(summary.get("retries", {}))
+    short["perquery_file"] = "BENCH_PERQUERY.json"
     short_line = json.dumps(short)
-    local = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
-    try:
-        local.write_text(full_line + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout still carries the summary
+    here = Path(__file__).resolve().parent
+    for fname in ("BENCH_LOCAL.json", "BENCH_PERQUERY.json"):
+        try:
+            (here / fname).write_text(full_line + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries the summary
     sys.stdout.flush()
     sys.stderr.flush()
     print(full_line, flush=True)
+    chunks = _query_chunks(summary.get("queries", {}))
+    for i, chunk in enumerate(chunks, start=1):
+        print(json.dumps({"qchunk": i, "of": len(chunks), "q": chunk},
+                         separators=(",", ":")))
     print(short_line, flush=True)
 
 

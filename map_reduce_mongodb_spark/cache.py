@@ -192,6 +192,22 @@ def shared_build_seconds() -> dict[str, float]:
     return dict(_BUILD_SECONDS)
 
 
+def forget_shared_artifacts() -> None:
+    """Drop the shared-materialization memos (parquet paths AND
+    driver-side trained values) WITHOUT resetting the build-seconds /
+    metrics attribution. bench.py's COLD retry pass (VERDICT r12 #1)
+    calls this before every second attempt so the retry re-pays any
+    shared build its first attempt paid: previously a retried
+    first-payer query re-read the already-materialized artifact and
+    collapsed to near-zero (scd2_events_replay 3.306 s → 0.095 s in
+    BENCH_r12), letting min(t1, t2) delete real first-payer work from
+    the retry-adjusted totals instead of just load noise. The sweep's
+    attribution stays intact — the caller snapshots it before the
+    retry pass, and rebuilds during retries are expected."""
+    _SHARED.clear()
+    _SHARED_VALUES.clear()
+
+
 def clear_shared() -> None:
     """Forget shared materializations (tests / corpus swaps). Also
     resets the build-seconds attribution so tests asserting on

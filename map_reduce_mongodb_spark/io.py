@@ -118,8 +118,8 @@ def _inject_task_faults(df: DataFrame) -> DataFrame:
 #: with the process; a stopped session's plans are unreachable via the
 #: session key.
 #:
-#: The key is PER-SESSION (JVM SparkSession identity via the py4j
-#: handle's toString, plus applicationId), not per-application: a
+#: The key is PER-SESSION (a uuid token stashed on the Python
+#: SparkSession wrapper, plus applicationId), not per-application: a
 #: DataFrame belongs to the session that created it — under an
 #: application-wide key, a plan cached by a ``spark.newSession()``
 #: clone (the streaming queries use one to pin shuffle partitions)
@@ -149,12 +149,23 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        key = (spark.sparkContext.applicationId,
-               spark._jsparkSession.toString(), path,
+        # Session identity = a uuid token stashed on the Python wrapper
+        # (ADVICE r12: the JVM toString() is class@identityHashCode,
+        # which is NOT guaranteed unique across live sessions — two
+        # newSession() clones could in principle collide and hand one
+        # session a plan bound to the other's catalog). A per-wrapper
+        # token can never collide; two wrappers of the SAME JVM session
+        # at worst duplicate a plan entry, which is harmless.
+        token = getattr(spark, "_mrms_scan_token", None)
+        if token is None:
+            import uuid
+            token = uuid.uuid4().hex
+            spark._mrms_scan_token = token
+        key = (spark.sparkContext.applicationId, token, path,
                st.st_mtime_ns, st.st_size)
     except Exception:
         key = None  # non-local path (hdfs://…, OSError) or a session
-        #             without a py4j handle: read uncached
+        #             that rejects attribute stashing: read uncached
     df = _SCAN_CACHE.get(key) if key is not None else None
     if df is None:
         df = spark.read.parquet(path)
@@ -173,6 +184,14 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
                     f"timestampadd(MICROSECOND, {c} DIV 1000, "
                     f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
         if key is not None:
+            # Evict superseded stat-keys for the same (session, path)
+            # so in-place rewrites don't accumulate dead entries for
+            # the process lifetime (ADVICE r12 — each entry pins its
+            # JVM session via the py4j reference).
+            stale = [k for k in _SCAN_CACHE
+                     if k[:3] == key[:3] and k != key]
+            for k in stale:
+                del _SCAN_CACHE[k]
             _SCAN_CACHE[key] = df
     if os.environ.get(FAULT_INJECT_ENV):
         df = _inject_task_faults(df)

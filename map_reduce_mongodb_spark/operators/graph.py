@@ -147,7 +147,8 @@ def cluster_assignments(labels: DataFrame,
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 25,
+                         checkpoint_input: bool = True) -> DataFrame:
     """Label every node of the undirected graph `edges` with the
     minimum node id of its connected component.
 
@@ -156,7 +157,21 @@ def connected_components(edges: DataFrame, src: str = "src",
     per non-isolated node, ``cc`` = min id in its component (isolated
     nodes never appear in an edge list; callers union them back with
     cc = id if needed).
-    """
+
+    ``checkpoint_input`` (r13): False skips the eager input checkpoint
+    — round 1 then re-evaluates the input expression per symmetrize
+    union branch (4 evaluations), and convergence starts with no input
+    checksum (costing one extra node-scaled confirming round only for
+    inputs that are already a fixpoint star). Measured (r13
+    interleaved A/B at sf0.1, 3 reps): skipping saves exactly one
+    blocking job per invocation but is wall-NEUTRAL-to-slightly-worse
+    even for shared-parquet leaf inputs (4 runtime re-scans cost more
+    than the one materialization job; for inputs carrying joins or a
+    distinct — dbscan's semi-joined core graph, the threshold sweep's
+    contracted deltas — it is ~0.3-1 s WORSE). Every current caller
+    therefore keeps the default True; the knob exists for callers
+    whose input is so cheap AND whose job-count budget is so tight
+    that the trade flips."""
     from map_reduce_mongodb_spark.cache import note_build_metric, track_rdd
 
     # No ``.distinct()`` on the input (r12): the star rounds are
@@ -167,9 +182,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     # genuinely duplicated input only inflates round 1's row counts;
     # the (count, xor) convergence checksum still can't confuse the
     # multiset with a fixpoint (the count component differs).
-    e, handles, prev = _checkpoint_checksummed(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-             .where(F.col(src) != F.col(dst)))
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .where(F.col(src) != F.col(dst)))
+    if checkpoint_input:
+        e, handles, prev = _checkpoint_checksummed(e)
+    else:
+        handles, prev = [], None
     rounds = 0
     for _ in range(max_iter):
         nxt, nxt_handles, cur = _checkpoint_checksummed(
@@ -407,6 +425,9 @@ def cc_threshold_sweep(pairs: DataFrame, weight: str,
                           .distinct())
             # sup is read twice below (relabel join + anti-join) —
             # leaf it so the contracted CC's label aggregate runs once
+            # contracted carries 2 joins + a distinct — checkpoint it
+            # (round 1 would otherwise re-run that subtree 4x; the r13
+            # A/B measured the un-checkpointed variant ~1s slower)
             sup = _leaf(connected_components(contracted,
                                              max_iter=max_iter))
             # Compose: every prior node follows its supernode's new

@@ -9330,6 +9330,9 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluates the CC label aggregate once per branch (the exact
     # duplication signature the registry sweep flags, hidden here
     # only because the checkpoint replaces the plan with a leaf)
+    # keep the input checkpoint here: ce is TWO semi-joins, and
+    # round 1's symmetrize union would re-evaluate them 4x — the r13
+    # interleaved A/B measured that as a net loss vs the one ckpt job
     cc = _leaf(connected_components(ce, src="id_a", dst="id_b"))
     ccall = _leaf(cc.unionByName(
         core.join(cc.select(F.col("id")), "id", "left_anti")
@@ -11849,31 +11852,50 @@ def _cf_topk(edges: DataFrame, nrm: DataFrame) -> DataFrame:
     capped skew-dial gate (r9 review folded two verbatim ~30-line
     copies in here — the capped twin exists to certify the EXACT
     scoring the production query runs, so one drifting copy would
-    silently desynchronize the gate from what it certifies): inverted-
-    index self-join on the customer key, both directions exploded
-    from ONE evaluation, norm joins, cosine, per-supplier top-3."""
+    silently desynchronize the gate from that it certifies): inverted-
+    index self-join on the customer key, norm joins + cosine on the
+    HALF (sa < sb) pair table, both directions exploded from one
+    evaluation, per-supplier top-3.
+
+    r13 (guide §2.3, VERDICT r12 #4): cosine is computed ONCE per
+    undirected pair BEFORE the direction explode — cosine(a,b) ==
+    cosine(b,a) exactly (IEEE multiplication is commutative, so
+    sqrt(na)*sqrt(nb) == sqrt(nb)*sqrt(na) bit-for-bit and the oracle's
+    per-direction recomputation yields the identical double). This
+    halves the rows flowing through both norm joins and evaluates the
+    divide once instead of twice. ``nrm`` is tracked_persist'ed: the
+    r12-style both-branches fix — un-materialized, the supplier-norm
+    aggregate subtree (a full scan + two-phase groupBy of the purchase
+    matrix) appeared under BOTH norm-join broadcasts and executed
+    twice per query (plans/r13/supplier_cf_similarity_before.txt,
+    scans 14-18 vs 22-26). The persisted table is supplier-scaled —
+    safe to materialize at any corpus scale."""
+    from map_reduce_mongodb_spark.cache import tracked_persist
     a, b = edges.alias("a"), edges.alias("b")
     dots = (a.join(b, (F.col("a.c") == F.col("b.c"))
                    & (F.col("a.s") < F.col("b.s")))
             .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
             .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long")
                  .alias("dot")))
-    # both directions from ONE evaluation of the self-join (a union
-    # would re-execute the dominant inverted-index join per branch)
-    sym = (dots.select(F.explode(F.array(
-               F.struct("sa", "sb", "dot"),
-               F.struct(F.col("sb").alias("sa"),
-                        F.col("sa").alias("sb"), F.col("dot")),
-           )).alias("_p")).select("_p.*"))
+    nrm = tracked_persist(nrm)
     na = nrm.select(F.col("s").alias("sa"), F.col("n2").alias("na"))
     nb = nrm.select(F.col("s").alias("sb"), F.col("n2").alias("nb"))
-    scored = (sym.join(na, "sa")
-              .join(nb, "sb")
-              .select("sa", "sb",
-                      (F.col("dot").cast("double")
-                       / (F.sqrt(F.col("na").cast("double"))
-                          * F.sqrt(F.col("nb").cast("double"))))
-                      .alias("cosine")))
+    half = (dots.join(na, "sa")
+            .join(nb, "sb")
+            .select("sa", "sb",
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double"))))
+                    .alias("cosine")))
+    # both directions from ONE evaluation of the join+score subtree (a
+    # union would re-execute the dominant inverted-index join per
+    # branch; an explode after the norm joins also halves their input
+    # vs the pre-r13 explode-then-join order)
+    scored = (half.select(F.explode(F.array(
+                  F.struct("sa", "sb", "cosine"),
+                  F.struct(F.col("sb").alias("sa"),
+                           F.col("sa").alias("sb"), F.col("cosine")),
+              )).alias("_p")).select("_p.*"))
     w = Window.partitionBy("sa").orderBy(F.desc("cosine"), F.asc("sb"))
     return (scored.withColumn("rank",
                               F.row_number().over(w).cast("int"))

@@ -416,3 +416,47 @@ def test_shared_token_runs_df_cap_splits_runs_deterministically(spark):
     # grams seeded from positions 1..10 → 10+7=17 tokens; right flank
     # likewise 17 (h1..h7+r0..r9). Both survive min_run_tokens=10.
     assert capped == {(1, 2): (17, 2)}
+
+
+def test_containment_prefix_filter_matches_bruteforce(spark):
+    """r13 internals change: the uncapped path generates candidates
+    via an AllPairs df-ordered PREFIX index + exact array_intersect
+    verify instead of a full posting join. Pin it against a pure-
+    Python all-pairs reference on a corpus built to stress the filter:
+    exact duplicates, a planted excerpt, near-threshold pairs, and
+    minimum-length (single-shingle) docs — any missed candidate would
+    show up as a missing pair here."""
+    from map_reduce_mongodb_spark.operators.dedup import containment_pairs
+
+    quote = "one two three four five six seven eight nine ten"
+    page = ("lead in words " + quote + " trailing words here "
+            + " ".join(f"f{i}" for i in range(30)))
+    docs = [
+        (1, quote),
+        (2, page),
+        (3, quote),                       # exact duplicate of 1
+        (4, "one two three"),             # single shingle, inside 1
+        (5, "x y z"),                     # single shingle, no overlap
+        (6, quote + " eleven twelve"),    # superset of 1
+        (7, "three four five six seven eight nine ten zzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sh = {d: shingles(t) for d, t in docs}
+    for threshold in (0.8, 0.5):
+        want = set()
+        for a in sh:
+            for b in sh:
+                if a == b:
+                    continue
+                i = len(sh[a] & sh[b])
+                if i and round(i / len(sh[a]), 6) >= threshold:
+                    want.add((a, b, round(i / len(sh[a]), 6)))
+        got = {(r.contained_id, r.container_id, r.containment)
+               for r in containment_pairs(
+                   df, threshold=threshold).collect()}
+        assert got == want, (threshold, got ^ want)

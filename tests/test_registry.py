@@ -232,10 +232,26 @@ def test_bench_summary_carries_retry_adjusted_headline(
     # this run has queries the committed baseline lacks, the covered
     # subset (not value_retry_adjusted) is what baseline_total anchors
     assert short["value_baseline_covered"] == 1.0
-    full = _json.loads(lines[-2])
+    # r13 layout: full line FIRST, then per-query chunk lines (the
+    # tail-window slice the driver can capture), then the short line —
+    # the full line is the first parseable line carrying the headline
+    full = _json.loads(lines[0])
     assert full["value_first_attempt"] == 2.5
     assert full["retry_budget_starved"] == []
+    # every query appears in exactly one chunk, and each chunk line is
+    # small enough that several fit the driver's 2000-char tail window
+    chunks = [_json.loads(ln) for ln in lines[1:-1]]
+    assert all(set(c) == {"qchunk", "of", "q"} for c in chunks)
+    merged = {}
+    for c in chunks:
+        merged.update(c["q"])
+    assert merged == {"a": 1.0, "b": 1.0}
+    assert all(len(ln) < 500 for ln in lines[1:-1])
     assert (tmp_path / "BENCH_LOCAL.json").exists()
+    # the full per-query summary is also persisted to the TRACKED
+    # per-query artifact the short line names (VERDICT r12 #2)
+    assert short["perquery_file"] == "BENCH_PERQUERY.json"
+    assert (tmp_path / "BENCH_PERQUERY.json").exists()
 
 
 def test_bench_retry_decision():

@@ -46,7 +46,9 @@ def main() -> None:
     spark = get_spark(app_name="ab_bench")
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
-    for w in ("filter_project", "filter_project"):
+    # two DISTINCT cheap warmup queries (ADVICE r12: this previously
+    # named filter_project twice while claiming two queries)
+    for w in ("filter_project", "topk_orders"):
         QUERIES[w](spark, args.sf_dir).write.format("noop") \
             .mode("overwrite").save()
 
