@@ -113,7 +113,14 @@ def _baseline_queries() -> dict[str, float]:
 # story.
 RETRY_FACTOR = 1.6
 RETRY_FLOOR_SEC = 0.5
-RETRY_BUDGET_SEC = 90.0
+# 150 s (was 90 s through r12): the r13 cold-retry semantics make each
+# second attempt re-pay shared builds, so the same wall budget covers
+# far fewer retries — the first r13 run spent 90 s on 40 retries and
+# STARVED 16 suspects carrying ~17 s of unadjusted load noise (40.5 s
+# observed vs 23.8 s committed-baseline for the same set). The bump
+# restores the r12-era COVERAGE under the honest semantics; trigger
+# predicate, floor and factor are unchanged.
+RETRY_BUDGET_SEC = 150.0
 
 
 def _should_retry(t1: float, base: float | None,
